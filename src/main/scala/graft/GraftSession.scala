@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Local mode (`local[N]`) stands in for a cluster here; every setting is
+  * chosen so the same code scales to many executors — AQE for runtime
+  * re-planning (partition coalescing, skew-join splitting), a shuffle width
+  * matched to the available cores instead of the 200 default, and UTC
+  * session time so results are environment-independent.
+  */
+object GraftSession {
+
+  def cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+
+  def builder(cores: Int = cores): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Shared local session (tests, ad-hoc runs). */
+  def local(n: Int = cores): SparkSession = {
+    val s = builder(n).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
