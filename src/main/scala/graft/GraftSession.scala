@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+  def cores: Int = sys.env.getOrElse(
+    "SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString).toInt
 
   def builder(cores: Int = cores): SparkSession.Builder =
     SparkSession

@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window / sort-limit / scalar-function operators (SURVEY.md §2.5, §2.6,
+  * §2.8, plus the P6/P7 gate filters of §2.2).
+  *
+  * Scale notes:
+  *   - "latest group" selection (w3) is a broadcast of a 1-row aggregate,
+  *     never a global window (a global `Window.orderBy` would serialize all
+  *     rows through one partition at 100 TB);
+  *   - per-group head-1 (o4) is `row_number` over the group key — shuffles
+  *     once on the key, no driver collect;
+  *   - global top-k (o5) is `orderBy.limit(k)` which Spark executes as
+  *     per-partition top-k + driver merge of k·p rows, not a full sort.
+  */
+object WindowedScalar extends QueryPack {
+
+  // -- w3: "last proposal" selection (run_image_extraction.py:966-968) —
+  //    rows belonging to the max group, via broadcast 1-row max, then a
+  //    small grouped rollup.
+  private val w3LatestMonth: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .withColumn("order_month", trunc(col("o_orderdate"), "month"))
+    val latest = o.agg(max(col("order_month")).as("order_month"))
+    o.join(broadcast(latest), "order_month")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(graft.Exact.dec2(col("o_totalprice"))).cast("double")
+             .as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val w3Sql =
+    """WITH o AS (SELECT *, CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM o WHERE order_month = (SELECT max(order_month) FROM o)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -- o4: head-1 per group (database_update.py:87 `query[0][0]` idiom made
+  //    deterministic): first order per customer by (date, key).
+  private val o4FirstPerGroup: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  private val o4Sql =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // -- o5: latest/largest top-k (plot_model_on_reality.py:282-294 "last
+  //    coeffs" idiom): deterministic global top-5.
+  private val o5TopK: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(5)
+  }
+
+  private val o5Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin
+
+  // -- a12: count + recovered-fraction arithmetic
+  //    (compare_idl_python.py:373-391): fraction of lineitems shipped late
+  //    per returnflag, as 100·(1 − (n − n_late)/n).
+  private val a12CountFraction: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("l_shipdate") > lit("1997-01-01").cast("timestamp"),
+                   1)).as("n_late"))
+      .withColumn("recovered_pct",
+        lit(100.0) * (lit(1.0) -
+          (col("n_total") - col("n_late")).cast("double") /
+          col("n_total").cast("double")))
+      .orderBy("l_returnflag")
+  }
+
+  private val a12Sql =
+    """WITH c AS (
+      |  SELECT l_returnflag, count(*) AS n_total,
+      |         count(CASE WHEN l_shipdate > TIMESTAMP '1997-01-01' THEN 1 END) AS n_late
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_total, n_late,
+      |       100.0 * (1.0 - CAST(n_total - n_late AS DOUBLE) / CAST(n_total AS DOUBLE)) AS recovered_pct
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
+  // -- f-string: the reference's name-parsing idioms
+  //    (database_update.py:292-296, 681-698): split / cast / upper / lpad /
+  //    concat_ws / substring / contains-dispatch.
+  private val fStringParse: Q = (s, dir) => {
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        split(col("c_name"), "#").getItem(1).cast("long").as("parsed_key"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("padded_key"),
+        concat_ws("_", col("c_mktsegment"),
+                  col("c_nationkey").cast("string")).as("seg_nation"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        when(col("c_mktsegment").contains("HOLD"), "H")
+          .otherwise("O").as("seg_class"))
+      .orderBy("c_custkey")
+  }
+
+  private val fStringSql =
+    """SELECT c_custkey,
+      |       CAST(string_split(c_name, '#')[2] AS BIGINT) AS parsed_key,
+      |       upper(c_mktsegment) AS seg_upper,
+      |       lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
+      |       concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+      |       substr(c_name, 1, 8) AS name_prefix,
+      |       CASE WHEN contains(c_mktsegment, 'HOLD') THEN 'H' ELSE 'O' END AS seg_class
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // -- f-math: log10 / sqrt / abs / pow / floor (§2.8 math row). Pure
+  //    row-wise IEEE math — bit-comparable across engines (1e-9 rel gate).
+  private val fMath: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        log10(col("l_extendedprice")).as("log_price"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        abs(col("l_discount") - 0.05).as("abs_disc_dev"),
+        pow(col("l_tax") + 1.0, 2).as("tax_sq"),
+        floor(col("l_extendedprice") / 1000.0).as("price_bucket"))
+      .orderBy("l_orderkey")
+  }
+
+  private val fMathSql =
+    """SELECT l_orderkey,
+      |       log10(l_extendedprice) AS log_price,
+      |       sqrt(l_quantity) AS sqrt_qty,
+      |       abs(l_discount - 0.05) AS abs_disc_dev,
+      |       pow(l_tax + 1.0, 2) AS tax_sq,
+      |       floor(l_extendedprice / 1000.0) AS price_bucket
+      |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
+
+  // -- f-date: date/time scalar family (§2.8): extraction, offset
+  //    arithmetic, day differences against a fixed epoch (the reference's
+  //    MJD ± 30 day window arithmetic, database_queries.py:177-180).
+  private val fDate: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(col("o_orderdate").cast("date"),
+                 lit("1995-01-01").cast("date")).as("days_since_epoch"))
+      .orderBy("o_orderkey")
+  }
+
+  private val fDateSql =
+    """SELECT o_orderkey,
+      |       CAST(year(o_orderdate) AS INT) AS y,
+      |       CAST(month(o_orderdate) AS INT) AS m,
+      |       CAST(day(o_orderdate) AS INT) AS d,
+      |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // -- p6: validity gating with an observability column — the reference
+  //    drops images via sentinel strings ('false_chinject' …,
+  //    run_image_extraction.py:274-339); here every row gets a
+  //    reject-reason and survivors are counted per reason.
+  private val p6GateFlags: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .withColumn("gate",
+        when(col("l_quantity") > 45, "false_high_qty")
+          .when(col("l_discount") > 0.08, "false_high_disc")
+          .when(col("l_returnflag") === "R", "false_returned")
+          .otherwise("ok"))
+      .groupBy("gate")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("gate")
+  }
+
+  private val p6Sql =
+    """SELECT CASE WHEN l_quantity > 45 THEN 'false_high_qty'
+      |            WHEN l_discount > 0.08 THEN 'false_high_disc'
+      |            WHEN l_returnflag = 'R' THEN 'false_returned'
+      |            ELSE 'ok' END AS gate,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY gate""".stripMargin
+
+  // -- p7: config-blocklist exclusion (run_image_extraction.py:994-1016,
+  //    implemented *correctly*, unlike the reference's precedence bug —
+  //    SURVEY.md §7.1): drop blocklisted (status, priority) pairs.
+  private val blocklist = Seq(("F", "1-URGENT"), ("O", "5-LOW"))
+
+  private val p7Blocklist: Q = (s, dir) => {
+    val blocked = blocklist
+      .map { case (st, pr) =>
+        col("o_orderstatus") === st && col("o_orderpriority") === pr }
+      .reduce(_ || _)
+    Tables.orders(s, dir)
+      .filter(!blocked)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  private val p7Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE NOT ((o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+      |        OR (o_orderstatus = 'O' AND o_orderpriority = '5-LOW'))
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "w3_latest_group"    -> w3LatestMonth,
+    "o4_first_per_group" -> o4FirstPerGroup,
+    "o5_global_topk"     -> o5TopK,
+    "a12_count_fraction" -> a12CountFraction,
+    "f_string_parse"     -> fStringParse,
+    "f_math_scalar"      -> fMath,
+    "f_date_scalar"      -> fDate,
+    "p6_gate_flags"      -> p6GateFlags,
+    "p7_blocklist"       -> p7Blocklist)
+
+  def oracles: Map[String, String] = Map(
+    "w3_latest_group"    -> w3Sql,
+    "o4_first_per_group" -> o4Sql,
+    "o5_global_topk"     -> o5Sql,
+    "a12_count_fraction" -> a12Sql,
+    "f_string_parse"     -> fStringSql,
+    "f_math_scalar"      -> fMathSql,
+    "f_date_scalar"      -> fDateSql,
+    "p6_gate_flags"      -> p6Sql,
+    "p7_blocklist"       -> p7Sql)
+}
