@@ -1,0 +1,346 @@
+package graft.operators
+
+import graft.{Exact, QueryPack, Tables}
+import graft.functions.PolyFit2D
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical aggregation operators (SURVEY.md §2.4): grouped linear
+  * regression with slope standard error (A1), iterative sigma clipping
+  * (A2), clipped bin means over *overlapping* bins (A4, SURVEY §7.4 item
+  * 5), histogram bucket means (A9), polynomial moment accumulation and the
+  * 9-coefficient 2-D polyfit (A6), and model evaluation (A7).
+  *
+  * Numeric-parity strategy: every oracle-checked statistic is derived from
+  * **exact decimal/integer sufficient moments** (n, Σx, Σx², Σy, Σxy, Σy²)
+  * with the final floating-point arithmetic written as the *same* IEEE
+  * expression tree on the Spark and DuckDB sides — so results match
+  * bit-for-bit, independent of row order or partitioning. This is also the
+  * 100 TB-correct shape: sufficient statistics are commutative partial
+  * aggregates (map-side combine), never a sort or a collect.
+  */
+object Statistical extends QueryPack {
+
+  /** One k·σ clip pass over `vd` (a double derived from exact dec2) per
+    * group: stats from exact decimal sums, survivors via broadcast-join of
+    * the tiny per-group stats back onto the rows. The reference iterates
+    * scipy.stats.sigmaclip to a fixpoint (uvis_external_cte_plots.py:
+    * 175-176); bounded unrolling keeps the plan static — at scale, persist
+    * between passes instead of growing lineage. */
+  private def clipPass(df: DataFrame, groupCols: Seq[String], k: Double): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col("vdec")).as("_s"),
+        sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).as("_ss"))
+      .withColumn("_mean", col("_s").cast("double") / col("_n").cast("double"))
+      .withColumn("_std",
+        sqrt(col("_ss").cast("double") / col("_n").cast("double") -
+             col("_mean") * col("_mean")))
+    df.join(broadcast(stats), groupCols)
+      .filter(col("vd") >= col("_mean") - lit(k) * col("_std") &&
+              col("vd") <= col("_mean") + lit(k) * col("_std"))
+      .drop("_n", "_s", "_ss", "_mean", "_std")
+  }
+
+  /** SQL text of the same clip pass, parameterized by input CTE name. */
+  private def clipPassSql(in: String, groups: String, k: String,
+                          sOut: String, fOut: String): String =
+    s"""$sOut AS (
+       |  SELECT $groups, count(*) AS n,
+       |         CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean,
+       |         sqrt(CAST(sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+       |              - (CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))
+       |               *(CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))) AS std
+       |  FROM $in GROUP BY $groups),
+       |$fOut AS (
+       |  SELECT i.* FROM $in i JOIN $sOut s USING ($groups)
+       |  WHERE i.vd >= s.mean - $k*s.std AND i.vd <= s.mean + $k*s.std)""".stripMargin
+
+  // -- a1: grouped OLS regression with slope stderr — the "CTE slope"
+  //    (uvis_external_cte_plots.py:189-196, scipy linregress) from exact
+  //    integer/decimal moments; stderr uses scipy's residual formula
+  //    s_m = sqrt(SSE/(n-2)/Sxx).
+  private val a1Regression: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_suppkey"),
+      col("l_quantity").cast("long").as("x"),
+      Exact.dec2(col("l_extendedprice")).as("y"))
+    val m = li.groupBy("l_suppkey").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"),
+      sum((col("y") * col("x")).cast(DecimalType(38, 2))).as("sxy"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"))
+    val dn = col("n").cast("double")
+    val dsx = col("sx").cast("double"); val dsxx = col("sxx").cast("double")
+    val dsy = col("sy").cast("double"); val dsxy = col("sxy").cast("double")
+    val dsyy = col("syy").cast("double")
+    val sxxc = dsxx - dsx * dsx / dn
+    val sxyc = dsxy - dsx * dsy / dn
+    val syyc = dsyy - dsy * dsy / dn
+    m.filter(col("n") >= 3)
+      .withColumn("slope", sxyc / sxxc)
+      .withColumn("intercept", (dsy - col("slope") * dsx) / dn)
+      .withColumn("stderr",
+        sqrt((syyc - col("slope") * sxyc) / (dn - lit(2.0)) / sxxc))
+      .select("l_suppkey", "n", "slope", "intercept", "stderr")
+      .orderBy("l_suppkey")
+  }
+
+  private val a1Sql =
+    """WITH m AS (
+      |  SELECT l_suppkey, count(*) AS n,
+      |         sum(CAST(l_quantity AS BIGINT)) AS sx,
+      |         sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS sxx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS BIGINT) AS DECIMAL(38,2))) AS sxy,
+      |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+      |  FROM lineitem GROUP BY l_suppkey),
+      |d AS (
+      |  SELECT l_suppkey, n,
+      |         CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+      |         CAST(sxx AS DOUBLE) AS dsxx, CAST(sy AS DOUBLE) AS dsy,
+      |         CAST(sxy AS DOUBLE) AS dsxy, CAST(syy AS DOUBLE) AS dsyy
+      |  FROM m WHERE n >= 3),
+      |c AS (
+      |  SELECT l_suppkey, n, dn, dsx, dsy,
+      |         dsxx - dsx*dsx/dn AS sxxc,
+      |         dsxy - dsx*dsy/dn AS sxyc,
+      |         dsyy - dsy*dsy/dn AS syyc
+      |  FROM d),
+      |r AS (SELECT l_suppkey, n, dn, dsx, dsy, sxxc, sxyc, syyc,
+      |             sxyc/sxxc AS slope FROM c)
+      |SELECT l_suppkey, n, slope,
+      |       (dsy - slope*dsx)/dn AS intercept,
+      |       sqrt((syyc - slope*sxyc)/(dn - 2.0)/sxxc) AS stderr
+      |FROM r ORDER BY l_suppkey""".stripMargin
+
+  /** lineitem rows with the exact-decimal value columns used by clipping. */
+  private def clipInput(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_returnflag"), col("l_linestatus"),
+      Exact.dec2(col("l_extendedprice")).as("vdec"),
+      Exact.dec2(col("l_extendedprice")).cast("double").as("vd"))
+
+  private val clipInputSql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(l_extendedprice AS DECIMAL(18,2)) AS vdec,
+      |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS vd
+      |FROM lineitem""".stripMargin
+
+  // -- a2: 3-pass 4σ sigma clip per (returnflag, linestatus), reporting
+  //    survivor count + clipped mean/std.
+  private val a2SigmaClip: Q = (s, dir) => {
+    val groups = Seq("l_returnflag", "l_linestatus")
+    var df = clipInput(s, dir)
+    for (_ <- 1 to 3) df = clipPass(df, groups, 4.0)
+    df.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("vdec")).as("_s"),
+           sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).as("_ss"))
+      .withColumn("clip_mean", col("_s").cast("double") / col("n_kept").cast("double"))
+      .withColumn("clip_std",
+        sqrt(col("_ss").cast("double") / col("n_kept").cast("double") -
+             col("clip_mean") * col("clip_mean")))
+      .drop("_s", "_ss")
+      .orderBy(groups.head, groups.tail: _*)
+  }
+
+  private val a2Sql = {
+    val g = "l_returnflag, l_linestatus"
+    s"""WITH c0 AS ($clipInputSql),
+       |${clipPassSql("c0", g, "4.0", "s1", "c1")},
+       |${clipPassSql("c1", g, "4.0", "s2", "c2")},
+       |${clipPassSql("c2", g, "4.0", "s3", "c3")}
+       |SELECT $g, count(*) AS n_kept,
+       |       CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS clip_mean,
+       |       sqrt(CAST(sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+       |            - (CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))
+       |             *(CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))) AS clip_std
+       |FROM c3 GROUP BY $g ORDER BY $g""".stripMargin
+  }
+
+  // -- a4: clipped mean per *overlapping* price bin — the reference's 8
+  //    overlapping flux bins (config.py:14-16) demand a 1→N bin join, not
+  //    a CASE bucket. The 8-row bin table broadcasts; one 4σ pass; log10
+  //    of the clipped mean (uvis_external_cte_plots.py:1610-1613, 538).
+  private val bins = Seq(
+    ("b_2500_5000", 2500, 5000), ("b_5000_10000", 5000, 10000),
+    ("b_5000_20000", 5000, 20000), ("b_10000_20000", 10000, 20000),
+    ("b_20000_40000", 20000, 40000), ("b_20000_80000", 20000, 80000),
+    ("b_40000_80000", 40000, 80000), ("b_80000_320000", 80000, 320000))
+
+  private val a4BinClipMean: Q = (s, dir) => {
+    import s.implicits._
+    val binDf = bins.toDF("bin", "lo", "hi")
+    val joined = clipInput(s, dir)
+      .join(broadcast(binDf),
+            col("vd") >= col("lo").cast("double") &&
+            col("vd") < col("hi").cast("double"))
+    val clipped = clipPass(joined, Seq("bin"), 4.0)
+    clipped.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("vdec")).as("_s"))
+      .withColumn("clip_mean", col("_s").cast("double") / col("n").cast("double"))
+      .withColumn("log_mean", log10(col("clip_mean")))
+      .drop("_s")
+      .orderBy("bin")
+  }
+
+  private val a4Sql =
+    s"""WITH raw AS ($clipInputSql),
+       |bint(bin, lo, hi) AS (VALUES
+       |  ${bins.map { case (b, l, h) => s"('$b', $l, $h)" }.mkString(",\n  ")}),
+       |c0 AS (
+       |  SELECT b.bin, r.vdec, r.vd FROM raw r JOIN bint b
+       |  ON r.vd >= CAST(b.lo AS DOUBLE) AND r.vd < CAST(b.hi AS DOUBLE)),
+       |${clipPassSql("c0", "bin", "4.0", "s1", "c1")}
+       |SELECT bin, count(*) AS n,
+       |       CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS clip_mean,
+       |       log10(CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE)) AS log_mean
+       |FROM c1 GROUP BY bin ORDER BY bin""".stripMargin
+
+  // -- a9: histogram bucket means (uvis_external_cte_plots.py:829-853):
+  //    unit-width buckets, one 4σ pass, mean + std/10 per bucket.
+  private val a9Histogram: Q = (s, dir) => {
+    val df = clipInput(s, dir)
+      .withColumn("bucket", floor(col("vd") / lit(10000.0)).cast("long"))
+    val clipped = clipPass(df, Seq("bucket"), 4.0)
+    clipped.groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           sum(col("vdec")).as("_s"),
+           sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).as("_ss"))
+      .withColumn("mean_v", col("_s").cast("double") / col("n").cast("double"))
+      .withColumn("std_tenth",
+        sqrt(col("_ss").cast("double") / col("n").cast("double") -
+             col("mean_v") * col("mean_v")) / lit(10.0))
+      .drop("_s", "_ss")
+      .orderBy("bucket")
+  }
+
+  private val a9Sql =
+    s"""WITH r0 AS ($clipInputSql),
+       |c0 AS (SELECT CAST(floor(vd/10000.0) AS BIGINT) AS bucket, vdec, vd FROM r0),
+       |${clipPassSql("c0", "bucket", "4.0", "s1", "c1")}
+       |SELECT bucket, count(*) AS n,
+       |       CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_v,
+       |       sqrt(CAST(sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+       |            - (CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))
+       |             *(CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))) / 10.0 AS std_tenth
+       |FROM c1 GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // -- a6-moments: the distributed half of polyfit2d — exact Vandermonde
+  //    moment accumulation Σ z·x^j·y^i per group (what the Aggregator's
+  //    buffer holds), oracle-checkable because it is pure integer/decimal
+  //    arithmetic.
+  private val a6GramSums: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      (year(col("l_shipdate")) - lit(1998)).cast("long").as("y"),
+      Exact.dec2(col("l_extendedprice")).as("z"))
+      .withColumn("x2", col("x") * col("x"))
+      .withColumn("y2", col("y") * col("y"))
+    def zm(t: Column, name: String) =
+      sum((col("z") * t.cast(DecimalType(20, 0))).cast(DecimalType(38, 2)))
+        .cast("double").as(name)
+    li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x2")).as("sx2"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y2")).as("sy2"),
+      zm(lit(1L), "sz"), zm(col("x"), "szx"), zm(col("x2"), "szx2"),
+      zm(col("y"), "szy"), zm(col("x") * col("y"), "szxy"),
+      zm(col("x2") * col("y"), "szx2y"), zm(col("y2"), "szy2"),
+      zm(col("x") * col("y2"), "szxy2"), zm(col("x2") * col("y2"), "szx2y2"))
+      .orderBy("l_returnflag")
+  }
+
+  private val a6GramSql =
+    """WITH t AS (
+      |  SELECT l_returnflag,
+      |         CAST(l_quantity AS BIGINT) AS x,
+      |         CAST(year(l_shipdate) - 1998 AS BIGINT) AS y,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS z
+      |  FROM lineitem),
+      |t2 AS (SELECT l_returnflag, x, y, z, x*x AS x2, y*y AS y2 FROM t)
+      |SELECT l_returnflag, count(*) AS n,
+      |       sum(x) AS sx, sum(y) AS sy, sum(x2) AS sx2,
+      |       sum(x*y) AS sxy, sum(y2) AS sy2,
+      |       CAST(sum(CAST(z*CAST(1 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS sz,
+      |       CAST(sum(CAST(z*CAST(x AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szx,
+      |       CAST(sum(CAST(z*CAST(x2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szx2,
+      |       CAST(sum(CAST(z*CAST(y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szy,
+      |       CAST(sum(CAST(z*CAST(x*y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szxy,
+      |       CAST(sum(CAST(z*CAST(x2*y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szx2y,
+      |       CAST(sum(CAST(z*CAST(y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szy2,
+      |       CAST(sum(CAST(z*CAST(x*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szxy2,
+      |       CAST(sum(CAST(z*CAST(x2*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szx2y2
+      |FROM t2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- a6: the full 9-coefficient 2-D polyfit per group via the custom
+  //    Aggregator (min-norm solve; see PolyFit2D). Not ANSI-SQL
+  //    expressible → registered without an oracle (rows-only check);
+  //    numeric correctness is covered by PolyFitSpec's exact-recovery
+  //    tests.
+  private val a6PolyFit: Q = (s, dir) => {
+    val fit = udaf(PolyFit2D.udaf)
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      col("l_quantity").as("x"),
+      (year(col("l_shipdate")) - lit(1998)).cast("double").as("y"),
+      col("l_extendedprice").as("z"))
+    li.groupBy("l_returnflag")
+      .agg(fit(col("x"), col("y"), col("z")).as("c"))
+      .select(col("l_returnflag") +:
+        (0 until 9).map(k => element_at(col("c"), k + 1).as(s"c$k")): _*)
+      .orderBy("l_returnflag")
+  }
+
+  // -- a7: model evaluation — the inverse of a6 (plot_model_on_reality.py:
+  //    48-113): evaluate a fixed 9-coefficient surface at each row's
+  //    (x, y), as a pure generated column (whole-stage codegen'd).
+  private val coef = Seq(1.0, 0.5, -0.25, 2.0, 0.125, 0.0, -1.0, 0.5, 0.01)
+
+  private val a7ModelEval: Q = (s, dir) => {
+    val x = col("l_quantity"); val y = (year(col("l_shipdate")) - lit(1998)).cast("double")
+    val c = coef.map(lit)
+    Tables.lineitem(s, dir)
+      .filter(col("l_linenumber") === 1)
+      .withColumn("model_val",
+        (c(0) + c(1) * x + c(2) * x * x) +
+        y * (c(3) + c(4) * x + c(5) * x * x) +
+        y * y * (c(6) + c(7) * x + c(8) * x * x))
+      .select("l_orderkey", "model_val")
+      .orderBy("l_orderkey")
+  }
+
+  private val a7Sql = {
+    val c = coef
+    s"""SELECT l_orderkey,
+       |  (${c(0)} + ${c(1)}*l_quantity + ${c(2)}*l_quantity*l_quantity)
+       |  + CAST(year(l_shipdate) - 1998 AS DOUBLE) * (${c(3)} + ${c(4)}*l_quantity + ${c(5)}*l_quantity*l_quantity)
+       |  + CAST(year(l_shipdate) - 1998 AS DOUBLE) * CAST(year(l_shipdate) - 1998 AS DOUBLE) * (${c(6)} + ${c(7)}*l_quantity + ${c(8)}*l_quantity*l_quantity)
+       |  AS model_val
+       |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "a1_regression_slope" -> a1Regression,
+    "a2_sigma_clip"       -> a2SigmaClip,
+    "a4_bin_clip_mean"    -> a4BinClipMean,
+    "a9_histogram_mean"   -> a9Histogram,
+    "a6_gram_sums"        -> a6GramSums,
+    "a6_polyfit2d"        -> a6PolyFit,
+    "a7_model_eval"       -> a7ModelEval)
+
+  def oracles: Map[String, String] = Map(
+    "a1_regression_slope" -> a1Sql,
+    "a2_sigma_clip"       -> a2Sql,
+    "a4_bin_clip_mean"    -> a4Sql,
+    "a9_histogram_mean"   -> a9Sql,
+    "a6_gram_sums"        -> a6GramSql,
+    "a7_model_eval"       -> a7Sql)
+}
