@@ -14,7 +14,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     operators.Relational,
     operators.WindowedScalar,
-    operators.Statistical)
+    operators.Statistical,
+    operators.TextAnalysis)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

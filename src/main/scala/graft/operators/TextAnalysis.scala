@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.TextPrims
+import graft.functions.TextPrims.{DuckD, SparkD}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline extension (builder
+  * brief + SURVEY.md §7.2 step 6): token counting, quality scoring,
+  * heuristic language ID, and document fingerprinting over `documents`.
+  *
+  * Everything is pure Catalyst expressions (higher-order array functions,
+  * regexp counts) — whole-stage codegen'd, embarrassingly parallel,
+  * no shuffle except the final tiny rollups; the exact shape that scans
+  * 100 TB of text at NVMe speed.
+  */
+object TextAnalysis extends QueryPack {
+
+  private val stopwords = Seq("the", "a", "of", "to", "and")
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  // -- t1: token counting — whitespace tokens plus a BPE-ish regex token
+  //    count (words / numbers / single punctuation marks).
+  private val bpeRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]"
+
+  private val tTokenCount: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("n_ws_tokens", expr(s"size(${TextPrims.tokens("text", SparkD)})"))
+      .withColumn("n_bpe_tokens", expr(s"regexp_count(text, '$bpeRe')"))
+      .withColumn("len_chars", length(col("text")))
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "len_chars")
+      .orderBy("doc_id")
+  }
+
+  private val tTokenSql =
+    s"""SELECT doc_id,
+       |       len(${TextPrims.tokens("text", DuckD)}) AS n_ws_tokens,
+       |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+       |       length(text) AS len_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- t2: quality scoring — length, mean word length, stopword ratio,
+  //    alpha ratio, folded into one deterministic score.
+  private val tQualityScore: Q = (s, dir) => {
+    val toks = TextPrims.tokens("text", SparkD)
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    Tables.documents(s, dir)
+      .withColumn("n_tok", expr(s"size($toks)"))
+      .withColumn("n_stop",
+        expr(s"size(filter($toks, t -> array_contains($stopArr, t)))"))
+      .withColumn("alpha_chars", expr("length(regexp_replace(text, '[^a-zA-Z]', ''))"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tok").cast("double"))
+      .withColumn("alpha_ratio",
+        col("alpha_chars").cast("double") / length(col("text")).cast("double"))
+      .withColumn("mean_word_len",
+        col("alpha_chars").cast("double") / col("n_tok").cast("double"))
+      .withColumn("quality_score",
+        lit(0.4) * col("stop_ratio") +
+        lit(0.3) * least(lit(1.0), col("n_tok").cast("double") / lit(100.0)) +
+        lit(0.3) * col("alpha_ratio"))
+      .select("doc_id", "n_tok", "n_stop", "stop_ratio", "alpha_ratio",
+              "mean_word_len", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  private val tQualitySql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |         len($toks) AS n_tok,
+       |         len(list_filter($toks, t -> list_contains([$stopListSql], t))) AS n_stop,
+       |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tok, n_stop,
+       |         CAST(n_stop AS DOUBLE)/CAST(n_tok AS DOUBLE) AS stop_ratio,
+       |         CAST(alpha_chars AS DOUBLE)/CAST(length(text) AS DOUBLE) AS alpha_ratio,
+       |         CAST(alpha_chars AS DOUBLE)/CAST(n_tok AS DOUBLE) AS mean_word_len
+       |  FROM b)
+       |SELECT doc_id, n_tok, n_stop, stop_ratio, alpha_ratio, mean_word_len,
+       |       0.4*stop_ratio + 0.3*least(1.0, CAST(n_tok AS DOUBLE)/100.0) + 0.3*alpha_ratio AS quality_score
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // -- t3: heuristic language ID — stopword-family votes per candidate
+  //    language, argmax with a deterministic tie order, then a confusion
+  //    rollup against the labeled `lang`.
+  private val markers = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "fr" -> Seq("le", "la", "de", "et"),
+    "de" -> Seq("der", "die", "das", "und"))
+
+  private val tLangId: Q = (s, dir) => {
+    val toks = TextPrims.tokens("text", SparkD)
+    val withVotes = markers.foldLeft(Tables.documents(s, dir)) {
+      case (df, (l, ws)) =>
+        val arr = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+        df.withColumn(s"v_$l",
+          expr(s"size(filter($toks, t -> array_contains($arr, t)))"))
+    }
+    withVotes
+      .withColumn("predicted",
+        when(col("v_en") >= col("v_fr") && col("v_en") >= col("v_de"), "en")
+          .when(col("v_fr") >= col("v_de"), "fr")
+          .otherwise("de"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  private val tLangSql = {
+    def votes(l: String, ws: Seq[String]) = {
+      val toks = TextPrims.tokens("text", DuckD)
+      val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($toks, t -> list_contains($list, t))) AS v_$l"
+    }
+    s"""WITH v AS (
+       |  SELECT lang, ${markers.map { case (l, ws) => votes(l, ws) }.mkString(",\n         ")}
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang, CASE WHEN v_en >= v_fr AND v_en >= v_de THEN 'en'
+       |                    WHEN v_fr >= v_de THEN 'fr' ELSE 'de' END AS predicted
+       |  FROM v)
+       |SELECT lang, predicted, count(*) AS n
+       |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  // -- t4: document fingerprinting — rolling polynomial content hash
+  //    (order-sensitive) + a position-weighted checksum + head excerpt.
+  //    Exact BIGINT arithmetic in both engines.
+  private val tFingerprint: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("content_hash", expr(TextPrims.polyhash("text", SparkD)))
+      .withColumn("pos_checksum",
+        expr(s"aggregate(transform(${TextPrims.asciiChars("text", SparkD)}, " +
+             "(c, i) -> c * (CAST(i AS BIGINT) + 1)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("head", substring(col("text"), 1, 16))
+      .select("doc_id", "content_hash", "pos_checksum", "head")
+      .orderBy("doc_id")
+  }
+
+  private val tFingerprintSql =
+    s"""SELECT doc_id,
+       |       ${TextPrims.polyhash("text", DuckD)} AS content_hash,
+       |       CAST(list_sum(list_transform(${TextPrims.asciiChars("text", DuckD)},
+       |            (c, i) -> c * CAST(i AS BIGINT))) AS BIGINT) AS pos_checksum,
+       |       substr(text, 1, 16) AS head
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "t1_token_count"  -> tTokenCount,
+    "t2_quality_score" -> tQualityScore,
+    "t3_lang_id"      -> tLangId,
+    "t4_fingerprint"  -> tFingerprint)
+
+  def oracles: Map[String, String] = Map(
+    "t1_token_count"  -> tTokenSql,
+    "t2_quality_score" -> tQualitySql,
+    "t3_lang_id"      -> tLangSql,
+    "t4_fingerprint"  -> tFingerprintSql)
+}
