@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Relational,
     operators.WindowedScalar,
     operators.Statistical,
-    operators.TextAnalysis)
+    operators.TextAnalysis,
+    operators.Dedup)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

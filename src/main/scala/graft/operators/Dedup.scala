@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.TextPrims
+import graft.functions.TextPrims.{DuckD, SparkD, minhashSeeds, P}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline extension: exact,
+  * prefix-normalized, MinHash signatures, MinHash-LSH candidate pairs,
+  * SimHash, and blocked n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *   - signatures/fingerprints are per-row Catalyst expressions — a single
+  *     scan, no shuffle, codegen'd;
+  *   - near-dup *pair* discovery never does an O(n²) cross join: LSH band
+  *     keys (d4) or small blocking keys (d6) bound the join fan-out, and
+  *     the exact Jaccard check runs only on band-collision candidates —
+  *     the classic shingle→minhash→band→bucket-join pipeline;
+  *   - all hash arithmetic is exact BIGINT (TextPrims), so the DuckDB
+  *     oracle matches bit-for-bit.
+  */
+object Dedup extends QueryPack {
+
+  // -- d1: exact-duplicate statistics (hash-groupBy shape): one row.
+  private val d1ExactStats: Q = (s, dir) => {
+    Tables.documents(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_distinct"),
+      (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
+  }
+
+  private val d1Sql =
+    """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+      |       count(*) - count(DISTINCT text) AS n_exact_dups
+      |FROM documents""".stripMargin
+
+  // -- d2: normalized-prefix dedup groups — dedup on the first 5 tokens
+  //    (a common "same doc, different tail" normalization), canonical =
+  //    min doc_id per group. One hash-shuffle on the derived key.
+  private val d2PrefixDedup: Q = (s, dir) => {
+    val toks = TextPrims.tokens("text", SparkD)
+    Tables.documents(s, dir)
+      .withColumn("pkey",
+        expr(s"array_join(slice($toks, 1, 5), '_')"))
+      .groupBy("pkey")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n") > 1)
+      .orderBy("pkey")
+  }
+
+  private val d2Sql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    s"""SELECT list_aggregate($toks[1:5], 'string_agg', '_') AS pkey,
+       |       count(*) AS n, min(doc_id) AS canonical_doc
+       |FROM documents GROUP BY pkey HAVING count(*) > 1 ORDER BY pkey""".stripMargin
+  }
+
+  /** Word-2gram shingle hash array, as a dialect fragment. */
+  private def shingleHashes(d: TextPrims.Dialect): String =
+    TextPrims.hashEach(
+      TextPrims.wordShingles(TextPrims.tokens("text", d), d), d)
+
+  // -- d3: MinHash signatures — 12 permutation-min hashes per document
+  //    over word-2gram shingles. Pure scan + per-row array math.
+  private val d3MinhashSig: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .withColumn("hs", expr(shingleHashes(SparkD)))
+    val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      expr(TextPrims.minhashOne("hs", a, b, SparkD)).as(s"sig$k")
+    }
+    base.select(col("doc_id") +: sigs: _*).orderBy("doc_id")
+  }
+
+  private val d3Sql = {
+    val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      s"${TextPrims.minhashOne("hs", a, b, DuckD)} AS sig$k"
+    }
+    s"""WITH h AS (SELECT doc_id, ${shingleHashes(DuckD)} AS hs FROM documents)
+       |SELECT doc_id, ${sigs.mkString(",\n       ")}
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // -- d4: MinHash-LSH near-dup pairs — 6 bands × 2 rows: documents
+  //    sharing any band bucket become candidates (equi-join on the band
+  //    key, never a cross join); candidates get the exact Jaccard check.
+  private val nBands = 6
+  private val jacThreshold = "0.08"
+
+  private val d4LshPairs: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .withColumn("sh", expr(TextPrims.wordShingles(TextPrims.tokens("text", SparkD), SparkD)))
+      .withColumn("hs", expr(TextPrims.hashEach("sh", SparkD)))
+    val withSigs = minhashSeeds.zipWithIndex.foldLeft(base) {
+      case (df, ((a, b), k)) =>
+        df.withColumn(s"sig$k", expr(TextPrims.minhashOne("hs", a, b, SparkD)))
+    }
+    val bandCols = (0 until nBands).map { i =>
+      expr(s"struct(CAST($i AS INT) AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh)")
+    }
+    val banded = withSigs
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("sh"),
+              col("band.band_id").as("band_id"), col("band.bh").as("bh"))
+    val a = banded.select(col("band_id"), col("bh"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_id"), col("bh"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_id", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jac",
+        col("inter").cast("double") /
+        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")).cast("double"))
+      .filter(col("jac") >= expr(jacThreshold))
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d4Sql = {
+    val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      s"${TextPrims.minhashOne("hs", a, b, DuckD)} AS sig$k"
+    }
+    val bandSelects = (0 until nBands).map { i =>
+      s"SELECT doc_id, sh, $i AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh FROM sigs"
+    }
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         ${TextPrims.wordShingles(TextPrims.tokens("text", DuckD), DuckD)} AS sh,
+       |         ${shingleHashes(DuckD)} AS hs
+       |  FROM documents),
+       |sigs AS (SELECT doc_id, sh, ${sigs.mkString(",\n       ")} FROM h),
+       |banded AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |         len(sa.sh) AS na, len(sb.sh) AS nb
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) AS jac
+       |FROM j
+       |WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) >= $jacThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -- d5: SimHash — 16-bit majority-vote fingerprint over token hashes
+  //    (frequency-sensitive, order-insensitive); near-identical docs land
+  //    at small Hamming distance.
+  private val d5Simhash: Q = (s, dir) => {
+    val th = TextPrims.hashEach(TextPrims.tokens("text", SparkD), SparkD)
+    Tables.documents(s, dir)
+      .withColumn("th", expr(th))
+      .withColumn("simhash16", expr(TextPrims.simhash16("th", SparkD)))
+      .select("doc_id", "simhash16")
+      .orderBy("doc_id")
+  }
+
+  private val d5Sql = {
+    val th = TextPrims.hashEach(TextPrims.tokens("text", DuckD), DuckD)
+    s"""WITH h AS (SELECT doc_id, $th AS th FROM documents)
+       |SELECT doc_id, ${TextPrims.simhash16("th", DuckD)} AS simhash16
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // -- d6: blocked character-3-gram Jaccard — exact near-dup scoring
+  //    within (lang, source) blocks; the blocking key bounds join
+  //    fan-out the way LSH bands do in d4 (both avoid O(n²)).
+  private val d6CharJaccard: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .withColumn("sh", expr(TextPrims.charShingles("text", 3, SparkD)))
+      .select("doc_id", "lang", "source", "sh")
+    val a = base.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = base.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jac",
+        col("inter").cast("double") /
+        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")).cast("double"))
+      .filter(col("jac") >= 0.5)
+      .select("lang", "source", "doc_a", "doc_b", "jac")
+      .orderBy("lang", "source", "doc_a", "doc_b")
+  }
+
+  private val d6Sql = {
+    val sh = TextPrims.charShingles("text", 3, DuckD)
+    s"""WITH s AS (SELECT doc_id, lang, source, $sh AS sh FROM documents),
+       |p AS (
+       |  SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.sh, b.sh)) AS inter,
+       |         len(a.sh) AS na, len(b.sh) AS nb
+       |  FROM s a JOIN s b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |SELECT lang, source, doc_a, doc_b,
+       |       CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) AS jac
+       |FROM p WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) >= 0.5
+       |ORDER BY lang, source, doc_a, doc_b""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "d1_exact_dedup_stats" -> d1ExactStats,
+    "d2_prefix_dedup"      -> d2PrefixDedup,
+    "d3_minhash_sig"       -> d3MinhashSig,
+    "d4_lsh_neardup_pairs" -> d4LshPairs,
+    "d5_simhash"           -> d5Simhash,
+    "d6_char_jaccard"      -> d6CharJaccard)
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup_stats" -> d1Sql,
+    "d2_prefix_dedup"      -> d2Sql,
+    "d3_minhash_sig"       -> d3Sql,
+    "d4_lsh_neardup_pairs" -> d4Sql,
+    "d5_simhash"           -> d5Sql,
+    "d6_char_jaccard"      -> d6Sql)
+}
