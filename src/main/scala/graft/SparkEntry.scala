@@ -16,7 +16,8 @@ object SparkEntry {
     operators.WindowedScalar,
     operators.Statistical,
     operators.TextAnalysis,
-    operators.Dedup)
+    operators.Dedup,
+    operators.Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

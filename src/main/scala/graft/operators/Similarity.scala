@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor / similarity-search operators over the
+  * `embeddings` table (64-dim `array<float>`).
+  *
+  * Scale design:
+  *   - v1 brute-force is the correctness baseline: broadcast the (small)
+  *     query set against the full corpus — one scan, no shuffle of the big
+  *     side, per-row dot products inside codegen (`zip_with`+`aggregate`);
+  *   - v2/v3 are the scale path: deterministic random-hyperplane LSH
+  *     assigns each vector a bucket in the same single scan; neighbor
+  *     search then equi-joins on the bucket key, so candidate fan-out is
+  *     n²/2^b per bucket instead of n² — the IVF/LSH trade
+  *     (recall vs cost) without any driver-side index;
+  *   - v4 centroids emit long format (label, pos, mean) so float compare
+  *     stays element-wise.
+  *
+  * The hyperplane weights are *derived arithmetically* from (plane, dim)
+  * indices — both engines compute w(j,i) = ((1 + (j·64+i)·2654435761) mod
+  * 1000003)/1000003 − 0.5 — so bucket assignments are exactly reproducible
+  * in the DuckDB oracle with zero shipped state.
+  */
+object Similarity extends QueryPack {
+
+  private val dims = 64
+  private val nPlanes = 4 // 16 buckets
+
+  /** Spark-side dot(a, b) with elementwise double casts. */
+  private def dotS(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), " +
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB-side dot(a, b) — explicit left-to-right fold to mirror Spark's
+    * aggregate() order exactly. */
+  private def dotD(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"list_transform(range(1, ${dims + 1}), i -> " +
+    s"CAST($a[CAST(i AS INT)] AS DOUBLE)*CAST($b[CAST(i AS INT)] AS DOUBLE))), " +
+    "(acc, v) -> acc + v)"
+
+  /** Spark-side LSH bucket from sign bits of nPlanes pseudo-random
+    * hyperplane dot products (transform index is 0-based). */
+  private def bucketS(e: String): String = {
+    val bits = (0 until nPlanes).map { j =>
+      val w = s"(CAST(((1 + (CAST(${j * dims} AS BIGINT) + CAST(i AS BIGINT)) * 2654435761) % 1000003) AS DOUBLE) / 1000003.0 - 0.5)"
+      val dot = s"aggregate(transform($e, (x, i) -> CAST(x AS DOUBLE) * $w), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      s"(CASE WHEN $dot >= 0.0 THEN CAST(${1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB-side bucket (list index is 1-based → use i−1). */
+  private def bucketD(e: String): String = {
+    val bits = (0 until nPlanes).map { j =>
+      val w = s"(CAST(((1 + (CAST(${j * dims} AS BIGINT) + CAST(i AS BIGINT) - 1) * 2654435761) % 1000003) AS DOUBLE) / 1000003.0 - 0.5)"
+      val dot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, ${dims + 1}), i -> CAST($e[CAST(i AS INT)] AS DOUBLE) * $w)), " +
+        "(acc, v) -> acc + v)"
+      s"(CASE WHEN $dot >= 0.0 THEN CAST(${1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  // -- v1: brute-force cosine top-k — the exact baseline every ANN variant
+  //    is judged against. Query set (5 vectors) broadcast against the
+  //    corpus; top-5 neighbors per query by (cos desc, id asc).
+  private val v1BruteTopk: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("norm", expr(s"sqrt(${dotS("embedding", "embedding")})"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("norm").as("qnorm"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+                     col("norm").as("cnorm"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotS("qe", "ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  private val v1Sql =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, sqrt(${dotD("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM n WHERE vec_id < 5),
+       |p AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         ${dotD("q.qe", "c.embedding")} / (q.qnorm * c.norm) AS cos
+       |  FROM q JOIN n c ON c.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM p)
+       |SELECT query_id, rank, neighbor_id, cos
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // -- v2: LSH bucket assignment — one scan, exact-integer-reproducible
+  //    buckets; the rollup shows the bucket histogram (skew visibility).
+  private val v2LshBuckets: Q = (s, dir) => {
+    Tables.embeddings(s, dir)
+      .withColumn("bucket", expr(bucketS("embedding")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bucket")
+  }
+
+  private val v2Sql =
+    s"""SELECT ${bucketD("embedding")} AS bucket, count(*) AS n_vectors
+       |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // -- v3: bucketed ANN top-k — neighbors only within the same LSH
+  //    bucket: candidate generation is an equi-join on bucket, top-3 by
+  //    cosine per vector. The 100 TB shape: shuffle on bucket key
+  //    co-locates candidates; no cross join.
+  private val v3LshTopk: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", expr(bucketS("embedding")))
+      .withColumn("norm", expr(s"sqrt(${dotS("embedding", "embedding")})"))
+    val a = e.select(col("bucket"), col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("norm").as("qnorm"))
+    val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("norm").as("cnorm"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(dotS("qe", "ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  private val v3Sql =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |         ${bucketD("embedding")} AS bucket,
+       |         sqrt(${dotD("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ${dotD("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM p)
+       |SELECT query_id, rank, neighbor_id, cos
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // -- v4: per-label centroids in long format (label, pos, mean) — the
+  //    k-means/IVF building block; posexplode → one shuffle on
+  //    (label, pos), map-side partial avg.
+  private val v4Centroids: Q = (s, dir) => {
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg(col("v").cast("double")).as("mean_v"),
+           count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+  }
+
+  private val v4Sql =
+    """SELECT label, CAST(u.i - 1 AS INT) AS pos,
+      |       avg(CAST(embedding[u.i] AS DOUBLE)) AS mean_v,
+      |       count(*) AS n
+      |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
+  // -- v5: embedding near-duplicate pairs — cosine ≥ 0.3 within an LSH
+  //    bucket (the embedding-space analog of d4's text LSH).
+  private val v5NearDup: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", expr(bucketS("embedding")))
+      .withColumn("norm", expr(s"sqrt(${dotS("embedding", "embedding")})"))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr(dotS("ea", "eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.3)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val v5Sql =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |         ${bucketD("embedding")} AS bucket,
+       |         sqrt(${dotD("embedding", "embedding")}) AS norm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${dotD("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
+       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${dotD("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "v1_knn_brute_topk" -> v1BruteTopk,
+    "v2_lsh_buckets"    -> v2LshBuckets,
+    "v3_lsh_ann_topk"   -> v3LshTopk,
+    "v4_label_centroids" -> v4Centroids,
+    "v5_embed_neardup"  -> v5NearDup)
+
+  def oracles: Map[String, String] = Map(
+    "v1_knn_brute_topk" -> v1Sql,
+    "v2_lsh_buckets"    -> v2Sql,
+    "v3_lsh_ann_topk"   -> v3Sql,
+    "v4_label_centroids" -> v4Sql,
+    "v5_embed_neardup"  -> v5Sql)
+}
