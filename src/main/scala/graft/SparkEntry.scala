@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Statistical,
     operators.TextAnalysis,
     operators.Dedup,
-    operators.Similarity)
+    operators.Similarity,
+    operators.MergeStream)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

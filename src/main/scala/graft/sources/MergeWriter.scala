@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Upsert-by-natural-key semantics over vanilla Parquet — the reference's
+  * insert-or-update sink (/root/reference/wfc3_cte_monitor/
+  * database_update.py:214-255) re-expressed as a set operation
+  * (SURVEY.md §2.1 S5, §7.1).
+  *
+  * The reference looks up each row's natural key and issues INSERT or
+  * UPDATE one row at a time over SQLite ("cannot parallelize", README.md:
+  * 962-967). Here the whole batch merges in one distributed anti-join:
+  * rows of `target` whose key collides with an update are dropped, then
+  * updates are unioned in — O(|target| + |updates|) with a single shuffle
+  * on the key (or none, if both sides are bucketed by the key).
+  *
+  * Idempotence (re-running a visit "is not bad", README.md:519-521) holds:
+  * merging the same updates twice is a no-op.
+  */
+object MergeWriter {
+
+  /** Pure merge: `target` rows not matched on `keys`, plus all `updates`. */
+  def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(updates, keys, "left_anti").unionByName(updates)
+
+  /** Parquet-backed upsert: read current table state (absent → empty),
+    * merge, write fresh, atomically swap directories. Partition-scoped
+    * overwrite at scale: pass the partition subdir as `path` so only the
+    * touched partition rewrites. */
+  def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
+                    keys: Seq[String]): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(path)
+    val merged =
+      if (fs.exists(cur)) merge(spark.read.parquet(path), updates, keys)
+      else updates
+    val tmp = new Path(path + ".__tmp__")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(path + ".__old__")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(cur)) fs.rename(cur, old)
+    fs.rename(tmp, cur)
+    fs.delete(old, true)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming event transforms (SURVEY.md §2.9 — the reference
+  * is pure batch; this is the extension path for its incremental
+  * `--pr 'last'` re-ingestion pattern).
+  *
+  * Each transform is written against a plain DataFrame so the *same code*
+  * runs in batch (for the DuckDB oracle) and on a `readStream` source (for
+  * the streaming spec): the Structured Streaming contract — batch and
+  * stream share one logical plan.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour counts/sums per event type. In streaming mode add
+    * `.withWatermark("ts", …)` upstream; state then evicts as the
+    * watermark passes each window end. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(graft.Exact.dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Gap-based sessions per user via native `session_window` (30-minute
+    * gap) — the streaming-native form of the a5 sessionization. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+              col("w.end").as("session_end"), col("n_events"))
+}

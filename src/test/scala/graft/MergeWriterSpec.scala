@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.MergeWriter
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MergeWriterSpec extends SparkSpecBase {
+
+  test("merge keeps unmatched target rows and takes updates wholesale") {
+    import spark.implicits._
+    val target = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2, "B", 99.0), (4, "d", 40.0)).toDF("k", "s", "v")
+    val merged = MergeWriter.merge(target, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(merged.toSeq == Seq((1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)))
+  }
+
+  test("merge is idempotent (re-running a visit is a no-op)") {
+    import spark.implicits._
+    val target = Seq((1, 10.0), (2, 20.0)).toDF("k", "v")
+    val updates = Seq((2, 99.0), (3, 30.0)).toDF("k", "v")
+    val once = MergeWriter.merge(target, updates, Seq("k"))
+    val twice = MergeWriter.merge(once, updates, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("upsertParquet creates, updates, and survives re-runs on disk") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge").toString + "/t"
+    // create
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((1, "x"), (2, "y")).toDF("k", "s"), Seq("k"))
+    assert(spark.read.parquet(dir).count() == 2)
+    // update + insert
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((2, "Y"), (3, "z")).toDF("k", "s"), Seq("k"))
+    val got = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "x"), (2, "Y"), (3, "z")))
+    // idempotent re-run
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((2, "Y"), (3, "z")).toDF("k", "s"), Seq("k"))
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("composite natural keys merge on the full key") {
+    import spark.implicits._
+    val target = Seq(("img1", 1, 1.0), ("img1", 2, 2.0)).toDF("img", "ap", "v")
+    val updates = Seq(("img1", 2, 9.0)).toDF("img", "ap", "v")
+    val got = MergeWriter.merge(target, updates, Seq("img", "ap"))
+      .orderBy("img", "ap").collect().map(_.getDouble(2)).toSeq
+    assert(got == Seq(1.0, 9.0))
+  }
+}
