@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode/feature-extraction as batched per-partition transforms.
+  *
+  * The pattern for image/audio/video at 100 TB: the relational layer
+  * carries `(id, kind, payload BINARY, meta STRUCT)`; decode and feature
+  * extraction run inside `mapPartitions` so (a) codec state is initialized
+  * once per partition, not per row, and (b) rows flow through in fixed-size
+  * batches matching the vectorized-decoder batch shape. Partitioning,
+  * schema, and batch geometry here are real and tested; only the codec is
+  * a stub (no image/audio libraries in this container): `FakeDecoder`
+  * derives deterministic "pixels" from the payload bytes, making results
+  * oracle-checkable.
+  */
+object MediaPipeline {
+
+  case class MediaMeta(mime: String, width: Int, height: Int)
+  case class MediaRow(id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  case class ShardedRow(id: Long, kind: String, payload: Array[Byte],
+                        meta: MediaMeta, shard: Int)
+  case class MediaFeatures(id: Long, kind: String, n_bytes: Int, head_byte: Int,
+                           byte_hash: Long, n_frames: Int, mean_luma: Double)
+
+  /** The decoder seam. A real deployment plugs libjpeg/ffmpeg here; the
+    * container has neither, so decode is STUBBED deterministically. */
+  trait MediaDecoder extends Serializable {
+    /** Batch decode: one call per batch of payloads (vectorized shape). */
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Int]]
+  }
+
+  /** STUB: "luma plane" = the payload bytes themselves (unsigned). A real
+    * decoder returns pixel data; every downstream stage is agnostic. */
+  object FakeDecoder extends MediaDecoder {
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Int]] =
+      payloads.map(_.map(b => (b & 0xff)))
+  }
+
+  val BatchSize = 64
+  private val P = 1000000007L
+
+  /** Wrap documents as media rows: payload = utf-8 bytes of `text`
+    * (standing in for real blobs), metadata typed. */
+  def toMedia(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(
+      col("doc_id").as("id"),
+      lit("text/fake-image").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(lit("image/x-fake").as("mime"),
+             lit(256).as("width"), lit(1).as("height")).as("meta"))
+      .as[MediaRow]
+  }
+
+  /** Feature extraction: batched decode inside mapPartitions. Features are
+    * pure functions of the decoded plane, so the DuckDB oracle can
+    * recompute them from the source text (ASCII ⇒ byte == char). */
+  def extractFeatures(media: Dataset[MediaRow], decoder: MediaDecoder)
+                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        val planes = decoder.decodeBatch(batch.map(_.payload))
+        batch.zip(planes).map { case (row, plane) =>
+          var h = 0L
+          var sum = 0L
+          var i = 0
+          while (i < plane.length) {
+            h = (h * 31 + plane(i)) % P
+            sum += plane(i)
+            i += 1
+          }
+          MediaFeatures(
+            id = row.id,
+            kind = row.kind,
+            n_bytes = plane.length,
+            head_byte = if (plane.nonEmpty) plane(0) else -1,
+            byte_hash = h,
+            n_frames = plane.length / (row.meta.width * row.meta.height) + 1,
+            mean_luma = sum.toDouble / plane.length.toDouble)
+        }
+      }
+    }
+  }
+
+  /** Shard-level batch geometry: rows hash to `nShards` shards (the unit a
+    * real pipeline would co-locate per decoder instance); reports rows and
+    * full/partial decode batches per shard. */
+  def batchStats(media: Dataset[MediaRow], nShards: Int)
+                (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sharded = media.withColumn("shard", (col("id") % nShards).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[ShardedRow]
+    sharded.mapPartitions { it =>
+      // Batches never span shards (a partition may hold several shards —
+      // hash partitioning — so cut per shard, then into BatchSize runs).
+      it.toSeq.groupBy(_.shard).iterator.flatMap { case (shard, rows) =>
+        rows.grouped(BatchSize).map(b => (shard, b.size))
+      }
+    }.toDF("shard", "batch_rows")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_batches"),
+           sum(col("batch_rows")).as("n_rows"),
+           max(col("batch_rows")).as("max_batch"),
+           min(col("batch_rows")).as("min_batch"))
+  }
+}
