@@ -1,0 +1,242 @@
+package graft.cte
+
+import graft.functions.PolyFit2D
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's analytics stage (SURVEY.md §2.4, §3.1 step 4) as one
+  * composable DataFrame pipeline: pair join → star match → flux-ratio vs
+  * y-position → overlapping flux-bin join → sigma clip → per-bin
+  * regression slope → results rows; then epoch cohorts → 9-coefficient
+  * polyfit.
+  *
+  * Shuffle budget (the 100 TB view): the slope pipeline shuffles phot
+  * exactly twice — once joining chip-2 to chip-1 on (pair keys,
+  * master_id), once grouping by (pair, aperture, bin); fileinfo-derived
+  * pair tables are dimension-sized and broadcast. The flux-bin fan-out is
+  * a broadcast 1→N join because bins overlap (SURVEY.md §7.4 item 5:
+  * a CASE bucket would silently drop the second bin).
+  */
+object CteAnalytics {
+
+  /** Pivot long phot → the reference's wide 42-column view (A10;
+    * database_update.py:429-478's state machine as one declared pivot). */
+  def photWideView(photLong: DataFrame): DataFrame =
+    photLong.groupBy("targname", "imagename", "master_id", "find_id",
+        "ingest_date", "xpix", "ypix", "ra", "dec")
+      .pivot("aperture", SchemaRegistry.apertures.map(_.toString))
+      .agg(first(col("flux")).as("flux"),
+           first(col("mnbkgrd")).as("mnbkgrd"),
+           first(col("totbkgrd")).as("totbkgrd"))
+      .select(
+        col("targname") +: col("imagename") +: col("master_id") +:
+        col("find_id") +: col("ingest_date") +: col("xpix") +: col("ypix") +:
+        col("ra") +: col("dec") +:
+        SchemaRegistry.apertures.flatMap { r =>
+          Seq(col(s"${r}_flux").as(s"flux_$r"),
+              col(s"${r}_mnbkgrd").as(s"mnbkgrd_$r"),
+              col(s"${r}_totbkgrd").as(s"totbkgrd_$r"))
+        }: _*)
+
+  /** Unpivot the wide phot layout back to long (A10 inverse, used at
+    * ingest when reading reference-shaped files). */
+  def photLongView(photWide: DataFrame): DataFrame = {
+    val stackExpr = SchemaRegistry.apertures
+      .map(r => s"$r, flux_$r, mnbkgrd_$r, totbkgrd_$r")
+      .mkString(s"stack(${SchemaRegistry.apertures.size}, ", ", ",
+        ") as (aperture, flux, mnbkgrd, totbkgrd)")
+    photWide.select(
+      col("targname"), col("imagename"), col("master_id"), col("find_id"),
+      col("ingest_date"), col("xpix"), col("ypix"), col("ra"), col("dec"),
+      expr(stackExpr))
+  }
+
+  /** The core CTE-slope pipeline (A1+A2 over J2+J3): for every chip pair,
+    * aperture and overlapping flux bin, the 4σ-clipped OLS slope of
+    * flux_ratio (chip2/chip1) vs chip-1 y-position, with scipy-style
+    * slope stderr (stderr·√n = slopestdev, uvis_external_cte_plots.py:
+    * 189-196) and the <3-point NaN rule (:198-201).
+    *
+    * @param clipRounds bounded sigma-clip iterations (reference iterates
+    *                   to fixpoint; 3 rounds reaches it on real data)
+    */
+  def fluxRatioSlopes(photLong: DataFrame, fileinfo: DataFrame,
+                      targname: String, clipRounds: Int = 3,
+                      preds: Map[String, Any] = Map.empty): DataFrame = {
+    val spark = photLong.sparkSession
+    import spark.implicits._
+
+    val pairTable = CteQueries.pairs(fileinfo, targname, preds)
+      .select("imagename_1", "imagename_2")
+
+    val p = photLong.filter(col("targname") === targname)
+      .select("imagename", "master_id", "aperture", "ypix", "flux")
+
+    // J3: star match across the pair on master_id (+ aperture).
+    val p1 = p.select(col("imagename").as("imagename_1"), col("master_id"),
+      col("aperture"), col("ypix").as("ypos"), col("flux").as("flux_1"))
+    val p2 = p.select(col("imagename").as("imagename_2"), col("master_id"),
+      col("aperture"), col("flux").as("flux_2"))
+    val matched = p1.join(broadcast(pairTable), "imagename_1")
+      .join(p2, Seq("imagename_2", "master_id", "aperture"))
+      .withColumn("ratio", col("flux_2") / col("flux_1"))
+
+    // Overlapping flux bins: broadcast 1→N join on chip-1 flux.
+    val binDf = SchemaRegistry.fluxBins.toDF("bin_lo", "bin_hi")
+    val binned = matched.join(broadcast(binDf),
+      col("flux_1") >= col("bin_lo") && col("flux_1") < col("bin_hi"))
+
+    val groups = Seq("imagename_1", "imagename_2", "aperture", "bin_lo", "bin_hi")
+
+    // A2: bounded-iteration 4σ clip of `ratio` per group.
+    val clipped = (1 to clipRounds).foldLeft(binned) { (df, _) =>
+      val stats = df.groupBy(groups.map(col): _*)
+        .agg(avg(col("ratio")).as("_m"), stddev_pop(col("ratio")).as("_s"))
+      df.join(broadcast(stats), groups)
+        .filter(col("_s") === 0.0 ||
+          (col("ratio") >= col("_m") - lit(4.0) * col("_s") &&
+           col("ratio") <= col("_m") + lit(4.0) * col("_s")))
+        .drop("_m", "_s")
+    }
+
+    // A1: OLS slope of ratio vs ypos from sufficient moments; scipy
+    // stderr formula; slopestdev = stderr·√n (uvis_external_cte_plots.py:
+    // 193-196). Groups with <3 points emit NaN (kept, not dropped —
+    // the reference writes NaN rows).
+    val m = clipped.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("ypos")).as("sx"), sum(col("ypos") * col("ypos")).as("sxx"),
+        sum(col("ratio")).as("sy"), sum(col("ratio") * col("ypos")).as("sxy"),
+        sum(col("ratio") * col("ratio")).as("syy"))
+    val dn = col("n").cast("double")
+    val sxxc = col("sxx") - col("sx") * col("sx") / dn
+    val sxyc = col("sxy") - col("sx") * col("sy") / dn
+    val syyc = col("syy") - col("sy") * col("sy") / dn
+    val slope = sxyc / sxxc
+    // SSE clamped at 0: an exact fit can go −1e-18 in fp and NaN the sqrt.
+    val stderr = sqrt(greatest(lit(0.0), syyc - slope * sxyc) / (dn - 2.0) / sxxc)
+    m.select(
+      col("imagename_1"), col("imagename_2"), col("aperture"),
+      col("bin_lo"), col("bin_hi"),
+      when(col("n") >= 3, slope).otherwise(lit(Double.NaN)).as("slope"),
+      when(col("n") >= 3, stderr * sqrt(dn)).otherwise(lit(Double.NaN))
+        .as("slopestdev"),
+      col("n").cast("int").as("numpoints"))
+      .withColumn("targname", lit(targname))
+  }
+
+  /** Long results → the reference's wide 24-column layout. */
+  def resultsWideView(resultsLong: DataFrame): DataFrame = {
+    val measureCols = SchemaRegistry.fluxBins.flatMap { case (lo, hi) =>
+      Seq(
+        first(when(col("bin_lo") === lo && col("bin_hi") === hi,
+          col("slope")), ignoreNulls = true).as(s"slope_${lo}_$hi"),
+        first(when(col("bin_lo") === lo && col("bin_hi") === hi,
+          col("slopestdev")), ignoreNulls = true).as(s"slopestdev_${lo}_$hi"),
+        first(when(col("bin_lo") === lo && col("bin_hi") === hi,
+          col("numpoints")), ignoreNulls = true).as(s"numpoints_${lo}_$hi"))
+    }
+    resultsLong.groupBy("targname", "imagename_1", "imagename_2", "aperture")
+      .agg(measureCols.head, measureCols.tail: _*)
+  }
+
+  /** Round-half-even, matching `round(np.mean(...))` in the reference
+    * (numpy/py3 banker's rounding — math.round would diverge on .5). */
+  private def roundHalfEven(x: Double): Double =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  /** A5: epoch combination — the reference's *pairwise, non-transitive*
+    * greedy merge (uvis_external_cte_plots.py:2173-2212): walk sorted
+    * distinct epochs left→right; if the next is <30 days away, replace the
+    * pair by round(mean) and skip both. [0,20,25] → [10, 25], NOT one
+    * session — so this is deliberately not a gap-sessionization window.
+    * The distinct-epoch list is dimension-sized (dozens), so the greedy
+    * walk runs on the driver after a distinct() — same data volume the
+    * reference materializes. */
+  def combineEpochs(epochs: Seq[Double]): Seq[Double] = {
+    val sorted = epochs.distinct.sorted
+    val out = Seq.newBuilder[Double]
+    var i = 0
+    while (i <= sorted.length - 1) {
+      if (i == sorted.length - 1) { out += sorted(i); i += 1 }
+      else if (sorted(i + 1) - sorted(i) < 30) {
+        out += roundHalfEven((sorted(i) + sorted(i + 1)) / 2.0); i += 2
+      } else { out += sorted(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Epoch cohorts as a DataFrame: each distinct dateobs mapped to its
+    * combined epoch (±30-day membership, database_queries.py:177-180). */
+  def epochCohorts(fileinfo: DataFrame, targname: String): DataFrame = {
+    val spark = fileinfo.sparkSession
+    import spark.implicits._
+    val epochs = CteQueries.allDateobss(fileinfo, targname)
+      .as[Double].collect().toSeq
+    val combined = combineEpochs(epochs)
+    val mapping = epochs.map { d =>
+      val e = combined.minBy(c => math.abs(c - d))
+      (d, e)
+    }
+    mapping.toDF("dateobs", "epoch")
+  }
+
+  /** A6: per-epoch 9-coefficient fit of slope = f(log10 flux, epoch).
+    * Coefficient order matches the reference's polyfit2d
+    * (uvis_external_cte_plots.py:2216-2249): k = i·3+j ↦ x_ref^i·y_ref^j
+    * with x_ref = epoch−55400, y_ref = log10(flux). PolyFit2D computes
+    * y^i·x^j at k, so pass (x = log10 flux, y = epoch offset). */
+  def polyfitByTarget(slopeRows: DataFrame, epochOffset: Double = 55400.0): DataFrame = {
+    val fit = udaf(PolyFit2D.udaf)
+    slopeRows
+      .filter(!isnan(col("slope")))
+      .groupBy("targname")
+      .agg(fit(log10(col("binflux")),
+               col("epoch") - lit(epochOffset),
+               col("slope")).as("c"))
+      .select(col("targname") +:
+        (0 until 9).map(k => element_at(col("c"), k + 1).as(s"c$k")): _*)
+  }
+
+  /** A7: evaluate a 9-coefficient model at (log10 flux, epoch offset). */
+  def modelEval(c: Seq[Column], logflux: Column, epochOff: Column): Column = {
+    val terms = for (i <- 0 until 3; j <- 0 until 3)
+      yield c(i * 3 + j) * pow(epochOff, i) * pow(logflux, j)
+    terms.reduce(_ + _)
+  }
+
+  /** J5: spatial point-in-polygon join — which master stars fall inside
+    * each image's RA/Dec footprint quad (run_image_extraction.py:632-644).
+    * Pure column arithmetic: bounding-box prefilter (range predicates the
+    * optimizer can use) then 4 half-plane cross-product sign tests; the
+    * footprint table broadcasts. */
+  def starsInFootprint(master: DataFrame, fileinfo: DataFrame,
+                       targname: String): DataFrame = {
+    val corners = Seq(
+      ("ra_lowerleft", "dec_lowerleft"), ("ra_lowerright", "dec_lowerright"),
+      ("ra_upperright", "dec_upperright"), ("ra_upperleft", "dec_upperleft"))
+    val quads = fileinfo.filter(col("targname") === targname)
+      .select(col("imagename") +:
+        corners.flatMap(c => Seq(col(c._1), col(c._2))): _*)
+
+    def cross(x1: Column, y1: Column, x2: Column, y2: Column,
+              px: Column, py: Column): Column =
+      (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+
+    val inside = corners.zip(corners.tail :+ corners.head).map {
+      case ((xa, ya), (xb, yb)) =>
+        cross(col(xa), col(ya), col(xb), col(yb), col("ra"), col("dec")) >= 0.0
+    }.reduce(_ && _)
+
+    val raMin = least(corners.map(c => col(c._1)): _*)
+    val raMax = greatest(corners.map(c => col(c._1)): _*)
+    val decMin = least(corners.map(c => col(c._2)): _*)
+    val decMax = greatest(corners.map(c => col(c._2)): _*)
+
+    master.filter(col("targname") === targname)
+      .join(broadcast(quads),
+        col("ra").between(raMin, raMax) &&
+        col("dec").between(decMin, decMax) && inside)
+      .select("imagename", "master_id", "xpix", "ypix", "ra", "dec")
+  }
+}

@@ -100,12 +100,22 @@ object PolyFit2D {
 object LinAlg {
 
   /** Min-norm solution of symmetric positive-semidefinite A·c = r via a
-    * cyclic Jacobi eigendecomposition pseudo-inverse (rank decided at
-    * relative tolerance 1e-12·λmax, mirroring lstsq's default rcond
-    * behavior on small well-scaled systems). */
-  def solveMinNorm(aIn: Array[Array[Double]], r: Array[Double]): Array[Double] = {
-    val n = r.length
-    val a = Array.tabulate(n, n)((i, j) => aIn(i)(j))
+    * cyclic Jacobi eigendecomposition pseudo-inverse.
+    *
+    * The system is diagonally equilibrated first (D·A·D with
+    * D = diag(1/√aᵢᵢ)): polynomial Gram matrices mix x⁴-scale and 1-scale
+    * entries (condition ~1e14 for epoch offsets of ±300), and an
+    * unequilibrated eigen-tolerance would discard genuinely informative
+    * directions. Rank is then decided at 1e-12·λmax of the equilibrated
+    * matrix, mirroring lstsq's rcond semantics. */
+  def solveMinNorm(aIn: Array[Array[Double]], r0: Array[Double]): Array[Double] = {
+    val n = r0.length
+    val d = Array.tabulate(n) { i =>
+      val aii = aIn(i)(i)
+      if (aii > 0) 1.0 / math.sqrt(aii) else 1.0
+    }
+    val a = Array.tabulate(n, n)((i, j) => aIn(i)(j) * d(i) * d(j))
+    val r = Array.tabulate(n)(i => r0(i) * d(i))
     val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
     while (sweep < 50 && offDiag(a) > 1e-14 * frobenius(a)) {
@@ -128,7 +138,9 @@ object LinAlg {
       (0 until n).map(i => v(i)(k) * r(i)).sum)
     val scaled = Array.tabulate(n)(k =>
       if (math.abs(eig(k)) > tol) vtr(k) / eig(k) else 0.0)
-    Array.tabulate(n)(i => (0 until n).map(k => v(i)(k) * scaled(k)).sum)
+    // undo the equilibration: c = D·(V diag(1/λ) Vᵀ)·D·r
+    Array.tabulate(n)(i =>
+      d(i) * (0 until n).map(k => v(i)(k) * scaled(k)).sum)
   }
 
   private def offDiag(a: Array[Array[Double]]): Double = {

@@ -1,0 +1,124 @@
+package graft.cte
+
+import graft.SparkSpecBase
+import graft.functions.PolyFit2D
+import org.apache.spark.sql.functions._
+
+class CteAnalyticsSpec extends SparkSpecBase {
+
+  private lazy val fi = CteFixtures.fileinfo(spark)
+  private lazy val ms = CteFixtures.master(spark)
+  private lazy val ph = CteFixtures.photLong(spark)
+
+  test("flux-ratio slope pipeline recovers the planted -1e-4 slope per bin") {
+    val res = CteAnalytics.fluxRatioSlopes(ph, fi, CteFixtures.T)
+      .filter(col("aperture") === 3)
+      .orderBy("bin_lo", "bin_hi").collect()
+    // stars 1-4 (flux 300) → bin 250-500; stars 5-8 (flux 1500) land in
+    // BOTH overlapping bins 500-2000 and 1000-2000.
+    val bins = res.map(r => (r.getAs[Int]("bin_lo"), r.getAs[Int]("bin_hi"))).toSeq
+    assert(bins == Seq((250, 500), (500, 2000), (1000, 2000)))
+    res.foreach { r =>
+      assert(r.getAs[Int]("numpoints") == 4)
+      assert(math.abs(r.getAs[Double]("slope") - (-1e-4)) < 1e-12,
+        s"slope ${r.getAs[Double]("slope")}")
+      assert(math.abs(r.getAs[Double]("slopestdev")) < 1e-9)
+    }
+  }
+
+  test("aperture 5's flat ratio gives slope 0 (aperture isolation)") {
+    val res = CteAnalytics.fluxRatioSlopes(ph, fi, CteFixtures.T)
+      .filter(col("aperture") === 5).collect()
+    // flux 400 → bin 250-500 only; ratio constant 0.5 ⇒ slope 0.
+    assert(res.length == 1)
+    assert(math.abs(res(0).getAs[Double]("slope")) < 1e-12)
+  }
+
+  test("wide results view pivots to the reference 24-column layout") {
+    val long = CteAnalytics.fluxRatioSlopes(ph, fi, CteFixtures.T)
+    val wide = CteAnalytics.resultsWideView(
+      long.withColumn("slopefile", lit("f")).withColumn("slopefile_path", lit("p")))
+    assert(wide.columns.count(_.startsWith("slope_")) == 8)
+    val r = wide.filter(col("aperture") === 3).collect()(0)
+    assert(math.abs(r.getAs[Double]("slope_250_500") - (-1e-4)) < 1e-12)
+    assert(r.getAs[Int]("numpoints_1000_2000") == 4)
+    assert(r.isNullAt(r.fieldIndex("slope_8000_32000"))) // empty bin stays null
+  }
+
+  test("phot wide/long pivot round-trips") {
+    val wide = CteAnalytics.photWideView(ph)
+    assert(wide.columns.count(_.startsWith("flux_")) == 14)
+    val backLong = CteAnalytics.photLongView(wide)
+      .filter(col("flux").isNotNull)
+    assert(backLong.count() == ph.count())
+    val a = ph.select("imagename", "master_id", "aperture", "flux")
+      .orderBy("imagename", "master_id", "aperture").collect().toSeq
+    val b = backLong.select("imagename", "master_id", "aperture", "flux")
+      .orderBy("imagename", "master_id", "aperture").collect().toSeq
+    assert(a == b)
+  }
+
+  test("epoch merge is pairwise and non-transitive, with banker's rounding") {
+    // [0,20,25]: 0+20 merge → 10, then 25 stands alone (NOT one session).
+    assert(CteAnalytics.combineEpochs(Seq(0.0, 20.0, 25.0)) == Seq(10.0, 25.0))
+    // round(np.mean) is half-even: (300+301)/2 = 300.5 → 300.
+    assert(CteAnalytics.combineEpochs(Seq(100.0, 120.0, 125.0, 300.0, 301.0))
+      == Seq(110.0, 125.0, 300.0))
+    // far-apart epochs untouched; duplicates collapse first.
+    assert(CteAnalytics.combineEpochs(Seq(55000.0, 55000.0, 55500.0))
+      == Seq(55000.0, 55500.0))
+  }
+
+  test("epochCohorts maps each dateobs to its combined epoch") {
+    val m = CteAnalytics.epochCohorts(fi, CteFixtures.T)
+      .orderBy("dateobs").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // fixture epochs 55000, 55500, 55600 are all ≥30d apart → identity.
+    assert(m == Seq((55000.0, 55000.0), (55500.0, 55500.0), (55600.0, 55600.0)))
+  }
+
+  test("per-target polyfit recovers a planted surface in reference term order") {
+    import spark.implicits._
+    // slope = Σ c_ref(i*3+j) · (epoch-55400)^i · log10flux^j
+    val cRef = Array(0.2, -0.1, 0.05, 0.01, -0.02, 0.0, 1e-4, 0.0, -1e-5)
+    val rows = for {
+      e <- Seq(55100.0, 55400.0, 55700.0)
+      f <- Seq(500.0, 2000.0, 8000.0, 20000.0)
+    } yield {
+      val x = e - 55400.0
+      val y = math.log10(f)
+      val z = (for (i <- 0 until 3; j <- 0 until 3)
+        yield cRef(i * 3 + j) * math.pow(x, i) * math.pow(y, j)).sum
+      ("t", f, e, z)
+    }
+    val df = rows.toDF("targname", "binflux", "epoch", "slope")
+    val got = CteAnalytics.polyfitByTarget(df).collect()(0)
+    (0 until 9).foreach { k =>
+      assert(math.abs(got.getAs[Double](s"c$k") - cRef(k)) < 1e-6,
+        s"c$k: ${got.getAs[Double](s"c$k")} vs ${cRef(k)}")
+    }
+  }
+
+  test("model evaluation matches the fit at sample points") {
+    val c = (0 until 9).map(k => lit(k * 0.1 + 0.05))
+    import spark.implicits._
+    val df = Seq((3.0, -300.0), (3.5, 0.0)).toDF("lf", "eo")
+      .withColumn("v", CteAnalytics.modelEval(c, col("lf"), col("eo")))
+    val got = df.collect().map(_.getDouble(2))
+    val want = Seq((3.0, -300.0), (3.5, 0.0)).map { case (lf, eo) =>
+      (for (i <- 0 until 3; j <- 0 until 3)
+        yield (i * 3 + j) * 0.1 + 0.05).zipWithIndex.map { case (cv, k) =>
+        cv * math.pow(eo, k / 3) * math.pow(lf, k % 3)
+      }.sum
+    }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("j5 spatial join: stars inside the footprint quad") {
+    val in = CteAnalytics.starsInFootprint(ms, fi, CteFixtures.T)
+      .filter(col("imagename") === "iaaa01a1q")
+      .orderBy("master_id").collect()
+    // quad [0.15,0.55]² contains stars with ra=dec ∈ {0.2,0.3,0.4,0.5}.
+    assert(in.map(_.getAs[Int]("master_id")).toSeq == Seq(2, 3, 4, 5))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.cte
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Deterministic in-memory fixtures shaped per FIXTURES.md §1 — tiny
+  * enough that every expected value below is hand-computable.
+  *
+  * Layout:
+  *   - pair A: iaaa01a1q (chip1) ↔ iaaa01a2q (chip2) at dateobs 55000
+  *   - pair B: iaaa02b1q ↔ iaaa02b2q at dateobs 55500
+  *   - 180-set: chip-1 visits 10/11 → rank pairs (10p1→11p1, 10p2→11p2)
+  *   - phot for pair A, aperture 3: stars 1-4 flux 300 (bin 250-500),
+  *     stars 5-8 flux 1500 (bins 500-2000 AND 1000-2000, overlapping);
+  *     flux_2 = flux_1·(1 − 1e-4·ypos) ⇒ exact slope −1e-4 per bin.
+  */
+object CteFixtures {
+
+  val T = "ngc104"
+
+  private def fi(img: String, chip: Int, dateobs: Double,
+                 corners: (Double, Double, Double, Double) = (0.0, 1.0, 0.0, 1.0)) =
+    Row(img, s"/data/$img", s"$img.coo", s"$img.mag", "/phot", img,
+      "11924", "F502N", "NONE", "ZERO", "A",
+      java.sql.Date.valueOf("2026-01-01"),
+      corners._1, corners._3, corners._2, corners._3,
+      corners._2, corners._4, corners._1, corners._4,
+      3.5, dateobs, 60.0, 0.0, 0.0, 0.0, 0.0,
+      0, chip, T)
+
+  def fileinfo(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      fi("iaaa01a1q", 1, 55000.0, (0.15, 0.55, 0.15, 0.55)),
+      fi("iaaa01a2q", 2, 55000.0),
+      fi("iaaa02b1q", 1, 55500.0),
+      fi("iaaa02b2q", 2, 55500.0),
+      // 180-degree set: same chip, visits 10/11.
+      fi("iaaa10p1q", 1, 55600.0), fi("iaaa10p2q", 1, 55600.0),
+      fi("iaaa11p1q", 1, 55600.0), fi("iaaa11p2q", 1, 55600.0),
+      // unmatched chip-1 image (different exptime key).
+      Row("iaaa03c1q", "/data/iaaa03c1q", "c.coo", "c.mag", "/phot",
+        "iaaa03c1q", "11924", "F502N", "NONE", "ZERO", "A",
+        java.sql.Date.valueOf("2026-01-01"),
+        0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0,
+        3.5, 55000.0, 350.0, 0.0, 0.0, 0.0, 0.0, 0, 1, T))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      "imagename", "imagepath", "coofile", "magfile", "photpath",
+      "parsed_name", "proposid", "filter", "chinject", "flashcur",
+      "shutrpos").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType)) ++
+      Seq(org.apache.spark.sql.types.StructField("ingest_date",
+        org.apache.spark.sql.types.DateType)) ++
+      Seq("ra_lowerleft", "dec_lowerleft", "ra_lowerright", "dec_lowerright",
+        "ra_upperright", "dec_upperright", "ra_upperleft", "dec_upperleft",
+        "mnclip_bkgrd", "dateobs", "exptime", "flashlvl", "flashdur",
+        "postarg1", "postarg2").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DoubleType)) ++
+      Seq("ctecorr", "chip").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.IntegerType)) ++
+      Seq(org.apache.spark.sql.types.StructField("targname",
+        org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  // NB fixture fileinfo row order: strings, ingest_date, corner doubles in
+  // (ll, lr, ur, ul) ra/dec interleave, mnclip, dateobs, exptime,
+  // flashlvl, flashdur, postarg1, postarg2, ctecorr, chip, targname.
+
+  def master(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (1 to 10).map(i =>
+      (i, 50.0, 100.0 * i, 0.1 * i, 0.1 * i, T))
+      .toDF("master_id", "xpix", "ypix", "ra", "dec", "targname")
+  }
+
+  /** Phot rows for pair A at aperture 3 (+ a second aperture 5 with flat
+    * ratio for aperture-isolation checks). */
+  def photLong(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val d0 = java.sql.Date.valueOf("2026-01-01")
+    val rows = (1 to 8).flatMap { i =>
+      val ypos = 100.0 * i
+      val f1 = if (i <= 4) 300.0 else 1500.0
+      val f2 = f1 * (1.0 - 1e-4 * ypos)
+      Seq(
+        (i, "iaaa01a1q", d0, i, 50.0, ypos, 0.1 * i, 0.1 * i, 3, f1, 1.0, 10.0, T),
+        (i, "iaaa01a2q", d0, i, 50.0, ypos, 0.1 * i, 0.1 * i, 3, f2, 1.0, 10.0, T),
+        (i, "iaaa01a1q", d0, i, 50.0, ypos, 0.1 * i, 0.1 * i, 5, 400.0, 1.0, 10.0, T),
+        (i, "iaaa01a2q", d0, i, 50.0, ypos, 0.1 * i, 0.1 * i, 5, 200.0, 1.0, 10.0, T))
+    }
+    rows.toDF("find_id", "imagename", "ingest_date", "master_id", "xpix",
+      "ypix", "ra", "dec", "aperture", "flux", "mnbkgrd", "totbkgrd", "targname")
+  }
+}
