@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Compiled JVM kernels for the text-hash hot path.
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate`) are
+  * interpreted per element — fine for correctness, but a
+  * shingle→hash→minhash chain touches every character of every document
+  * and the interpreter overhead dominates (measured ~70% of the sf0.1
+  * dedup bench). These kernels implement the *identical* integer
+  * arithmetic as TextPrims' SQL fragments (spec- and oracle-enforced), in
+  * tight single-pass Scala; registered as UDFs they run once per row with
+  * zero per-element dispatch.
+  *
+  * UDF-vs-builtin tradeoff: a scalar Scala UDF costs serialization at the
+  * row boundary but nothing per array element; for ~100-element arrays ×
+  * ~10-char shingles that's two orders of magnitude less interpreter
+  * traffic. (A custom codegen Expression would save the row boundary too;
+  * not needed at current profile.)
+  */
+object TextKernels {
+
+  val P = TextPrims.P
+
+  def polyhash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    h
+  }
+
+  /** Whitespace tokens (same as split('\s+') on already-trimmed text). */
+  private def tokensOf(text: String): Array[String] =
+    text.split("\\s+")
+
+  /** Distinct word-2gram shingle hashes, in first-occurrence order
+    * (order irrelevant downstream: consumers take min or set ops). */
+  def wordShingleHashes(text: String): Array[Long] = {
+    val t = tokensOf(text)
+    if (t.length < 2) return Array.empty
+    val seen = new java.util.LinkedHashSet[Long]()
+    var i = 0
+    while (i < t.length - 1) {
+      // hash of "tok1_tok2" without building the string
+      var h = polyhash(t(i))
+      h = (h * 31 + '_') % P
+      var j = 0
+      val s2 = t(i + 1)
+      while (j < s2.length) { h = (h * 31 + s2.charAt(j)) % P; j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** Distinct char-kgram shingle hashes (sorted, for fast intersection). */
+  def charShingleHashes(text: String, k: Int): Array[Long] = {
+    if (text.length < k) return Array.empty
+    val seen = new java.util.TreeSet[Long]()
+    var i = 0
+    while (i + k <= text.length) {
+      var h = 0L
+      var j = i
+      while (j < i + k) { h = (h * 31 + text.charAt(j)) % P; j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    out
+  }
+
+  /** The 12 minhash signature values over word-2gram shingle hashes. */
+  def minhashSigs(text: String): Array[Long] = {
+    val hs = wordShingleHashes(text)
+    val seeds = TextPrims.minhashSeeds
+    val out = Array.fill(seeds.length)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      var k = 0
+      while (k < seeds.length) {
+        val (a, b) = seeds(k)
+        val v = (a * hs(i) + b) % P
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** 16-bit SimHash over (non-distinct) token hashes. */
+  def simhash16(text: String): Long = {
+    val t = tokensOf(text)
+    val votes = new Array[Long](16)
+    var i = 0
+    while (i < t.length) {
+      val h = polyhash(t(i))
+      var b = 0
+      while (b < 16) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) { if (votes(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Intersection size of two sorted long arrays (two-pointer). */
+  def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+
+  /** Intersection size of two unsorted distinct long arrays (hash set). */
+  def intersectCount(a: Array[Long], b: Array[Long]): Int = {
+    val (small, big) = if (a.length <= b.length) (a, b) else (b, a)
+    val set = new java.util.HashSet[Long](small.length * 2)
+    small.foreach(set.add)
+    var n = 0
+    var i = 0
+    while (i < big.length) { if (set.contains(big(i))) n += 1; i += 1 }
+    n
+  }
+
+  // ---- UDF registrations (names used in operator packs)
+
+  val minhashSigsUdf: UserDefinedFunction = udf((t: String) => minhashSigs(t))
+  val wordShingleHashesUdf: UserDefinedFunction = udf((t: String) => wordShingleHashes(t))
+  val charShingle3Udf: UserDefinedFunction = udf((t: String) => charShingleHashes(t, 3))
+  val simhash16Udf: UserDefinedFunction = udf((t: String) => simhash16(t))
+  // Array[Long] signatures hit Spark's primitive fast path
+  // (ArrayData.toLongArray) — no per-element boxing at the UDF boundary.
+  val sortedIntersectUdf: UserDefinedFunction =
+    udf((a: Array[Long], b: Array[Long]) => sortedIntersectCount(a, b))
+  val intersectCountUdf: UserDefinedFunction =
+    udf((a: Array[Long], b: Array[Long]) => intersectCount(a, b))
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import graft.functions.TextPrims
+import graft.functions.{TextKernels, TextPrims}
 import graft.functions.TextPrims.{DuckD, SparkD, minhashSeeds, P}
 import org.apache.spark.sql.functions._
 
@@ -55,18 +55,21 @@ object Dedup extends QueryPack {
        |FROM documents GROUP BY pkey HAVING count(*) > 1 ORDER BY pkey""".stripMargin
   }
 
-  /** Word-2gram shingle hash array, as a dialect fragment. */
+  /** Word-2gram shingle hash array, as a dialect fragment (oracle side;
+    * the Spark side uses the compiled TextKernels equivalent). */
   private def shingleHashes(d: TextPrims.Dialect): String =
     TextPrims.hashEach(
       TextPrims.wordShingles(TextPrims.tokens("text", d), d), d)
 
   // -- d3: MinHash signatures — 12 permutation-min hashes per document
-  //    over word-2gram shingles. Pure scan + per-row array math.
+  //    over word-2gram shingles. Pure scan + per-row compiled kernel (the
+  //    interpreted higher-order-function formulation measured 3× slower
+  //    at sf0.1; arithmetic is identical — see TextKernels).
   private val d3MinhashSig: Q = (s, dir) => {
     val base = Tables.documents(s, dir)
-      .withColumn("hs", expr(shingleHashes(SparkD)))
-    val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
-      expr(TextPrims.minhashOne("hs", a, b, SparkD)).as(s"sig$k")
+      .withColumn("sig", TextKernels.minhashSigsUdf(col("text")))
+    val sigs = minhashSeeds.indices.map { k =>
+      element_at(col("sig"), k + 1).as(s"sig$k")
     }
     base.select(col("doc_id") +: sigs: _*).orderBy("doc_id")
   }
@@ -87,32 +90,33 @@ object Dedup extends QueryPack {
   private val jacThreshold = "0.08"
 
   private val d4LshPairs: Q = (s, dir) => {
-    val base = Tables.documents(s, dir)
-      .withColumn("sh", expr(TextPrims.wordShingles(TextPrims.tokens("text", SparkD), SparkD)))
-      .withColumn("hs", expr(TextPrims.hashEach("sh", SparkD)))
-    val withSigs = minhashSeeds.zipWithIndex.foldLeft(base) {
-      case (df, ((a, b), k)) =>
-        df.withColumn(s"sig$k", expr(TextPrims.minhashOne("hs", a, b, SparkD)))
-    }
+    // Candidates travel as compact (doc_id, band_id, bh) triples — shingle
+    // arrays are only joined back for the pairs that survive banding.
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextKernels.minhashSigsUdf(col("text")).as("sig"),
+      TextKernels.wordShingleHashesUdf(col("text")).as("hs"))
     val bandCols = (0 until nBands).map { i =>
-      expr(s"struct(CAST($i AS INT) AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh)")
+      expr(s"struct(CAST($i AS INT) AS band_id, " +
+           s"(element_at(sig, ${2 * i + 1})*131 + element_at(sig, ${2 * i + 2})) % $P AS bh)")
     }
-    val banded = withSigs
-      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("sh"),
-              col("band.band_id").as("band_id"), col("band.bh").as("bh"))
-    val a = banded.select(col("band_id"), col("bh"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_id"), col("bh"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_id", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+    val banded = base
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+              col("band.bh").as("bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = base.select(col("doc_id"), col("hs"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", TextKernels.intersectCountUdf(col("hs_a"), col("hs_b")))
       .withColumn("jac",
         col("inter").cast("double") /
-        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")).cast("double"))
+        (expr("size(hs_a)") + expr("size(hs_b)") - col("inter")).cast("double"))
       .filter(col("jac") >= expr(jacThreshold))
       .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
@@ -127,10 +131,9 @@ object Dedup extends QueryPack {
     }
     s"""WITH h AS (
        |  SELECT doc_id,
-       |         ${TextPrims.wordShingles(TextPrims.tokens("text", DuckD), DuckD)} AS sh,
-       |         ${shingleHashes(DuckD)} AS hs
+       |         list_distinct(${shingleHashes(DuckD)}) AS hs
        |  FROM documents),
-       |sigs AS (SELECT doc_id, sh, ${sigs.mkString(",\n       ")} FROM h),
+       |sigs AS (SELECT doc_id, hs AS sh, ${sigs.mkString(",\n       ")} FROM h),
        |banded AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -154,10 +157,8 @@ object Dedup extends QueryPack {
   //    (frequency-sensitive, order-insensitive); near-identical docs land
   //    at small Hamming distance.
   private val d5Simhash: Q = (s, dir) => {
-    val th = TextPrims.hashEach(TextPrims.tokens("text", SparkD), SparkD)
     Tables.documents(s, dir)
-      .withColumn("th", expr(th))
-      .withColumn("simhash16", expr(TextPrims.simhash16("th", SparkD)))
+      .withColumn("simhash16", TextKernels.simhash16Udf(col("text")))
       .select("doc_id", "simhash16")
       .orderBy("doc_id")
   }
@@ -174,15 +175,15 @@ object Dedup extends QueryPack {
   //    fan-out the way LSH bands do in d4 (both avoid O(n²)).
   private val d6CharJaccard: Q = (s, dir) => {
     val base = Tables.documents(s, dir)
-      .withColumn("sh", expr(TextPrims.charShingles("text", 3, SparkD)))
-      .select("doc_id", "lang", "source", "sh")
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextKernels.charShingle3Udf(col("text")).as("sh"))
     val a = base.select(col("lang"), col("source"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = base.select(col("lang"), col("source"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("lang", "source"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("inter", TextKernels.sortedIntersectUdf(col("sh_a"), col("sh_b")))
       .withColumn("jac",
         col("inter").cast("double") /
         (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")).cast("double"))
@@ -192,7 +193,8 @@ object Dedup extends QueryPack {
   }
 
   private val d6Sql = {
-    val sh = TextPrims.charShingles("text", 3, DuckD)
+    val sh = s"list_distinct(${TextPrims.hashEach(
+      TextPrims.charShingles("text", 3, DuckD), DuckD)})"
     s"""WITH s AS (SELECT doc_id, lang, source, $sh AS sh FROM documents),
        |p AS (
        |  SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
+import graft.functions.VectorKernels
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -71,7 +72,7 @@ object Similarity extends QueryPack {
   //    corpus; top-5 neighbors per query by (cos desc, id asc).
   private val v1BruteTopk: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-      .withColumn("norm", expr(s"sqrt(${dotS("embedding", "embedding")})"))
+      .withColumn("norm", VectorKernels.normUdf(col("embedding")))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
               col("norm").as("qnorm"))
@@ -79,7 +80,7 @@ object Similarity extends QueryPack {
                      col("norm").as("cnorm"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", expr(dotS("qe", "ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("cos", VectorKernels.dotUdf(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -106,7 +107,7 @@ object Similarity extends QueryPack {
   //    buckets; the rollup shows the bucket histogram (skew visibility).
   private val v2LshBuckets: Q = (s, dir) => {
     Tables.embeddings(s, dir)
-      .withColumn("bucket", expr(bucketS("embedding")))
+      .withColumn("bucket", VectorKernels.bucketUdf(nPlanes, dims)(col("embedding")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("bucket")
@@ -122,8 +123,8 @@ object Similarity extends QueryPack {
   //    co-locates candidates; no cross join.
   private val v3LshTopk: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-      .withColumn("bucket", expr(bucketS("embedding")))
-      .withColumn("norm", expr(s"sqrt(${dotS("embedding", "embedding")})"))
+      .withColumn("bucket", VectorKernels.bucketUdf(nPlanes, dims)(col("embedding")))
+      .withColumn("norm", VectorKernels.normUdf(col("embedding")))
     val a = e.select(col("bucket"), col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("norm").as("qnorm"))
     val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
@@ -131,7 +132,7 @@ object Similarity extends QueryPack {
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     a.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(dotS("qe", "ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("cos", VectorKernels.dotUdf(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -178,15 +179,15 @@ object Similarity extends QueryPack {
   //    bucket (the embedding-space analog of d4's text LSH).
   private val v5NearDup: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-      .withColumn("bucket", expr(bucketS("embedding")))
-      .withColumn("norm", expr(s"sqrt(${dotS("embedding", "embedding")})"))
+      .withColumn("bucket", VectorKernels.bucketUdf(nPlanes, dims)(col("embedding")))
+      .withColumn("norm", VectorKernels.normUdf(col("embedding")))
     val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("norm").as("na"))
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
       col("embedding").as("eb"), col("norm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", expr(dotS("ea", "eb")) / (col("na") * col("nb")))
+      .withColumn("cos", VectorKernels.dotUdf(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.3)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")

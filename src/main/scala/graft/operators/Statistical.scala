@@ -136,7 +136,10 @@ object Statistical extends QueryPack {
   private val a2SigmaClip: Q = (s, dir) => {
     val groups = Seq("l_returnflag", "l_linestatus")
     var df = clipInput(s, dir)
-    for (_ <- 1 to 3) df = clipPass(df, groups, 4.0)
+    // Persist between passes: each pass references its input twice (stats
+    // + filter join), so an unpersisted 3-pass loop re-derives the base
+    // scan 2^3 times. Same pattern a real cluster run would use.
+    for (_ <- 1 to 3) df = clipPass(df, groups, 4.0).persist()
     df.groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("n_kept"),
            sum(col("vdec")).as("_s"),
