@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.MergeStream,
-    operators.Multimodal)
+    operators.Multimodal,
+    operators.Spatial)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
