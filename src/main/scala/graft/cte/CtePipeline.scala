@@ -1,0 +1,109 @@
+package graft.cte
+
+import graft.sources.{MergeWriter, TsvTables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline — the reference's `run_uvis_external_cte.py`
+  * lifecycle (SURVEY.md §3.1) as three composable stages over a parquet
+  * warehouse:
+  *
+  *   1. ingest: read master catalogs (.cat positional TSV) and long-format
+  *      photometry tables, upsert into the warehouse by natural key
+  *      (idempotent — re-running a visit is a no-op, README.md:519-521);
+  *   2. analyze: the pair→match→clip→regress slope pipeline, upserted
+  *      into `results` on (imagename_1, imagename_2, aperture, bin);
+  *   3. publish: slope table + per-target polyfit coefficients as
+  *      headered TSV artifacts (the reference's slopes/coeffs files).
+  *
+  * Warehouse layout: `<root>/<table>` parquet dirs, `targname` carried as
+  * a column (partition by it at scale — the reference's 3× table fan-out
+  * becomes partition pruning). Natural keys exactly as the reference:
+  * master (targname, master_id), fileinfo (targname, imagename),
+  * phot (targname, imagename, find_id, aperture),
+  * results (targname, imagename_1, imagename_2, aperture, bin_lo, bin_hi).
+  */
+class CtePipeline(spark: SparkSession, warehouse: String) {
+
+  private def path(t: String) = s"$warehouse/$t"
+
+  def table(t: String): DataFrame = spark.read.parquet(path(t))
+
+  // ---- stage 1: ingest
+
+  /** Ingest a master catalog from a positional .cat TSV
+    * (database_reset.py:322-328: col1=id col2=xpix col3=ypix col4=ra
+    * col5=dec). */
+  def ingestMasterCat(catPath: String, targname: String): Unit = {
+    val raw = TsvTables.readPositional(spark, catPath,
+      org.apache.spark.sql.types.StructType(
+        SchemaRegistry.master.fields.filter(_.name != "targname")))
+      .withColumn("targname", lit(targname))
+    MergeWriter.upsertParquet(spark, path("master"), raw,
+      Seq("targname", "master_id"))
+  }
+
+  /** Ingest fileinfo rows (already header-parsed upstream; S2). */
+  def ingestFileinfo(rows: DataFrame): Unit =
+    MergeWriter.upsertParquet(spark, path("fileinfo"), rows,
+      Seq("targname", "imagename"))
+
+  /** Ingest long-format photometry (one row per source × aperture; the
+    * reference's mag-file pivot state machine is unnecessary in long
+    * form — A10 runs only in the wide compatibility view). */
+  def ingestPhot(rows: DataFrame): Unit =
+    MergeWriter.upsertParquet(spark, path("phot"), rows,
+      Seq("targname", "imagename", "find_id", "aperture"))
+
+  // ---- stage 2: analytics
+
+  /** Compute CTE slopes for one target and upsert into `results`. */
+  def computeSlopes(targname: String,
+                    preds: Map[String, Any] = Map.empty): DataFrame = {
+    val slopes = CteAnalytics.fluxRatioSlopes(
+        table("phot"), table("fileinfo"), targname, preds = preds)
+      .withColumn("slopefile", lit(s"${targname}_slopes.txt"))
+      .withColumn("slopefile_path", lit(s"$warehouse/artifacts"))
+    MergeWriter.upsertParquet(spark, path("results"), slopes,
+      Seq("targname", "imagename_1", "imagename_2", "aperture",
+          "bin_lo", "bin_hi"))
+    slopes
+  }
+
+  /** Per-target polyfit over epoch cohorts: joins results back to the
+    * pair's epoch (via chip-1 dateobs → combined epoch) and bin flux
+    * midpoint, then fits the 9-coefficient surface. */
+  def computeCoefficients(targname: String): DataFrame = {
+    val cohorts = CteAnalytics.epochCohorts(table("fileinfo"), targname)
+    val pairEpoch = table("fileinfo")
+      .filter(col("targname") === targname && col("chip") === 1)
+      .select(col("imagename").as("imagename_1"), col("dateobs"))
+      .join(broadcast(cohorts), "dateobs")
+    val rows = table("results")
+      .filter(col("targname") === targname && !isnan(col("slope")))
+      .join(broadcast(pairEpoch), "imagename_1")
+      .withColumn("binflux",
+        (col("bin_lo").cast("double") + col("bin_hi").cast("double")) / 2.0)
+      .select("targname", "binflux", "epoch", "slope")
+    CteAnalytics.polyfitByTarget(rows)
+  }
+
+  // ---- stage 3: publish
+
+  /** Write the slopes + coefficients TSV artifacts (S6). */
+  def publish(targname: String, outDir: String): Unit = {
+    TsvTables.write(
+      table("results").filter(col("targname") === targname)
+        .orderBy("imagename_1", "imagename_2", "aperture", "bin_lo"),
+      s"$outDir/${targname}_slopes")
+    TsvTables.write(computeCoefficients(targname),
+      s"$outDir/${targname}_coeffs")
+  }
+
+  /** Full run for one target: analytics + publish (ingest is per-source
+    * upstream, as in the reference's per-proposal loop). */
+  def run(targname: String, outDir: String): Unit = {
+    computeSlopes(targname)
+    publish(targname, outDir)
+  }
+}

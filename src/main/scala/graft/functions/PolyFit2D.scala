@@ -160,7 +160,11 @@ object LinAlg {
     val n = a.length
     val apq = a(p)(q)
     val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-    val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+    // sign(0) must be 1 here: equal diagonal entries (theta = 0) need the
+    // full 45° rotation, not a no-op — math.signum would stall Jacobi on
+    // any matrix with a repeated diagonal.
+    val sgn = if (theta >= 0.0) 1.0 else -1.0
+    val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
     val c = 1.0 / math.sqrt(t * t + 1.0)
     val s = t * c
     var k = 0
