@@ -233,10 +233,14 @@ object Relational extends QueryPack {
              unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
       .withColumn("session_id", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // Session bounds are emitted as BIGINT epoch-millis, not timestamps:
+      // the source column is parquet TIMESTAMP(NANOS), which Spark reads
+      // truncated to micros while DuckDB keeps nanos — a raw min/max(ts)
+      // is bit-unstable across engines, an integer millis value is not.
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-           min(col("ts")).as("session_start"),
-           max(col("ts")).as("session_end"))
+           min(unix_millis(col("ts"))).as("session_start_ms"),
+           max(unix_millis(col("ts"))).as("session_end_ms"))
       .orderBy("user_id", "session_id")
   }
 
@@ -256,7 +260,7 @@ object Relational extends QueryPack {
       |                             ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM f)
       |SELECT user_id, session_id, count(*) AS n_events,
-      |       min(ts) AS session_start, max(ts) AS session_end
+      |       min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 

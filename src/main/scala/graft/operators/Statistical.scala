@@ -246,9 +246,12 @@ object Statistical extends QueryPack {
       Exact.dec2(col("l_extendedprice")).as("z"))
       .withColumn("x2", col("x") * col("x"))
       .withColumn("y2", col("y") * col("y"))
+    // Moments stay DECIMAL(38,2) in the hashed output: a decimal→double
+    // cast of >2^53-cent sums is not bit-stable across engines (round 1
+    // hash miss); consumers (PolyFit2D's solve) cast to double themselves.
     def zm(t: Column, name: String) =
       sum((col("z") * t.cast(DecimalType(20, 0))).cast(DecimalType(38, 2)))
-        .cast("double").as(name)
+        .as(name)
     li.groupBy("l_returnflag").agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -272,15 +275,15 @@ object Statistical extends QueryPack {
       |SELECT l_returnflag, count(*) AS n,
       |       sum(x) AS sx, sum(y) AS sy, sum(x2) AS sx2,
       |       sum(x*y) AS sxy, sum(y2) AS sy2,
-      |       CAST(sum(CAST(z*CAST(1 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS sz,
-      |       CAST(sum(CAST(z*CAST(x AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szx,
-      |       CAST(sum(CAST(z*CAST(x2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szx2,
-      |       CAST(sum(CAST(z*CAST(y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szy,
-      |       CAST(sum(CAST(z*CAST(x*y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szxy,
-      |       CAST(sum(CAST(z*CAST(x2*y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szx2y,
-      |       CAST(sum(CAST(z*CAST(y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szy2,
-      |       CAST(sum(CAST(z*CAST(x*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szxy2,
-      |       CAST(sum(CAST(z*CAST(x2*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DOUBLE) AS szx2y2
+      |       CAST(sum(CAST(z*CAST(1 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sz,
+      |       CAST(sum(CAST(z*CAST(x AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szx,
+      |       CAST(sum(CAST(z*CAST(x2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szx2,
+      |       CAST(sum(CAST(z*CAST(y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szy,
+      |       CAST(sum(CAST(z*CAST(x*y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szxy,
+      |       CAST(sum(CAST(z*CAST(x2*y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szx2y,
+      |       CAST(sum(CAST(z*CAST(y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szy2,
+      |       CAST(sum(CAST(z*CAST(x*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szxy2,
+      |       CAST(sum(CAST(z*CAST(x2*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szx2y2
       |FROM t2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // -- a6: the full 9-coefficient 2-D polyfit per group via the custom

@@ -127,28 +127,35 @@ object WindowedScalar extends QueryPack {
       |       CASE WHEN contains(c_mktsegment, 'HOLD') THEN 'H' ELSE 'O' END AS seg_class
       |FROM customer ORDER BY c_custkey""".stripMargin
 
-  // -- f-math: log10 / sqrt / abs / pow / floor (§2.8 math row). Pure
-  //    row-wise IEEE math — bit-comparable across engines (1e-9 rel gate).
+  // -- f-math: division / sqrt / abs / square / floor / fmod (§2.8 math
+  //    row). Only IEEE-754 correctly-rounded ops appear in the hashed
+  //    output: transcendentals (log10 etc.) differ in the last ulp between
+  //    JVM Math and DuckDB's libm (observed on 18/8590 rows in round 1), so
+  //    log10 coverage lives in a4_bin_clip_mean instead, and the squared
+  //    term is written as an explicit product, not pow() (libm pow is not
+  //    guaranteed correctly rounded even for integer exponents).
   private val fMath: Q = (s, dir) => {
     Tables.lineitem(s, dir)
       .filter(col("l_linenumber") === 1)
       .select(
         col("l_orderkey"),
-        log10(col("l_extendedprice")).as("log_price"),
+        (col("l_extendedprice") / col("l_quantity")).as("price_per_qty"),
         sqrt(col("l_quantity")).as("sqrt_qty"),
         abs(col("l_discount") - 0.05).as("abs_disc_dev"),
-        pow(col("l_tax") + 1.0, 2).as("tax_sq"),
-        floor(col("l_extendedprice") / 1000.0).as("price_bucket"))
+        ((col("l_tax") + 1.0) * (col("l_tax") + 1.0)).as("tax_sq"),
+        floor(col("l_extendedprice") / 1000.0).as("price_bucket"),
+        (col("l_quantity") % 7.0).as("qty_mod7"))
       .orderBy("l_orderkey")
   }
 
   private val fMathSql =
     """SELECT l_orderkey,
-      |       log10(l_extendedprice) AS log_price,
+      |       l_extendedprice / l_quantity AS price_per_qty,
       |       sqrt(l_quantity) AS sqrt_qty,
       |       abs(l_discount - 0.05) AS abs_disc_dev,
-      |       pow(l_tax + 1.0, 2) AS tax_sq,
-      |       floor(l_extendedprice / 1000.0) AS price_bucket
+      |       (l_tax + 1.0) * (l_tax + 1.0) AS tax_sq,
+      |       floor(l_extendedprice / 1000.0) AS price_bucket,
+      |       fmod(l_quantity, 7.0) AS qty_mod7
       |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
 
   // -- f-date: date/time scalar family (§2.8): extraction, offset
