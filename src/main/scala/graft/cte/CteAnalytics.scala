@@ -51,11 +51,22 @@ object CteAnalytics {
       expr(stackExpr))
   }
 
-  /** The core CTE-slope pipeline (A1+A2 over J2+J3): for every chip pair,
-    * aperture and overlapping flux bin, the 4σ-clipped OLS slope of
-    * flux_ratio (chip2/chip1) vs chip-1 y-position, with scipy-style
-    * slope stderr (stderr·√n = slopestdev, uvis_external_cte_plots.py:
-    * 189-196) and the <3-point NaN rule (:198-201).
+  /** The core CTE-slope pipeline (A1+A2 over J2+J3), faithful to
+    * plot_fluxratio_vs_ypos (uvis_external_cte_plots.py:141-201,
+    * 1224-1252): per chip pair, aperture and overlapping flux bin,
+    *
+    *   1. clean = flux − totbkgrd on BOTH chips (bkgrd_returned='tot',
+    *      :1228-1233; subtraction :141-143);
+    *   2. a star is in a bin iff both chips' clean fluxes are strictly
+    *      inside (> lo, < hi) (:162-166);
+    *   3. ratio = clean_chip1 / clean_chip2 (:172);
+    *   4. scipy sigmaclip(high=4, low=4) on the ratios (:175-176) —
+    *      population std, STRICT bounds; note scipy clips a constant-
+    *      valued group to empty (std 0 ⇒ open interval of width 0);
+    *   5. OLS of ratio vs chip-2 y-position (:189-191), slopestdev =
+    *      stderr·√n (:193-196);
+    *   6. bins left empty by 2-4 emit slope 0, stdev 0, numpoints 0
+    *      (:198-201) — all 8 bins always present per (pair, aperture).
     *
     * @param clipRounds bounded sigma-clip iterations (reference iterates
     *                   to fixpoint; 3 rounds reaches it on real data)
@@ -70,39 +81,51 @@ object CteAnalytics {
       .select("imagename_1", "imagename_2")
 
     val p = photLong.filter(col("targname") === targname)
-      .select("imagename", "master_id", "aperture", "ypix", "flux")
+      .select("imagename", "master_id", "aperture", "ypix", "flux",
+              "totbkgrd")
 
-    // J3: star match across the pair on master_id (+ aperture).
+    // J3: star match across the pair on master_id (+ aperture); annulus
+    // background subtracted per chip; y-position taken from chip 2.
     val p1 = p.select(col("imagename").as("imagename_1"), col("master_id"),
-      col("aperture"), col("ypix").as("ypos"), col("flux").as("flux_1"))
+      col("aperture"), (col("flux") - col("totbkgrd")).as("clean_1"))
     val p2 = p.select(col("imagename").as("imagename_2"), col("master_id"),
-      col("aperture"), col("flux").as("flux_2"))
+      col("aperture"), col("ypix").as("ypos"),
+      (col("flux") - col("totbkgrd")).as("clean_2"))
     val matched = p1.join(broadcast(pairTable), "imagename_1")
       .join(p2, Seq("imagename_2", "master_id", "aperture"))
-      .withColumn("ratio", col("flux_2") / col("flux_1"))
+      .withColumn("ratio", col("clean_1") / col("clean_2"))
 
-    // Overlapping flux bins: broadcast 1→N join on chip-1 flux.
+    // Overlapping flux bins: broadcast 1→N join, strict bounds on BOTH
+    // chips' cleaned fluxes (the reference requires x > lo and x < hi for
+    // chip1 AND chip2, uvis_external_cte_plots.py:162-166).
     val binDf = SchemaRegistry.fluxBins.toDF("bin_lo", "bin_hi")
     val binned = matched.join(broadcast(binDf),
-      col("flux_1") >= col("bin_lo") && col("flux_1") < col("bin_hi"))
+      col("clean_1") > col("bin_lo") && col("clean_1") < col("bin_hi") &&
+      col("clean_2") > col("bin_lo") && col("clean_2") < col("bin_hi"))
 
     val groups = Seq("imagename_1", "imagename_2", "aperture", "bin_lo", "bin_hi")
 
-    // A2: bounded-iteration 4σ clip of `ratio` per group.
+    // A2: bounded-iteration scipy-style sigmaclip of `ratio` per group:
+    // population mean/std, strict exclusion of values at the bounds. No
+    // zero-std escape — scipy's open interval empties a constant group,
+    // and the resulting missing bin becomes a 0-row below, exactly the
+    // reference's degenerate path. The stats table has one row per
+    // (pair, aperture, bin) — cardinality grows with ingest volume, so no
+    // broadcast hint: AQE broadcasts it only while it actually fits, and
+    // falls back to a shuffled join beyond that.
     val clipped = (1 to clipRounds).foldLeft(binned) { (df, _) =>
       val stats = df.groupBy(groups.map(col): _*)
         .agg(avg(col("ratio")).as("_m"), stddev_pop(col("ratio")).as("_s"))
-      df.join(broadcast(stats), groups)
-        .filter(col("_s") === 0.0 ||
-          (col("ratio") >= col("_m") - lit(4.0) * col("_s") &&
-           col("ratio") <= col("_m") + lit(4.0) * col("_s")))
+      df.join(stats, groups)
+        .filter(col("ratio") > col("_m") - lit(4.0) * col("_s") &&
+                col("ratio") < col("_m") + lit(4.0) * col("_s"))
         .drop("_m", "_s")
     }
 
-    // A1: OLS slope of ratio vs ypos from sufficient moments; scipy
-    // stderr formula; slopestdev = stderr·√n (uvis_external_cte_plots.py:
-    // 193-196). Groups with <3 points emit NaN (kept, not dropped —
-    // the reference writes NaN rows).
+    // A1: OLS slope of ratio vs chip-2 ypos from sufficient moments;
+    // scipy stderr formula; slopestdev = stderr·√n
+    // (uvis_external_cte_plots.py:193-196). n=2 groups produce an exact
+    // fit with 0/0 stderr → NaN, matching scipy's n−2 = 0 division.
     val m = clipped.groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(col("ypos")).as("sx"), sum(col("ypos") * col("ypos")).as("sxx"),
@@ -115,13 +138,27 @@ object CteAnalytics {
     val slope = sxyc / sxxc
     // SSE clamped at 0: an exact fit can go −1e-18 in fp and NaN the sqrt.
     val stderr = sqrt(greatest(lit(0.0), syyc - slope * sxyc) / (dn - 2.0) / sxxc)
-    m.select(
+    val fitted = m.select(
       col("imagename_1"), col("imagename_2"), col("aperture"),
       col("bin_lo"), col("bin_hi"),
-      when(col("n") >= 3, slope).otherwise(lit(Double.NaN)).as("slope"),
-      when(col("n") >= 3, stderr * sqrt(dn)).otherwise(lit(Double.NaN))
-        .as("slopestdev"),
+      slope.as("slope"),
+      (stderr * sqrt(dn)).as("slopestdev"),
       col("n").cast("int").as("numpoints"))
+
+    // All 8 bins per (pair, aperture) that has any matched photometry:
+    // bins emptied by binning/clipping get m=0, std=0, n=0
+    // (uvis_external_cte_plots.py:198-201 writes those rows, not NaN).
+    // The domain table is dimension-sized (pairs × apertures × 8).
+    val domain = matched
+      .select("imagename_1", "imagename_2", "aperture").distinct()
+      .crossJoin(broadcast(binDf))
+    domain.join(fitted, groups, "left")
+      .select(
+        col("imagename_1"), col("imagename_2"), col("aperture"),
+        col("bin_lo"), col("bin_hi"),
+        coalesce(col("slope"), lit(0.0)).as("slope"),
+        coalesce(col("slopestdev"), lit(0.0)).as("slopestdev"),
+        coalesce(col("numpoints"), lit(0)).as("numpoints"))
       .withColumn("targname", lit(targname))
   }
 

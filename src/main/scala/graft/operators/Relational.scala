@@ -108,7 +108,11 @@ object Relational extends QueryPack {
         (Exact.dec2(col("l_extendedprice")) *
           (lit(1) - Exact.dec2(col("l_discount"))).cast("decimal(4,2)"))
           .cast("decimal(24,4)").as("rev"))
-    l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+    // orders is fact-sized (the date filter keeps nearly all rows), so it
+    // must NOT be broadcast — lineitem⋈orders shuffles on the join key and
+    // AQE picks the strategy. Only the filtered customer dimension (one
+    // segment ≈ 1/5 of a dim table) is a safe explicit broadcast.
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate")
       .agg(sum(col("rev")).cast("double").as("revenue"))

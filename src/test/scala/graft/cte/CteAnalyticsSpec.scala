@@ -14,24 +14,38 @@ class CteAnalyticsSpec extends SparkSpecBase {
     val res = CteAnalytics.fluxRatioSlopes(ph, fi, CteFixtures.T)
       .filter(col("aperture") === 3)
       .orderBy("bin_lo", "bin_hi").collect()
-    // stars 1-4 (flux 300) → bin 250-500; stars 5-8 (flux 1500) land in
-    // BOTH overlapping bins 500-2000 and 1000-2000.
-    val bins = res.map(r => (r.getAs[Int]("bin_lo"), r.getAs[Int]("bin_hi"))).toSeq
+    // All 8 bins emit a row per (pair, aperture) — empty ones as 0s
+    // (uvis_external_cte_plots.py:198-201).
+    assert(res.length == 8)
+    val hit = res.filter(_.getAs[Int]("numpoints") > 0)
+    // stars 1-4 (clean 300·…) → bin 250-500; stars 5-8 (clean 1500·…)
+    // land in BOTH overlapping bins 500-2000 and 1000-2000.
+    val bins = hit.map(r => (r.getAs[Int]("bin_lo"), r.getAs[Int]("bin_hi"))).toSeq
     assert(bins == Seq((250, 500), (500, 2000), (1000, 2000)))
-    res.foreach { r =>
+    hit.foreach { r =>
       assert(r.getAs[Int]("numpoints") == 4)
       assert(math.abs(r.getAs[Double]("slope") - (-1e-4)) < 1e-12,
         s"slope ${r.getAs[Double]("slope")}")
       assert(math.abs(r.getAs[Double]("slopestdev")) < 1e-9)
     }
+    res.filterNot(_.getAs[Int]("numpoints") > 0).foreach { r =>
+      assert(r.getAs[Double]("slope") == 0.0)
+      assert(r.getAs[Double]("slopestdev") == 0.0)
+    }
   }
 
-  test("aperture 5's flat ratio gives slope 0 (aperture isolation)") {
+  test("aperture 5's constant ratio sigma-clips to empty → 0-rows (scipy parity)") {
     val res = CteAnalytics.fluxRatioSlopes(ph, fi, CteFixtures.T)
       .filter(col("aperture") === 5).collect()
-    // flux 400 → bin 250-500 only; ratio constant 0.5 ⇒ slope 0.
-    assert(res.length == 1)
-    assert(math.abs(res(0).getAs[Double]("slope")) < 1e-12)
+    // clean 400/300 both in (250,500); ratio constant ⇒ scipy sigmaclip
+    // empties the group (std 0 ⇒ strict bounds collapse) ⇒ every bin
+    // reports m=0, std=0, n=0.
+    assert(res.length == 8)
+    res.foreach { r =>
+      assert(r.getAs[Int]("numpoints") == 0)
+      assert(r.getAs[Double]("slope") == 0.0)
+      assert(r.getAs[Double]("slopestdev") == 0.0)
+    }
   }
 
   test("wide results view pivots to the reference 24-column layout") {
@@ -42,7 +56,8 @@ class CteAnalyticsSpec extends SparkSpecBase {
     val r = wide.filter(col("aperture") === 3).collect()(0)
     assert(math.abs(r.getAs[Double]("slope_250_500") - (-1e-4)) < 1e-12)
     assert(r.getAs[Int]("numpoints_1000_2000") == 4)
-    assert(r.isNullAt(r.fieldIndex("slope_8000_32000"))) // empty bin stays null
+    assert(r.getAs[Double]("slope_8000_32000") == 0.0) // empty bin = 0-row
+    assert(r.getAs[Int]("numpoints_8000_32000") == 0)
   }
 
   test("phot wide/long pivot round-trips") {

@@ -77,19 +77,25 @@ object CteFixtures {
   }
 
   /** Phot rows for pair A at aperture 3 (+ a second aperture 5 with flat
-    * ratio for aperture-isolation checks). */
+    * ratio for aperture-isolation checks). All rows carry totbkgrd 10, so
+    * clean flux = flux − 10. Chip 1 carries the planted CTE loss:
+    * clean_1 = base·(1 − 1e-4·ypos), clean_2 = base ⇒
+    * ratio = clean_1/clean_2 = 1 − 1e-4·ypos, exact slope −1e-4 vs the
+    * chip-2 y-position. Aperture 5's ratio is constant (400/300), which
+    * scipy sigmaclip clips to empty (std 0 ⇒ open interval of width 0). */
   def photLong(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val d0 = java.sql.Date.valueOf("2026-01-01")
     val rows = (1 to 8).flatMap { i =>
       val ypos = 100.0 * i
-      val f1 = if (i <= 4) 300.0 else 1500.0
-      val f2 = f1 * (1.0 - 1e-4 * ypos)
+      val base = if (i <= 4) 300.0 else 1500.0
+      val f1 = 10.0 + base * (1.0 - 1e-4 * ypos)
+      val f2 = 10.0 + base
       Seq(
         (i, "iaaa01a1q", d0, i, 50.0, ypos, 0.1 * i, 0.1 * i, 3, f1, 1.0, 10.0, T),
         (i, "iaaa01a2q", d0, i, 50.0, ypos, 0.1 * i, 0.1 * i, 3, f2, 1.0, 10.0, T),
-        (i, "iaaa01a1q", d0, i, 50.0, ypos, 0.1 * i, 0.1 * i, 5, 400.0, 1.0, 10.0, T),
-        (i, "iaaa01a2q", d0, i, 50.0, ypos, 0.1 * i, 0.1 * i, 5, 200.0, 1.0, 10.0, T))
+        (i, "iaaa01a1q", d0, i, 50.0, ypos, 0.1 * i, 0.1 * i, 5, 410.0, 1.0, 10.0, T),
+        (i, "iaaa01a2q", d0, i, 50.0, ypos, 0.1 * i, 0.1 * i, 5, 310.0, 1.0, 10.0, T))
     }
     rows.toDF("find_id", "imagename", "ingest_date", "master_id", "xpix",
       "ypix", "ra", "dec", "aperture", "flux", "mnbkgrd", "totbkgrd", "targname")

@@ -56,7 +56,9 @@ class CteQueriesSpec extends SparkSpecBase {
     val f = CteQueries.fluxByImagename(ph, CteFixtures.T, "iaaa01a1q", 3)
       .orderBy("master_id").collect()
     assert(f.length == 8)
-    assert(f.map(_.getAs[Double]("flux")).take(4).forall(_ == 300.0))
+    // chip-1 flux = 10 + 300·(1 − 1e-4·100i) for stars 1-4
+    assert(f.map(_.getAs[Double]("flux")).take(4).toSeq ==
+      Seq(307.0, 304.0, 301.0, 298.0))
     // invalid aperture → empty, like the reference's KeyError→[] path
     assert(CteQueries.fluxByImagename(ph, CteFixtures.T, "iaaa01a1q", 99)
       .count() == 0)
@@ -66,8 +68,9 @@ class CteQueriesSpec extends SparkSpecBase {
     val raw = CteQueries.fluxRange(ph, fi, CteFixtures.T, 3, 250.0, 500.0,
       Map("chip" -> 1))
     assert(raw.count() == 4)
-    // totbkgrd = 10 ⇒ fluxes 300 slip below 300-lo bound when subtracted
-    val sub = CteQueries.fluxRange(ph, fi, CteFixtures.T, 3, 295.0, 500.0,
+    // totbkgrd = 10 ⇒ raw fluxes {307,304,301,298} all pass lo=298, but
+    // the cleaned fluxes {297,294,291,288} all slip below it
+    val sub = CteQueries.fluxRange(ph, fi, CteFixtures.T, 3, 298.0, 500.0,
       Map("chip" -> 1), subtractBackground = true)
     assert(sub.count() == 0)
   }
