@@ -78,9 +78,11 @@ object TextKernels {
     out
   }
 
-  /** The 12 minhash signature values over word-2gram shingle hashes. */
-  def minhashSigs(text: String): Array[Long] = {
-    val hs = wordShingleHashes(text)
+  /** The 12 minhash signature values over a shingle-hash array.
+    * Empty input yields Long.MaxValue sentinels — callers must filter
+    * empty-shingle docs out *before* banding (the sentinel otherwise
+    * overflows band arithmetic and diverges from SQL list_min's NULL). */
+  def minhashFromHashes(hs: Array[Long]): Array[Long] = {
     val seeds = TextPrims.minhashSeeds
     val out = Array.fill(seeds.length)(Long.MaxValue)
     var i = 0
@@ -96,6 +98,19 @@ object TextKernels {
     }
     out
   }
+
+  /** The 12 minhash signature values over word-2gram shingle hashes. */
+  def minhashSigs(text: String): Array[Long] =
+    minhashFromHashes(wordShingleHashes(text))
+
+  /** The 12 minhash signature values over char-kgram shingle hashes (the
+    * banding key source for the scalable blocked-Jaccard dedup d6). The
+    * banding k is deliberately LONGER than the scoring k: short grams make
+    * unrelated same-language docs look alike (char-3 Jaccard of generic
+    * prose is ~0.3), which floods the band buckets; 7-grams keep random
+    * pairs apart while true near-dups still collide. */
+  def charMinhashSigs(text: String, k: Int): Array[Long] =
+    minhashFromHashes(charShingleHashes(text, k))
 
   /** 16-bit SimHash over (non-distinct) token hashes. */
   def simhash16(text: String): Long = {
@@ -142,6 +157,8 @@ object TextKernels {
   // ---- UDF registrations (names used in operator packs)
 
   val minhashSigsUdf: UserDefinedFunction = udf((t: String) => minhashSigs(t))
+  def charMinhashSigsUdf(k: Int): UserDefinedFunction =
+    udf((t: String) => charMinhashSigs(t, k))
   val wordShingleHashesUdf: UserDefinedFunction = udf((t: String) => wordShingleHashes(t))
   val charShingle3Udf: UserDefinedFunction = udf((t: String) => charShingleHashes(t, 3))
   val simhash16Udf: UserDefinedFunction = udf((t: String) => simhash16(t))

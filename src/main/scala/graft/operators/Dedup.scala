@@ -66,7 +66,12 @@ object Dedup extends QueryPack {
   //    interpreted higher-order-function formulation measured 3× slower
   //    at sf0.1; arithmetic is identical — see TextKernels).
   private val d3MinhashSig: Q = (s, dir) => {
+    // Docs with no shingles (<2 tokens) are filtered out BEFORE signing on
+    // both engines: the kernel's Long.MaxValue sentinel and SQL list_min's
+    // NULL would otherwise diverge (and overflow band arithmetic in d4).
     val base = Tables.documents(s, dir)
+      .withColumn("hs", TextKernels.wordShingleHashesUdf(col("text")))
+      .filter(size(col("hs")) > 0)
       .withColumn("sig", TextKernels.minhashSigsUdf(col("text")))
     val sigs = minhashSeeds.indices.map { k =>
       element_at(col("sig"), k + 1).as(s"sig$k")
@@ -80,7 +85,7 @@ object Dedup extends QueryPack {
     }
     s"""WITH h AS (SELECT doc_id, ${shingleHashes(DuckD)} AS hs FROM documents)
        |SELECT doc_id, ${sigs.mkString(",\n       ")}
-       |FROM h ORDER BY doc_id""".stripMargin
+       |FROM h WHERE len(hs) > 0 ORDER BY doc_id""".stripMargin
   }
 
   // -- d4: MinHash-LSH near-dup pairs — 6 bands × 2 rows: documents
@@ -92,10 +97,15 @@ object Dedup extends QueryPack {
   private val d4LshPairs: Q = (s, dir) => {
     // Candidates travel as compact (doc_id, band_id, bh) triples — shingle
     // arrays are only joined back for the pairs that survive banding.
+    // The signature table is referenced 3× (banding + both join legs);
+    // persisted so the text kernels run once per doc, not three times
+    // (the harness clears the cache between queries).
     val base = Tables.documents(s, dir).select(
       col("doc_id"),
       TextKernels.minhashSigsUdf(col("text")).as("sig"),
       TextKernels.wordShingleHashesUdf(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist()
     val bandCols = (0 until nBands).map { i =>
       expr(s"struct(CAST($i AS INT) AS band_id, " +
            s"(element_at(sig, ${2 * i + 1})*131 + element_at(sig, ${2 * i + 2})) % $P AS bh)")
@@ -133,7 +143,8 @@ object Dedup extends QueryPack {
        |  SELECT doc_id,
        |         list_distinct(${shingleHashes(DuckD)}) AS hs
        |  FROM documents),
-       |sigs AS (SELECT doc_id, hs AS sh, ${sigs.mkString(",\n       ")} FROM h),
+       |sigs AS (SELECT doc_id, hs AS sh, ${sigs.mkString(",\n       ")}
+       |         FROM h WHERE len(hs) > 0),
        |banded AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -170,19 +181,45 @@ object Dedup extends QueryPack {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
-  // -- d6: blocked character-3-gram Jaccard — exact near-dup scoring
-  //    within (lang, source) blocks; the blocking key bounds join
-  //    fan-out the way LSH bands do in d4 (both avoid O(n²)).
+  // -- d6: char-3-gram Jaccard near-dups within (lang, source), with
+  //    candidate generation by MinHash-LSH bands over char-7-gram
+  //    minhashes (d4's machinery on a longer shingle space). Round 1
+  //    blocked only on (lang, source): block sizes grow O(n) with the
+  //    corpus, so the within-block self-join was O(n²) — the bands bound
+  //    fan-out independent of corpus size. Banding uses 7-grams (generic
+  //    same-language prose shares ~0.3 of its 3-grams, which would flood
+  //    the buckets; see TextKernels.charMinhashSigs) while scoring stays
+  //    on 3-gram Jaccard; (lang, source) equality remains as a candidate
+  //    *filter* so the query keeps its within-block meaning.
+  private val bandK = 7
+
   private val d6CharJaccard: Q = (s, dir) => {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        TextKernels.charShingle3Udf(col("text")).as("sh"))
-    val a = base.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = base.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("doc_a") < col("doc_b"))
+        TextKernels.charShingle3Udf(col("text")).as("sh"),
+        TextKernels.charMinhashSigsUdf(bandK)(col("text")).as("csig"))
+      .filter(size(col("sh")) > 0 && length(col("text")) >= bandK)
+      .persist()
+    val bandCols = (0 until nBands).map { i =>
+      expr(s"struct(CAST($i AS INT) AS band_id, " +
+           s"(element_at(csig, ${2 * i + 1})*131 + element_at(csig, ${2 * i + 2})) % $P AS bh)")
+    }
+    val banded = base
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+              col("band.bh").as("bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"), col("lang"),
+      col("source"), col("sh").as("sh_a"))
+    val sb = base.select(col("doc_id").as("doc_b"),
+      col("lang").as("lang_b"), col("source").as("source_b"),
+      col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(col("lang") === col("lang_b") && col("source") === col("source_b"))
       .withColumn("inter", TextKernels.sortedIntersectUdf(col("sh_a"), col("sh_b")))
       .withColumn("jac",
         col("inter").cast("double") /
@@ -195,13 +232,30 @@ object Dedup extends QueryPack {
   private val d6Sql = {
     val sh = s"list_distinct(${TextPrims.hashEach(
       TextPrims.charShingles("text", 3, DuckD), DuckD)})"
-    s"""WITH s AS (SELECT doc_id, lang, source, $sh AS sh FROM documents),
+    val sh7 = s"list_distinct(${TextPrims.hashEach(
+      TextPrims.charShingles("text", bandK, DuckD), DuckD)})"
+    val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      s"${TextPrims.minhashOne("sh7", a, b, DuckD)} AS sig$k"
+    }
+    val bandSelects = (0 until nBands).map { i =>
+      s"SELECT doc_id, $i AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh FROM sigs"
+    }
+    s"""WITH s AS (SELECT doc_id, lang, source, $sh AS sh, $sh7 AS sh7 FROM documents),
+       |s2 AS (SELECT * FROM s WHERE len(sh) > 0 AND len(sh7) > 0),
+       |sigs AS (SELECT doc_id, ${sigs.mkString(",\n       ")} FROM s2),
+       |banded AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |p AS (
-       |  SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         len(list_intersect(a.sh, b.sh)) AS inter,
-       |         len(a.sh) AS na, len(b.sh) AS nb
-       |  FROM s a JOIN s b
-       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |  SELECT sa.lang, sa.source, c.doc_a, c.doc_b,
+       |         len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |         len(sa.sh) AS na, len(sb.sh) AS nb
+       |  FROM cand c
+       |  JOIN s2 sa ON sa.doc_id = c.doc_a
+       |  JOIN s2 sb ON sb.doc_id = c.doc_b
+       |  WHERE sa.lang = sb.lang AND sa.source = sb.source)
        |SELECT lang, source, doc_a, doc_b,
        |       CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) AS jac
        |FROM p WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) >= 0.5

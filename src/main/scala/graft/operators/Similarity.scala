@@ -12,11 +12,17 @@ import org.apache.spark.sql.expressions.Window
   *   - v1 brute-force is the correctness baseline: broadcast the (small)
   *     query set against the full corpus — one scan, no shuffle of the big
   *     side, per-row dot products inside codegen (`zip_with`+`aggregate`);
-  *   - v2/v3 are the scale path: deterministic random-hyperplane LSH
-  *     assigns each vector a bucket in the same single scan; neighbor
-  *     search then equi-joins on the bucket key, so candidate fan-out is
-  *     n²/2^b per bucket instead of n² — the IVF/LSH trade
-  *     (recall vs cost) without any driver-side index;
+  *   - v2/v3/v5 are the scale path: deterministic random-hyperplane LSH.
+  *     v3/v5 use *banded multi-table* probing (`nBands` tables of
+  *     `bits` sign-bits each): two vectors are candidates iff they agree
+  *     on all bits of at least one band. `bits` is derived IN-PLAN from
+  *     the corpus count (integer CASE chain — bit-reproducible in the
+  *     oracle, no floating log), so bucket cardinality grows ∝ n and the
+  *     per-bucket self-join stays O(n·targetBucket) instead of O(n²/const).
+  *     The band tables trade recall back (1−(1−p^bits)^nBands) for the
+  *     selectivity that a single wide signature would destroy;
+  *   - candidates travel as compact id pairs; embeddings/norms join back
+  *     only for pairs that survive banding;
   *   - v4 centroids emit long format (label, pos, mean) so float compare
   *     stays element-wise.
   *
@@ -28,7 +34,28 @@ import org.apache.spark.sql.expressions.Window
 object Similarity extends QueryPack {
 
   private val dims = 64
-  private val nPlanes = 4 // 16 buckets
+  private val nPlanes = 4 // 16 buckets (v2 histogram only)
+
+  // Banded multi-table parameters for v3/v5: nBands tables, each keyed by
+  // up to maxBits sign-bits of a 32-plane signature; the live bit-width is
+  // the smallest b with targetBucket·2^b ≥ n (clamped to [2, maxBits]).
+  // maxBits=8 covers the test corpus; a production config raises it to
+  // ~24 (16M buckets/band) for 10^10-vector corpora — the knob, not the
+  // plan shape, is what changes with scale.
+  private val nBands = 4
+  private val maxBits = 8
+  private val targetBucket = 32
+  private val sigPlanes = nBands * maxBits // 32 ≤ 64 sign bits in a BIGINT
+
+  /** Smallest bit-width b ∈ [2, maxBits] with targetBucket·2^b ≥ n, as an
+    * integer CASE chain over a count column — identical text evaluates on
+    * both engines (no floating log2, whose last-ulp differs per libm). */
+  private def bitsCase(n: String): String = {
+    val whens = (2 until maxBits).map { b =>
+      s"WHEN $n <= ${targetBucket.toLong << b} THEN $b"
+    }
+    s"(CASE ${whens.mkString(" ")} ELSE $maxBits END)"
+  }
 
   /** Spark-side dot(a, b) with elementwise double casts. */
   private def dotS(a: String, b: String): String =
@@ -43,26 +70,16 @@ object Similarity extends QueryPack {
     s"CAST($a[CAST(i AS INT)] AS DOUBLE)*CAST($b[CAST(i AS INT)] AS DOUBLE))), " +
     "(acc, v) -> acc + v)"
 
-  /** Spark-side LSH bucket from sign bits of nPlanes pseudo-random
-    * hyperplane dot products (transform index is 0-based). */
-  private def bucketS(e: String): String = {
-    val bits = (0 until nPlanes).map { j =>
-      val w = s"(CAST(((1 + (CAST(${j * dims} AS BIGINT) + CAST(i AS BIGINT)) * 2654435761) % 1000003) AS DOUBLE) / 1000003.0 - 0.5)"
-      val dot = s"aggregate(transform($e, (x, i) -> CAST(x AS DOUBLE) * $w), " +
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-      s"(CASE WHEN $dot >= 0.0 THEN CAST(${1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }
-    bits.mkString("(", " + ", ")")
-  }
-
-  /** DuckDB-side bucket (list index is 1-based → use i−1). */
-  private def bucketD(e: String): String = {
-    val bits = (0 until nPlanes).map { j =>
+  /** DuckDB-side signature from sign bits of `planes` pseudo-random
+    * hyperplane dot products (list index is 1-based → use i−1). Mirrors
+    * VectorKernels.bucket exactly. */
+  private def bucketD(e: String, planes: Int): String = {
+    val bits = (0 until planes).map { j =>
       val w = s"(CAST(((1 + (CAST(${j * dims} AS BIGINT) + CAST(i AS BIGINT) - 1) * 2654435761) % 1000003) AS DOUBLE) / 1000003.0 - 0.5)"
       val dot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"list_transform(range(1, ${dims + 1}), i -> CAST($e[CAST(i AS INT)] AS DOUBLE) * $w)), " +
         "(acc, v) -> acc + v)"
-      s"(CASE WHEN $dot >= 0.0 THEN CAST(${1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      s"(CASE WHEN $dot >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }
     bits.mkString("(", " + ", ")")
   }
@@ -114,24 +131,67 @@ object Similarity extends QueryPack {
   }
 
   private val v2Sql =
-    s"""SELECT ${bucketD("embedding")} AS bucket, count(*) AS n_vectors
+    s"""SELECT ${bucketD("embedding", nPlanes)} AS bucket, count(*) AS n_vectors
        |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
 
-  // -- v3: bucketed ANN top-k — neighbors only within the same LSH
-  //    bucket: candidate generation is an equi-join on bucket, top-3 by
-  //    cosine per vector. The 100 TB shape: shuffle on bucket key
-  //    co-locates candidates; no cross join.
+  /** Shared Spark-side banded-candidate generator for v3/v5: 32-plane
+    * signature → nBands band keys of `bits` live bits each → self-join on
+    * (band_id, key). Returns distinct candidate id pairs (both
+    * orientations; callers restrict). The corpus count enters the plan as
+    * a broadcast 1-row aggregate — no collect. */
+  private def bandedCandidates(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nDf = e.groupBy().agg(count(lit(1)).as("n_corpus"))
+    val bandCols = (0 until nBands).map { j =>
+      expr(s"struct(CAST($j AS INT) AS band_id, " +
+           s"shiftright(sig, ${j * maxBits}) % shiftleft(1, bits) AS bh)")
+    }
+    val banded = e.crossJoin(broadcast(nDf))
+      .withColumn("bits", expr(bitsCase("n_corpus")))
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_id").as("band_id"),
+              col("band.bh").as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Shared oracle-side CTE prefix: signature+norm table `s`, band table
+    * `bnd`, candidate pairs `cand` (both orientations). */
+  private def bandedCandSql: String =
+    s"""WITH nrow AS (SELECT count(*) AS n_corpus FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, embedding,
+       |         ${bucketD("embedding", sigPlanes)} AS sig,
+       |         sqrt(${dotD("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |bnd AS (
+       |  SELECT vec_id, band_id,
+       |         (sig >> (band_id * $maxBits)) % (1 << ${bitsCase("n_corpus")}) AS bh
+       |  FROM s, nrow, (SELECT unnest(range(0, $nBands)) AS band_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.vec_id <> b.vec_id)""".stripMargin
+
+  // -- v3: banded-LSH ANN top-k — candidates from multi-table band
+  //    agreement, exact cosine + top-3 only on survivors. The 100 TB
+  //    shape: shuffle on (band_id, key) co-locates candidates; bucket
+  //    count scales with n via the in-plan `bits`; no cross join.
   private val v3LshTopk: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-      .withColumn("bucket", VectorKernels.bucketUdf(nPlanes, dims)(col("embedding")))
+      .withColumn("sig", VectorKernels.bucketUdf(sigPlanes, dims)(col("embedding")))
+    val side = Tables.embeddings(s, dir)
       .withColumn("norm", VectorKernels.normUdf(col("embedding")))
-    val a = e.select(col("bucket"), col("vec_id").as("query_id"),
-      col("embedding").as("qe"), col("norm").as("qnorm"))
-    val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"), col("norm").as("cnorm"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    a.join(b, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    bandedCandidates(e)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .join(side.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qnorm")), "query_id")
+      .join(side.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("norm").as("cnorm")), "neighbor_id")
       .withColumn("cos", VectorKernels.dotUdf(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -140,15 +200,13 @@ object Similarity extends QueryPack {
   }
 
   private val v3Sql =
-    s"""WITH n AS (
-       |  SELECT vec_id, embedding,
-       |         ${bucketD("embedding")} AS bucket,
-       |         sqrt(${dotD("embedding", "embedding")}) AS norm
-       |  FROM embeddings),
+    s"""$bandedCandSql,
        |p AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |         ${dotD("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
-       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |  SELECT c.id_a AS query_id, c.id_b AS neighbor_id,
+       |         ${dotD("sa.embedding", "sb.embedding")} / (sa.norm * sb.norm) AS cos
+       |  FROM cand c
+       |  JOIN s sa ON sa.vec_id = c.id_a
+       |  JOIN s sb ON sb.vec_id = c.id_b),
        |r AS (
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -175,18 +233,21 @@ object Similarity extends QueryPack {
       |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
-  // -- v5: embedding near-duplicate pairs — cosine ≥ 0.3 within an LSH
-  //    bucket (the embedding-space analog of d4's text LSH).
+  // -- v5: embedding near-duplicate pairs — cosine ≥ 0.3 on banded-LSH
+  //    candidates (the embedding-space analog of d4's text LSH; same
+  //    adaptive band machinery as v3).
   private val v5NearDup: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-      .withColumn("bucket", VectorKernels.bucketUdf(nPlanes, dims)(col("embedding")))
+      .withColumn("sig", VectorKernels.bucketUdf(sigPlanes, dims)(col("embedding")))
+    val side = Tables.embeddings(s, dir)
       .withColumn("norm", VectorKernels.normUdf(col("embedding")))
-    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"), col("norm").as("na"))
-    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("norm").as("nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+    bandedCandidates(e)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      .join(side.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("norm").as("na")), "vec_a")
+      .join(side.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("norm").as("nb")), "vec_b")
       .withColumn("cos", VectorKernels.dotUdf(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.3)
       .select("vec_a", "vec_b", "cos")
@@ -194,15 +255,14 @@ object Similarity extends QueryPack {
   }
 
   private val v5Sql =
-    s"""WITH n AS (
-       |  SELECT vec_id, embedding,
-       |         ${bucketD("embedding")} AS bucket,
-       |         sqrt(${dotD("embedding", "embedding")}) AS norm
-       |  FROM embeddings)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       ${dotD("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
-       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE ${dotD("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.3
+    s"""$bandedCandSql
+       |SELECT c.id_a AS vec_a, c.id_b AS vec_b,
+       |       ${dotD("sa.embedding", "sb.embedding")} / (sa.norm * sb.norm) AS cos
+       |FROM cand c
+       |JOIN s sa ON sa.vec_id = c.id_a
+       |JOIN s sb ON sb.vec_id = c.id_b
+       |WHERE c.id_a < c.id_b
+       |  AND ${dotD("sa.embedding", "sb.embedding")} / (sa.norm * sb.norm) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
 
   def queries: Map[String, Q] = Map(
