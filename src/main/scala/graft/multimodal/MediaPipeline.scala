@@ -99,8 +99,31 @@ object MediaPipeline {
     sharded.mapPartitions { it =>
       // Batches never span shards (a partition may hold several shards —
       // hash partitioning — so cut per shard, then into BatchSize runs).
-      it.toSeq.groupBy(_.shard).iterator.flatMap { case (shard, rows) =>
-        rows.grouped(BatchSize).map(b => (shard, b.size))
+      // The input is already sorted by (shard, id), so this is a streaming
+      // run-length grouper holding ONE row at a time — materializing the
+      // partition (toSeq.groupBy) would buffer every binary payload in
+      // memory, an OOM at real media sizes.
+      new Iterator[(Int, Int)] {
+        private var pending: ShardedRow = _
+        private def advance(): ShardedRow =
+          if (pending != null) { val r = pending; pending = null; r }
+          else if (it.hasNext) it.next()
+          else null
+        private var head: ShardedRow = advance()
+        def hasNext: Boolean = head != null
+        def next(): (Int, Int) = {
+          val shard = head.shard
+          var n = 1
+          var open = true
+          while (open && n < BatchSize) {
+            val r = advance()
+            if (r == null) open = false
+            else if (r.shard == shard) n += 1
+            else { pending = r; open = false }
+          }
+          head = advance()
+          (shard, n)
+        }
       }
     }.toDF("shard", "batch_rows")
       .groupBy("shard")

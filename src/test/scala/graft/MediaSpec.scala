@@ -37,4 +37,29 @@ class MediaSpec extends SparkSpecBase {
       assert(r.getAs[Int]("max_batch") <= MediaPipeline.BatchSize)
     }
   }
+
+  test("streaming grouper: exact batch counts on a partition holding many shards") {
+    implicit val s = spark
+    import s.implicits._
+    // 10k rows, 3 shards — far more rows than one decode batch, with
+    // shard runs that end mid-batch; the grouper must cut exactly at
+    // shard boundaries and BatchSize, holding one row at a time.
+    val big = (0L until 10000L).map { i =>
+      MediaRow(i, "k", Array[Byte](1, 2, 3), MediaMeta("m", 1, 1))
+    }.toDS()
+    val stats = MediaPipeline.batchStats(big, nShards = 3)
+      .orderBy("shard").collect()
+    // id % 3: shard 0 has 3334 rows, shards 1-2 have 3333.
+    val expect = Map(0 -> 3334L, 1 -> 3333L, 2 -> 3333L)
+    assert(stats.length == 3)
+    stats.foreach { r =>
+      val shard = r.getAs[Int]("shard")
+      val n = expect(shard)
+      assert(r.getAs[Long]("n_rows") == n)
+      val b = MediaPipeline.BatchSize
+      assert(r.getAs[Long]("n_batches") == (n + b - 1) / b)
+      assert(r.getAs[Int]("max_batch") == b)
+      assert(r.getAs[Int]("min_batch") == (n % b).toInt)
+    }
+  }
 }
