@@ -71,9 +71,9 @@ object CteAnalytics {
     * @param clipRounds bounded sigma-clip iterations (reference iterates
     *                   to fixpoint; 3 rounds reaches it on real data)
     */
-  def fluxRatioSlopes(photLong: DataFrame, fileinfo: DataFrame,
-                      targname: String, clipRounds: Int = 3,
-                      preds: Map[String, Any] = Map.empty): DataFrame = {
+  private def ratioPipeline(photLong: DataFrame, fileinfo: DataFrame,
+                            targname: String, clipRounds: Int,
+                            preds: Map[String, Any]): (DataFrame, DataFrame) = {
     val spark = photLong.sparkSession
     import spark.implicits._
 
@@ -85,11 +85,16 @@ object CteAnalytics {
               "totbkgrd")
 
     // J3: star match across the pair on master_id (+ aperture); annulus
-    // background subtracted per chip; y-position taken from chip 2.
+    // background subtracted per chip; y-position taken from chip 2. Raw
+    // fluxes/backgrounds ride along for the ratios artifact (S6) — the
+    // slope aggregation prunes them, so they cost nothing there.
     val p1 = p.select(col("imagename").as("imagename_1"), col("master_id"),
-      col("aperture"), (col("flux") - col("totbkgrd")).as("clean_1"))
+      col("aperture"), col("flux").as("flux_1"),
+      col("totbkgrd").as("bkgrd_1"),
+      (col("flux") - col("totbkgrd")).as("clean_1"))
     val p2 = p.select(col("imagename").as("imagename_2"), col("master_id"),
-      col("aperture"), col("ypix").as("ypos"),
+      col("aperture"), col("ypix").as("ypos"), col("flux").as("flux_2"),
+      col("totbkgrd").as("bkgrd_2"),
       (col("flux") - col("totbkgrd")).as("clean_2"))
     val matched = p1.join(broadcast(pairTable), "imagename_1")
       .join(p2, Seq("imagename_2", "master_id", "aperture"))
@@ -121,6 +126,37 @@ object CteAnalytics {
                 col("ratio") < col("_m") + lit(4.0) * col("_s"))
         .drop("_m", "_s")
     }
+    (matched, clipped)
+  }
+
+  /** The survivors of bin + sigma-clip, row-per-star — the content of the
+    * reference's *fluxratios.txt artifact (uvis_external_cte_plots.py:
+    * 205-238): per (pair, aperture, bin), each clipped star's ratio, RAW
+    * fluxes and annulus backgrounds on both chips, and chip-2 ypos. */
+  def clippedRatios(photLong: DataFrame, fileinfo: DataFrame,
+                    targname: String, clipRounds: Int = 3,
+                    preds: Map[String, Any] = Map.empty): DataFrame =
+    ratioPipeline(photLong, fileinfo, targname, clipRounds, preds)._2
+      .select(
+        col("imagename_1"), col("imagename_2"), col("aperture"),
+        col("bin_lo"), col("bin_hi"), col("master_id"),
+        col("ratio").as("fluxratio_sigclpd"),
+        col("flux_1").as("flux_chip1"), col("flux_2").as("flux_chip2"),
+        col("bkgrd_1").as("bkgrd_chip1"), col("bkgrd_2").as("bkgrd_chip2"),
+        col("ypos"))
+      .withColumn("targname", lit(targname))
+
+  /** CTE slopes per (pair, aperture, overlapping flux bin); see
+    * ratioPipeline for the reference-parity rules. */
+  def fluxRatioSlopes(photLong: DataFrame, fileinfo: DataFrame,
+                      targname: String, clipRounds: Int = 3,
+                      preds: Map[String, Any] = Map.empty): DataFrame = {
+    val spark = photLong.sparkSession
+    import spark.implicits._
+    val (matched, clipped) =
+      ratioPipeline(photLong, fileinfo, targname, clipRounds, preds)
+    val binDf = SchemaRegistry.fluxBins.toDF("bin_lo", "bin_hi")
+    val groups = Seq("imagename_1", "imagename_2", "aperture", "bin_lo", "bin_hi")
 
     // A1: OLS slope of ratio vs chip-2 ypos from sufficient moments;
     // scipy stderr formula; slopestdev = stderr·√n
@@ -175,6 +211,67 @@ object CteAnalytics {
     }
     resultsLong.groupBy("targname", "imagename_1", "imagename_2", "aperture")
       .agg(measureCols.head, measureCols.tail: _*)
+  }
+
+  /** The fluxbins the cteVStime product tracks
+    * (uvis_external_cte_plots.py:356: its color map covers exactly 3 of
+    * the 8 result bins). */
+  val cteVsTimeBins: Seq[(Int, Int)] =
+    Seq((500, 2000), (2000, 8000), (8000, 32000))
+
+  /** The cteVStime publish table — the reference monitor's PRIMARY
+    * user-facing product (uvis_external_cte_plots.py:312-424, setup
+    * 1297-1445): one row per (pair at an epoch, aperture, tracked
+    * fluxbin), the slope and its standard error corrected to full chip
+    * height ((x/2)·2048, :373-375), keyed by the parameter group the
+    * reference encodes in the artifact filename (filter, exp_length,
+    * flashlvl, ctecorr, aperture).
+    *
+    * slope_stderr = slopestdev / numpoints, reproducing :1412-1414 —
+    * note the reference divides by n here but by √n elsewhere (its own
+    * inconsistency, flagged in SURVEY §7.1; kept because this table IS
+    * that published artifact). 0-point bins → NaN stderr (:1415).
+    */
+  def cteVsTime(resultsLong: DataFrame, fileinfo: DataFrame,
+                bins: Seq[(Int, Int)] = cteVsTimeBins): DataFrame = {
+    val spark = resultsLong.sparkSession
+    import spark.implicits._
+    val binDf = bins.toDF("bin_lo", "bin_hi")
+    // pair → observation keys via the chip-1 image row (dimension table).
+    val keys = fileinfo.filter(col("chip") === 1).select(
+      col("targname"), col("imagename").as("imagename_1"),
+      col("dateobs").as("mjd"), col("filter"),
+      when(col("exptime") > 60.0, "l").otherwise("s").as("exp_length"),
+      col("flashlvl"), col("ctecorr"))
+    resultsLong
+      .join(broadcast(binDf), Seq("bin_lo", "bin_hi")) // tracked bins only
+      .join(broadcast(keys), Seq("targname", "imagename_1"))
+      .select(
+        col("filter"), col("exp_length"), col("flashlvl"), col("ctecorr"),
+        col("aperture"),
+        (col("slope") / 2.0 * 2048.0).as("slope"),
+        (when(col("numpoints") =!= 0, col("slopestdev") / col("numpoints"))
+          .otherwise(lit(Double.NaN)) / 2.0 * 2048.0).as("slope_stderr"),
+        col("mjd"), col("targname"),
+        concat_ws("-", col("bin_lo").cast("string"),
+          col("bin_hi").cast("string")).as("fluxbin"))
+  }
+
+  /** The fitvals publish table (uvis_external_cte_plots.py:697-704,
+    * 763-776): the fitted 9-coefficient surface evaluated on the
+    * reference's flux grid (100 points, log10flux = k/50 + 2.5) at a
+    * given epoch — columns (cteloss, logflux) per targname, exactly the
+    * *fitvals.txt artifact content. */
+  def fitvalsTable(coeffs: DataFrame, epoch: Double,
+                   epochOffset: Double = 55400.0): DataFrame = {
+    val c = (0 until 9).map(k => col(s"c$k"))
+    coeffs
+      .select(col("targname") +: c: _*)
+      .withColumn("k", explode(sequence(lit(0), lit(99))))
+      .withColumn("logflux", col("k").cast("double") / 50.0 + 2.5)
+      .withColumn("cteloss",
+        modelEval(c, col("logflux"), lit(epoch - epochOffset)))
+      .select("targname", "cteloss", "logflux")
   }
 
   /** Round-half-even, matching `round(np.mean(...))` in the reference

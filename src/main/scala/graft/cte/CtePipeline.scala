@@ -55,6 +55,37 @@ class CtePipeline(spark: SparkSession, warehouse: String) {
     MergeWriter.upsertParquet(spark, path("phot"), rows,
       Seq("targname", "imagename", "find_id", "aperture"))
 
+  /** Ingest one image's IRAF-photometry pair: a DAOphot `.mag` file (long
+    * star×aperture rows with A11's totbkgrd = AREA×MSKY) plus its `.coo`
+    * catalog match file. The nth coo row belongs to the star with
+    * find_id n — the reference aligns them by position, not key
+    * (database_update.py:481-485). */
+  def ingestIrafPhot(magPath: String, cooPath: String, targname: String,
+                     imagename: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mag = TsvTables.readDaophotMag(spark, magPath)
+    val cooSchema = StructType(Seq(
+      StructField("master_id", IntegerType),
+      StructField("extr_ra", DoubleType),
+      StructField("extr_dec", DoubleType)))
+    // coo files are dimension-sized (one per image); zipWithIndex on a
+    // single partition keeps the file's row order authoritative.
+    val cooIdx = spark.createDataFrame(
+      TsvTables.readNamed(spark, cooPath, cooSchema)
+        .coalesce(1).rdd.zipWithIndex.map { case (r, i) =>
+          Row(r.getInt(0), r.getDouble(1), r.getDouble(2), i + 1L) },
+      StructType(cooSchema.fields :+ StructField("rn", LongType)))
+    val rows = mag.join(cooIdx, mag("find_id") === cooIdx("rn"))
+      .select(col("find_id"), lit(imagename).as("imagename"),
+        current_date().as("ingest_date"), col("master_id"),
+        col("xpix"), col("ypix"),
+        col("extr_ra").as("ra"), col("extr_dec").as("dec"),
+        col("aperture"), col("flux"), col("mnbkgrd"), col("totbkgrd"),
+        lit(targname).as("targname"))
+    ingestPhot(rows)
+  }
+
   // ---- stage 2: analytics
 
   /** Compute CTE slopes for one target and upsert into `results`. */
@@ -90,14 +121,37 @@ class CtePipeline(spark: SparkSession, warehouse: String) {
 
   // ---- stage 3: publish
 
-  /** Write the slopes + coefficients TSV artifacts (S6). */
+  /** Write the reference's derived text artifacts (S6): slopes, polyfit
+    * coefficients, the per-star sigma-clipped flux ratios
+    * (*fluxratios.txt), the cteVStime table (the monitor's primary
+    * product), and the model fit values on the flux grid (*fitvals.txt)
+    * evaluated at the latest combined epoch. */
   def publish(targname: String, outDir: String): Unit = {
     TsvTables.write(
       table("results").filter(col("targname") === targname)
         .orderBy("imagename_1", "imagename_2", "aperture", "bin_lo"),
       s"$outDir/${targname}_slopes")
-    TsvTables.write(computeCoefficients(targname),
-      s"$outDir/${targname}_coeffs")
+    val coeffs = computeCoefficients(targname)
+    TsvTables.write(coeffs, s"$outDir/${targname}_coeffs")
+    TsvTables.write(
+      CteAnalytics.clippedRatios(table("phot"), table("fileinfo"), targname)
+        .orderBy("imagename_1", "imagename_2", "aperture", "bin_lo", "master_id"),
+      s"$outDir/${targname}_fluxratios")
+    TsvTables.write(
+      CteAnalytics.cteVsTime(
+          table("results").filter(col("targname") === targname),
+          table("fileinfo"))
+        .orderBy("aperture", "mjd", "fluxbin"),
+      s"$outDir/${targname}_cteVStime")
+    // Latest combined epoch — "Users should be using coefficients from
+    // the latest epoch" (uvis_external_cte_plots.py:612-613); the epoch
+    // list is dimension-sized.
+    val latestEpoch = CteAnalytics
+      .epochCohorts(table("fileinfo"), targname)
+      .agg(max(col("epoch"))).collect()(0).getDouble(0)
+    TsvTables.write(
+      CteAnalytics.fitvalsTable(coeffs, latestEpoch).orderBy("logflux"),
+      s"$outDir/${targname}_fitvals")
   }
 
   /** Full run for one target: analytics + publish (ingest is per-source

@@ -234,6 +234,64 @@ object Statistical extends QueryPack {
        |             *(CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))) / 10.0 AS std_tenth
        |FROM c1 GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // -- a14: the cteVStime aggregation shape (uvis_external_cte_plots.py:
+  //    312-424, 1297-1445, ported in cte.CteAnalytics.cteVsTime): grouped
+  //    regression slopes joined back to a broadcast dimension for their
+  //    observation keys, corrected to full chip height ((x/2)·2048),
+  //    stderr divided by n (the reference's own convention there), and
+  //    restricted to a tracked key list. Every op is IEEE-exact
+  //    (division, multiply by a power of two) — hash-stable.
+  private val a14CteVsTime: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_suppkey"),
+      col("l_quantity").cast("long").as("x"),
+      Exact.dec2(col("l_extendedprice")).as("y"))
+    val m = li.groupBy("l_suppkey").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"),
+      sum((col("y") * col("x")).cast(DecimalType(38, 2))).as("sxy"))
+    val dn = col("n").cast("double")
+    val slope = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / dn) /
+      (col("sxx").cast("double") -
+       col("sx").cast("double") * col("sx").cast("double") / dn)
+    val dim = Tables.supplier(s, dir)
+      .filter(col("s_nationkey") < 10) // the tracked-bin-list analog
+      .select(col("s_suppkey"), col("s_nationkey"))
+    m.filter(col("n") >= 3)
+      .withColumn("slope_raw", slope)
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("s_suppkey"), col("s_nationkey"),
+        (col("slope_raw") / 2.0 * 2048.0).as("slope_2048"),
+        (col("slope_raw") / dn).as("slope_per_n"),
+        col("n"))
+      .orderBy("s_suppkey")
+  }
+
+  private val a14Sql =
+    """WITH m AS (
+      |  SELECT l_suppkey, count(*) AS n,
+      |         sum(CAST(l_quantity AS BIGINT)) AS sx,
+      |         sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS sxx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS BIGINT) AS DECIMAL(38,2))) AS sxy
+      |  FROM lineitem GROUP BY l_suppkey),
+      |r AS (
+      |  SELECT l_suppkey, n,
+      |         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+      |         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS slope_raw
+      |  FROM m WHERE n >= 3)
+      |SELECT s_suppkey, s_nationkey,
+      |       slope_raw / 2.0 * 2048.0 AS slope_2048,
+      |       slope_raw / CAST(n AS DOUBLE) AS slope_per_n,
+      |       n
+      |FROM r JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_nationkey < 10
+      |ORDER BY s_suppkey""".stripMargin
+
   // -- a6-moments: the distributed half of polyfit2d — exact Vandermonde
   //    moment accumulation Σ z·x^j·y^i per group (what the Aggregator's
   //    buffer holds), oracle-checkable because it is pure integer/decimal
@@ -340,7 +398,8 @@ object Statistical extends QueryPack {
     "a9_histogram_mean"   -> a9Histogram,
     "a6_gram_sums"        -> a6GramSums,
     "a6_polyfit2d"        -> a6PolyFit,
-    "a7_model_eval"       -> a7ModelEval)
+    "a7_model_eval"       -> a7ModelEval,
+    "a14_cte_vs_time"     -> a14CteVsTime)
 
   def oracles: Map[String, String] = Map(
     "a1_regression_slope" -> a1Sql,
@@ -348,5 +407,6 @@ object Statistical extends QueryPack {
     "a4_bin_clip_mean"    -> a4Sql,
     "a9_histogram_mean"   -> a9Sql,
     "a6_gram_sums"        -> a6GramSql,
-    "a7_model_eval"       -> a7Sql)
+    "a7_model_eval"       -> a7Sql,
+    "a14_cte_vs_time"     -> a14Sql)
 }

@@ -73,6 +73,64 @@ class CteAnalyticsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("clippedRatios publishes the per-star fluxratios artifact content") {
+    val res = CteAnalytics.clippedRatios(ph, fi, CteFixtures.T)
+      .filter(col("aperture") === 3 && col("bin_lo") === 250)
+      .orderBy("master_id").collect()
+    // stars 1-4 in bin 250-500 all survive the clip; RAW fluxes, not
+    // cleaned: flux_chip1 = 10 + 300·(1 − 1e-4·100i), flux_chip2 = 310.
+    assert(res.length == 4)
+    res.zipWithIndex.foreach { case (r, i0) =>
+      val i = i0 + 1
+      assert(r.getAs[Int]("master_id") == i)
+      assert(math.abs(r.getAs[Double]("fluxratio_sigclpd") -
+        (1.0 - 1e-4 * 100 * i)) < 1e-12)
+      assert(math.abs(r.getAs[Double]("flux_chip1") -
+        (10.0 + 300.0 * (1.0 - 1e-4 * 100 * i))) < 1e-12)
+      assert(r.getAs[Double]("flux_chip2") == 310.0)
+      assert(r.getAs[Double]("bkgrd_chip1") == 10.0)
+      assert(r.getAs[Double]("ypos") == 100.0 * i)
+    }
+  }
+
+  test("cteVStime: chip-height correction, stderr/n, tracked bins, pair keys") {
+    val results = CteAnalytics.fluxRatioSlopes(ph, fi, CteFixtures.T)
+    val t = CteAnalytics.cteVsTime(results, fi)
+      .filter(col("aperture") === 3).orderBy("fluxbin").collect()
+    // Of the 3 bins with data at aperture 3, only 500-2000 is tracked
+    // (250-500 and 1000-2000 are not in the cteVStime color map); the
+    // two other tracked bins exist as 0-rows.
+    assert(t.map(_.getAs[String]("fluxbin")).toSeq ==
+      Seq("2000-8000", "500-2000", "8000-32000"))
+    val hit = t.find(_.getAs[String]("fluxbin") == "500-2000").get
+    assert(math.abs(hit.getAs[Double]("slope") - (-1e-4 / 2.0 * 2048.0)) < 1e-9)
+    assert(math.abs(hit.getAs[Double]("slope_stderr")) < 1e-6) // ≈0 (fp noise ×1024)
+    assert(hit.getAs[Double]("mjd") == 55000.0)
+    assert(hit.getAs[String]("targname") == CteFixtures.T)
+    assert(hit.getAs[String]("exp_length") == "s") // exptime 60 ≤ 60
+    assert(hit.getAs[String]("filter") == "F502N")
+    // empty tracked bins: slope 0 corrected stays 0, stderr NaN (n=0)
+    val empty = t.find(_.getAs[String]("fluxbin") == "2000-8000").get
+    assert(empty.getAs[Double]("slope") == 0.0)
+    assert(empty.getAs[Double]("slope_stderr").isNaN)
+  }
+
+  test("fitvals: the 100-point flux grid evaluates the fitted surface") {
+    import spark.implicits._
+    // c0=0.2, c1 (logflux) = 0.1, c3 (epoch) = 0.01 — rest 0.
+    val coeffs = Seq(("t", 0.2, 0.1, 0.0, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0))
+      .toDF("targname", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8")
+    val fv = CteAnalytics.fitvalsTable(coeffs, epoch = 55500.0)
+      .orderBy("logflux").collect()
+    assert(fv.length == 100)
+    assert(fv.head.getAs[Double]("logflux") == 2.5)
+    assert(math.abs(fv.last.getAs[Double]("logflux") - 4.48) < 1e-12)
+    fv.foreach { r =>
+      val want = 0.2 + 0.1 * r.getAs[Double]("logflux") + 0.01 * 100.0
+      assert(math.abs(r.getAs[Double]("cteloss") - want) < 1e-9)
+    }
+  }
+
   test("epoch merge is pairwise and non-transitive, with banker's rounding") {
     // [0,20,25]: 0+20 merge → 10, then 25 stands alone (NOT one session).
     assert(CteAnalytics.combineEpochs(Seq(0.0, 20.0, 25.0)) == Seq(10.0, 25.0))
