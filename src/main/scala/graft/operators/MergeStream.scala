@@ -50,8 +50,11 @@ object MergeStream extends QueryPack {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
-  // -- st2: native session_window (30-min gap) — must agree with the
-  //    hand-rolled lag/gap sessionization (a5) computed in the oracle.
+  // -- st2: native session_window — must agree with the hand-rolled
+  //    lag/gap sessionization (a5) computed in the oracle. The Spark gap
+  //    is 30 min + 1 ms (see EventStream.sessionWindows) so the split
+  //    rule is exactly `gap > 1800000 ms` on both sides; the oracle's
+  //    session_end carries the same +1 ms.
   private val st2Session: Q = (s, dir) =>
     EventStream.sessionWindows(Tables.events(s, dir))
       .orderBy("user_id", "session_start")
@@ -69,7 +72,7 @@ object MergeStream extends QueryPack {
       |                          ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM g)
       |SELECT user_id, min(ts) AS session_start,
-      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       max(ts) + INTERVAL '1800001 milliseconds' AS session_end,
       |       count(*) AS n_events
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 

@@ -24,12 +24,38 @@ object MergeWriter {
   def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     target.join(updates, keys, "left_anti").unionByName(updates)
 
+  /** If a previous upsert crashed mid-swap, put the table back: a
+    * complete tmp (its _SUCCESS marker exists) wins — it holds the merged
+    * new version — else the retired old version is restored. Called
+    * automatically by upsertParquet; call directly before reads if a
+    * crash is suspected. Single-writer is assumed throughout (the
+    * reference is single-writer too — SQLite, README.md:850-866);
+    * concurrent readers during the swap window need a catalog/lakehouse
+    * layer instead. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(path)
+    val tmp = new Path(path + ".__tmp__")
+    val old = new Path(path + ".__old__")
+    if (!fs.exists(cur)) {
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) fs.rename(tmp, cur)
+      else if (fs.exists(old)) fs.rename(old, cur)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old) && fs.exists(cur)) fs.delete(old, true)
+  }
+
   /** Parquet-backed upsert: read current table state (absent → empty),
-    * merge, write fresh, atomically swap directories. Partition-scoped
-    * overwrite at scale: pass the partition subdir as `path` so only the
-    * touched partition rewrites. */
+    * merge, write fresh, swap directories with crash recovery. The swap
+    * itself is two renames (no distributed FS offers an atomic directory
+    * exchange); every crash point is covered by `recover`: before the
+    * first rename the current version is intact, between them the
+    * complete tmp is promoted, after them only the retired copy is left
+    * to sweep. Partition-scoped overwrite at scale: pass the partition
+    * subdir as `path` so only the touched partition rewrites. */
   def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
                     keys: Seq[String]): Unit = {
+    recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
     val merged =

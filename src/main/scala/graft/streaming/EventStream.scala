@@ -25,11 +25,16 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
-  /** Gap-based sessions per user via native `session_window` (30-minute
-    * gap) — the streaming-native form of the a5 sessionization. */
+  /** Gap-based sessions per user via native `session_window` — the
+    * streaming-native form of the a5 sessionization. The gap is 30 min
+    * PLUS 1 ms: Spark's session window is end-exclusive (an event exactly
+    * `gap` after the last one starts a NEW session) while a5 and the st2
+    * oracle split only when the gap EXCEEDS 30 min — the extra
+    * millisecond makes the two rules agree at the exact boundary. */
   def sessionWindows(events: DataFrame): DataFrame =
     events
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .groupBy(session_window(col("ts"), "1800001 milliseconds").as("w"),
+               col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
               col("w.end").as("session_end"), col("n_events"))

@@ -44,6 +44,34 @@ class MergeWriterSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("recover promotes a complete tmp after a mid-swap crash") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rec1").toString + "/t"
+    // simulate: old = v1 (retired), tmp = v2 (complete, _SUCCESS), cur gone
+    Seq((1, "v1")).toDF("k", "s").write.parquet(dir + ".__old__")
+    Seq((1, "v2"), (2, "v2")).toDF("k", "s").write.parquet(dir + ".__tmp__")
+    MergeWriter.recover(spark, dir)
+    val got = spark.read.parquet(dir).orderBy("k")
+      .collect().map(_.getString(1)).toSeq
+    assert(got == Seq("v2", "v2"))
+    // leftovers swept
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".__old__")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".__tmp__")))
+  }
+
+  test("recover restores the old version when tmp is incomplete") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rec2").toString + "/t"
+    Seq((1, "v1")).toDF("k", "s").write.parquet(dir + ".__old__")
+    // incomplete tmp: parquet dir without its _SUCCESS marker
+    Seq((1, "v2")).toDF("k", "s").write.parquet(dir + ".__tmp__")
+    Files.delete(java.nio.file.Paths.get(dir + ".__tmp__", "_SUCCESS"))
+    MergeWriter.recover(spark, dir)
+    val got = spark.read.parquet(dir).collect().map(_.getString(1)).toSeq
+    assert(got == Seq("v1"))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".__tmp__")))
+  }
+
   test("composite natural keys merge on the full key") {
     import spark.implicits._
     val target = Seq(("img1", 1, 1.0), ("img1", 2, 2.0)).toDF("img", "ap", "v")
