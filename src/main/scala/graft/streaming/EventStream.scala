@@ -25,6 +25,22 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Incremental-ingest sink: each micro-batch merges into a parquet
+    * table by natural key via `foreachBatch` + MergeWriter — the
+    * streaming form of the reference's `--pr 'last'` re-ingestion
+    * (README.md:498-521): re-delivered or re-stated rows upsert
+    * idempotently instead of duplicating. Returns the started query. */
+  def upsertStream(events: DataFrame, tablePath: String,
+                   keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.MergeWriter.upsertParquet(
+          batch.sparkSession, tablePath,
+          // within one micro-batch, last statement of a key wins
+          batch.dropDuplicates(keys), keys)
+      }
+      .start()
+
   /** Gap-based sessions per user via native `session_window` — the
     * streaming-native form of the a5 sessionization. The gap is 30 min
     * PLUS 1 ms: Spark's session window is end-exclusive (an event exactly

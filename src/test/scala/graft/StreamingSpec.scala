@@ -43,6 +43,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("foreachBatch upsert sink is idempotent across redeliveries") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_upstream")
+    val landing = root.resolve("landing")
+    Files.createDirectories(landing)
+    val table = root.resolve("table").toString
+
+    def drop(name: String, rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("event_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(landing.resolve(name).toString)
+
+    drop("b1", Seq((1L, "click", 1.0), (2L, "view", 2.0)))
+    val schema = spark.read.parquet(landing.resolve("b1").toString).schema
+    val q = EventStream.upsertStream(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(landing.toString),
+      table, Seq("event_id"))
+    q.processAllAvailable()
+    assert(spark.read.parquet(table).count() == 2)
+
+    // redelivery of key 2 (re-stated value) + a new key: upsert, not append
+    drop("b2", Seq((2L, "view", 99.0), (3L, "purchase", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(table).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 99.0), (3L, 3.0)))
+  }
+
   test("watermark evicts state in append mode (late data dropped)") {
     val q = EventStream.tumblingCounts(
         streamedEvents().withWatermark("ts", "1 hour"))
