@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *   3. publish: slope table + per-target polyfit coefficients as
   *      headered TSV artifacts (the reference's slopes/coeffs files).
   *
-  * Warehouse layout: `<root>/<table>` parquet dirs, `targname` carried as
-  * a column (partition by it at scale — the reference's 3× table fan-out
-  * becomes partition pruning). Natural keys exactly as the reference:
+  * Warehouse layout: `<root>/<table>` parquet dirs, hive-partitioned by
+  * `targname` (the reference's 3× per-target table fan-out becomes
+  * partition pruning — every `targname === …` filter prunes to one
+  * directory). Natural keys exactly as the reference:
   * master (targname, master_id), fileinfo (targname, imagename),
   * phot (targname, imagename, find_id, aperture),
   * results (targname, imagename_1, imagename_2, aperture, bin_lo, bin_hi).
@@ -40,20 +41,21 @@ class CtePipeline(spark: SparkSession, warehouse: String) {
         SchemaRegistry.master.fields.filter(_.name != "targname")))
       .withColumn("targname", lit(targname))
     MergeWriter.upsertParquet(spark, path("master"), raw,
-      Seq("targname", "master_id"))
+      Seq("targname", "master_id"), partitionCols = Seq("targname"))
   }
 
   /** Ingest fileinfo rows (already header-parsed upstream; S2). */
   def ingestFileinfo(rows: DataFrame): Unit =
     MergeWriter.upsertParquet(spark, path("fileinfo"), rows,
-      Seq("targname", "imagename"))
+      Seq("targname", "imagename"), partitionCols = Seq("targname"))
 
   /** Ingest long-format photometry (one row per source × aperture; the
     * reference's mag-file pivot state machine is unnecessary in long
     * form — A10 runs only in the wide compatibility view). */
   def ingestPhot(rows: DataFrame): Unit =
     MergeWriter.upsertParquet(spark, path("phot"), rows,
-      Seq("targname", "imagename", "find_id", "aperture"))
+      Seq("targname", "imagename", "find_id", "aperture"),
+      partitionCols = Seq("targname"))
 
   /** Ingest one image's IRAF-photometry pair: a DAOphot `.mag` file (long
     * star×aperture rows with A11's totbkgrd = AREA×MSKY) plus its `.coo`
@@ -97,7 +99,7 @@ class CtePipeline(spark: SparkSession, warehouse: String) {
       .withColumn("slopefile_path", lit(s"$warehouse/artifacts"))
     MergeWriter.upsertParquet(spark, path("results"), slopes,
       Seq("targname", "imagename_1", "imagename_2", "aperture",
-          "bin_lo", "bin_hi"))
+          "bin_lo", "bin_hi"), partitionCols = Seq("targname"))
     slopes
   }
 

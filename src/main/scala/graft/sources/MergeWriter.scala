@@ -54,7 +54,8 @@ object MergeWriter {
     * to sweep. Partition-scoped overwrite at scale: pass the partition
     * subdir as `path` so only the touched partition rewrites. */
   def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
-                    keys: Seq[String]): Unit = {
+                    keys: Seq[String],
+                    partitionCols: Seq[String] = Nil): Unit = {
     recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
@@ -62,7 +63,9 @@ object MergeWriter {
       if (fs.exists(cur)) merge(spark.read.parquet(path), updates, keys)
       else updates
     val tmp = new Path(path + ".__tmp__")
-    merged.write.mode("overwrite").parquet(tmp.toString)
+    val writer = merged.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(tmp.toString)
     val old = new Path(path + ".__old__")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(cur)) fs.rename(cur, old)

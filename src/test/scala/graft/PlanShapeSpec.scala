@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Guards on the physical-plan properties the engine's scale story relies
+  * on: predicate pushdown and column pruning reaching the parquet scans,
+  * no forced broadcast of fact-sized join sides, and partition pruning on
+  * the hive-partitioned CTE warehouse. These are the properties a 100×
+  * scale-up depends on — a regression here is invisible to row-level
+  * correctness checks. */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("s1: filters are pushed to the scan and the schema is pruned") {
+    val plan = executedPlan("s1_scan_filter_project")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("IsNotNull(l_shipdate)") ||
+           plan.contains("GreaterThanOrEqual(l_shipdate"))
+    // only the 5 projected + 3 filter-only columns may be read — the wide
+    // rest of lineitem (discount, tax, comment, …) must not appear.
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"))
+    assert(!readSchema.contains("l_discount"))
+  }
+
+  test("j1: no forced broadcast — strategy degrades to shuffle when stats say big") {
+    // With the auto-broadcast threshold off, the fact-to-fact join must
+    // plan as a shuffled join; a forced broadcast() hint on orders would
+    // ignore the threshold and keep a BroadcastHashJoin on the fact side.
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = executedPlan("j1_join_topk")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled fact join, got:\n$plan")
+    }
+  }
+
+  test("CTE warehouse: targname filter prunes hive partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val pipe = new cte.CtePipeline(spark, s"$root/wh")
+    pipe.ingestFileinfo(cte.CteFixtures.fileinfo(spark))
+    val other = cte.CteFixtures.fileinfo(spark)
+      .withColumn("targname", lit("ngc6791"))
+      .withColumn("imagename", concat(col("imagename"), lit("_b")))
+    pipe.ingestFileinfo(other)
+    val plan = pipe.table("fileinfo")
+      .filter(col("targname") === cte.CteFixtures.T)
+      .queryExecution.executedPlan.toString
+    // the scan must carry a partition filter, and only read matching rows
+    assert(plan.contains("PartitionFilters: [isnotnull(targname"), plan)
+    val n = pipe.table("fileinfo")
+      .filter(col("targname") === cte.CteFixtures.T).count()
+    assert(n == cte.CteFixtures.fileinfo(spark).count())
+  }
+
+  private def withConf(kv: (String, String))(body: => Unit): Unit = {
+    val (k, v) = kv
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally old match {
+      case Some(o) => spark.conf.set(k, o)
+      case None    => spark.conf.unset(k)
+    }
+  }
+}
