@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import graft.functions.VectorKernels
+import graft.functions.{DotProduct, VectorKernels}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -89,7 +89,7 @@ object Similarity extends QueryPack {
   //    corpus; top-5 neighbors per query by (cos desc, id asc).
   private val v1BruteTopk: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-      .withColumn("norm", VectorKernels.normUdf(col("embedding")))
+      .withColumn("norm", DotProduct.norm(col("embedding")))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
               col("norm").as("qnorm"))
@@ -97,7 +97,7 @@ object Similarity extends QueryPack {
                      col("norm").as("cnorm"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", VectorKernels.dotUdf(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("cos", DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -184,7 +184,7 @@ object Similarity extends QueryPack {
     val e = Tables.embeddings(s, dir)
       .withColumn("sig", VectorKernels.bucketUdf(sigPlanes, dims)(col("embedding")))
     val side = Tables.embeddings(s, dir)
-      .withColumn("norm", VectorKernels.normUdf(col("embedding")))
+      .withColumn("norm", DotProduct.norm(col("embedding")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     bandedCandidates(e)
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
@@ -192,7 +192,7 @@ object Similarity extends QueryPack {
         col("norm").as("qnorm")), "query_id")
       .join(side.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("norm").as("cnorm")), "neighbor_id")
-      .withColumn("cos", VectorKernels.dotUdf(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("cos", DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -240,7 +240,7 @@ object Similarity extends QueryPack {
     val e = Tables.embeddings(s, dir)
       .withColumn("sig", VectorKernels.bucketUdf(sigPlanes, dims)(col("embedding")))
     val side = Tables.embeddings(s, dir)
-      .withColumn("norm", VectorKernels.normUdf(col("embedding")))
+      .withColumn("norm", DotProduct.norm(col("embedding")))
     bandedCandidates(e)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
@@ -248,7 +248,7 @@ object Similarity extends QueryPack {
         col("norm").as("na")), "vec_a")
       .join(side.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
         col("norm").as("nb")), "vec_b")
-      .withColumn("cos", VectorKernels.dotUdf(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", DotProduct.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.3)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
