@@ -233,6 +233,47 @@ object Similarity extends QueryPack {
       |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  // -- v6: IVF search phase — the inverted-file complement to v4's
+  //    centroid build: vectors are grouped into cells (the corpus's
+  //    cluster labels = the inverted lists) and neighbor search runs only
+  //    within the query's cell, exact cosine + top-3 on the short list.
+  //    At scale, cell count grows with the corpus (k-means k ∝ √n is the
+  //    classic rule), keeping lists near-constant; the search is one
+  //    shuffle on the cell id. LSH (v3) needs no training; IVF gives
+  //    better recall/cost once centroids exist — the engine offers both.
+  private val v6IvfTopk: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("norm", DotProduct.norm(col("embedding")))
+    val a = e.select(col("label"), col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("norm").as("qnorm"))
+    val b = e.select(col("label"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("norm").as("cnorm"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    a.join(b, Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("label", "query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  private val v6Sql =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(${dotD("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.label, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ${dotD("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT label, query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM p)
+       |SELECT label, query_id, rank, neighbor_id, cos
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // -- v5: embedding near-duplicate pairs — cosine ≥ 0.3 on banded-LSH
   //    candidates (the embedding-space analog of d4's text LSH; same
   //    adaptive band machinery as v3).
@@ -270,12 +311,14 @@ object Similarity extends QueryPack {
     "v2_lsh_buckets"    -> v2LshBuckets,
     "v3_lsh_ann_topk"   -> v3LshTopk,
     "v4_label_centroids" -> v4Centroids,
-    "v5_embed_neardup"  -> v5NearDup)
+    "v5_embed_neardup"  -> v5NearDup,
+    "v6_ivf_topk"       -> v6IvfTopk)
 
   def oracles: Map[String, String] = Map(
     "v1_knn_brute_topk" -> v1Sql,
     "v2_lsh_buckets"    -> v2Sql,
     "v3_lsh_ann_topk"   -> v3Sql,
     "v4_label_centroids" -> v4Sql,
-    "v5_embed_neardup"  -> v5Sql)
+    "v5_embed_neardup"  -> v5Sql,
+    "v6_ivf_topk"       -> v6Sql)
 }
