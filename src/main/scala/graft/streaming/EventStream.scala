@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming event transforms (SURVEY.md §2.9 — the reference
   * is pure batch; this is the extension path for its incremental
@@ -24,6 +25,39 @@ object EventStream {
            sum(graft.Exact.dec2(col("value"))).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
+
+  /** Per-user running profile for the custom-state operator. */
+  case class UserProfile(userId: Long, nEvents: Long, totalValue: Double,
+                         lastTsMs: Long)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: a per-user profile
+    * (event count, value total, last-seen time) maintained ACROSS
+    * micro-batches — the state primitive that windowed aggregations can't
+    * express (arbitrary per-key accumulators, custom eviction). State is
+    * partitioned by user_id, so it scales horizontally with keys; pair
+    * with a timeout in production to bound the state store. Update mode:
+    * each batch emits the keys it touched with their new totals. */
+  def userProfiles(events: Dataset[(Long, Long, Double)])
+      : Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[UserProfile, UserProfile](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[UserProfile]) =>
+          val prev = state.getOption
+            .getOrElse(UserProfile(userId, 0L, 0.0, Long.MinValue))
+          var n = prev.nEvents
+          var tot = prev.totalValue
+          var last = prev.lastTsMs
+          rows.foreach { case (_, tsMs, v) =>
+            n += 1; tot += v; if (tsMs > last) last = tsMs
+          }
+          val next = UserProfile(userId, n, tot, last)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /** Incremental-ingest sink: each micro-batch merges into a parquet
     * table by natural key via `foreachBatch` + MergeWriter — the

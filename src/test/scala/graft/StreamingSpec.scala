@@ -73,6 +73,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Seq((1L, 1.0), (2L, 99.0), (3L, 3.0)))
   }
 
+  test("flatMapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_state")
+    val landing = root.resolve("landing")
+    Files.createDirectories(landing)
+
+    def drop(name: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "ts_ms", "value")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(landing.resolve(name).toString)
+
+    drop("b1", Seq((1L, 100L, 2.0), (1L, 200L, 3.0), (2L, 150L, 1.0)))
+    val schema = spark.read.parquet(landing.resolve("b1").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(landing.toString)
+      .as[(Long, Long, Double)]
+    val q = EventStream.userProfiles(stream)
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // second batch: user 1 returns, user 3 is new
+    drop("b2", Seq((1L, 300L, 5.0), (3L, 50L, 7.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    // update-mode memory sink: the LAST emission per user is its state
+    val fin = spark.table("profiles")
+      .groupBy("userId")
+      .agg(max(struct(col("nEvents"), col("totalValue"), col("lastTsMs")))
+        .as("s"))
+      .select(col("userId"), col("s.nEvents"), col("s.totalValue"),
+        col("s.lastTsMs"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(fin(1L) == ((3L, 10.0, 300L)))  // 2 events batch 1 + 1 in batch 2
+    assert(fin(2L) == ((1L, 1.0, 150L)))
+    assert(fin(3L) == ((1L, 7.0, 50L)))
+  }
+
   test("watermark evicts state in append mode (late data dropped)") {
     val q = EventStream.tumblingCounts(
         streamedEvents().withWatermark("ts", "1 hour"))
