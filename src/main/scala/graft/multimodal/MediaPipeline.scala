@@ -86,6 +86,71 @@ object MediaPipeline {
     }
   }
 
+  case class FrameStat(id: Long, frame_idx: Int, n_px: Int, mean_luma: Double)
+  case class ResizedRow(id: Long, out_w: Int, out_h: Int, pixels: Array[Int])
+
+  /** Frame sampling: cut each decoded plane into width×height frames and
+    * keep every `everyN`-th (video keyframe extraction shape). Emits one
+    * row per kept frame — a generator (1→N) stage, batched decode as in
+    * extractFeatures; the trailing partial frame is kept (n_px tells). */
+  def sampleFrames(media: Dataset[MediaRow], decoder: MediaDecoder,
+                   everyN: Int)(implicit spark: SparkSession): Dataset[FrameStat] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        val planes = decoder.decodeBatch(batch.map(_.payload))
+        batch.zip(planes).flatMap { case (row, plane) =>
+          val frameLen = row.meta.width * row.meta.height
+          plane.grouped(frameLen).zipWithIndex.collect {
+            case (px, idx) if idx % everyN == 0 =>
+              FrameStat(row.id, idx, px.length,
+                px.map(_.toLong).sum.toDouble / px.length)
+          }
+        }
+      }
+    }
+  }
+
+  /** Nearest-neighbor resize of a decoded plane (the standard thumbnail
+    * stage). Pure function of the plane — swap in a real interpolating
+    * resampler behind the same signature. */
+  def resizePlane(plane: Array[Int], w: Int, h: Int,
+                  outW: Int, outH: Int): Array[Int] = {
+    val out = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(h - 1, y * h / outH)
+      var x = 0
+      while (x < outW) {
+        val sx = math.min(w - 1, x * w / outW)
+        out(y * outW + x) = plane(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Batched resize over the corpus: decode → first frame → thumbnail.
+    * Planes shorter than one frame are zero-padded first (real codecs
+    * guarantee full frames; the stub's "frames" come from text bytes). */
+  def resizedThumbnails(media: Dataset[MediaRow], decoder: MediaDecoder,
+                        outW: Int, outH: Int)
+                       (implicit spark: SparkSession): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        val planes = decoder.decodeBatch(batch.map(_.payload))
+        batch.zip(planes).map { case (row, plane) =>
+          val frameLen = row.meta.width * row.meta.height
+          val frame = java.util.Arrays.copyOf(plane, frameLen)
+          ResizedRow(row.id, outW, outH,
+            resizePlane(frame, row.meta.width, row.meta.height, outW, outH))
+        }
+      }
+    }
+  }
+
   /** Shard-level batch geometry: rows hash to `nShards` shards (the unit a
     * real pipeline would co-locate per decoder instance); reports rows and
     * full/partial decode batches per shard. */

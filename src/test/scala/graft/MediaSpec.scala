@@ -38,6 +38,35 @@ class MediaSpec extends SparkSpecBase {
     }
   }
 
+  test("frame sampling keeps every Nth frame with exact per-frame means") {
+    implicit val s = spark
+    import s.implicits._
+    // payload of 10 bytes, frames of width 3 × height 1 → frames
+    // [1,2,3] [4,5,6] [7,8,9] [10]; everyN=2 keeps idx 0 and 2
+    val media = Seq(MediaRow(7L, "k",
+      Array.tabulate(10)(i => (i + 1).toByte), MediaMeta("m", 3, 1))).toDS()
+    val got = MediaPipeline.sampleFrames(media, FakeDecoder, everyN = 2)
+      .orderBy("frame_idx").collect()
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(got(0).mean_luma == 2.0)          // (1+2+3)/3
+    assert(got(1).mean_luma == 8.0)          // (7+8+9)/3
+    assert(got(1).n_px == 3)
+  }
+
+  test("nearest-neighbor resize halves a frame deterministically") {
+    implicit val s = spark
+    import s.implicits._
+    // 4×2 plane → 2×1 thumbnail picks pixels (0,0) and (0,2)
+    val plane = Array(10, 20, 30, 40, 50, 60, 70, 80)
+    assert(MediaPipeline.resizePlane(plane, 4, 2, 2, 1).toSeq == Seq(10, 30))
+    val media = Seq(MediaRow(1L, "k",
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80), MediaMeta("m", 4, 2))).toDS()
+    val thumb = MediaPipeline.resizedThumbnails(media, FakeDecoder, 2, 1)
+      .collect()(0)
+    assert(thumb.pixels.toSeq == Seq(10, 30))
+    assert(thumb.out_w == 2 && thumb.out_h == 1)
+  }
+
   test("streaming grouper: exact batch counts on a partition holding many shards") {
     implicit val s = spark
     import s.implicits._
