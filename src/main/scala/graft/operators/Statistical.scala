@@ -34,9 +34,12 @@ object Statistical extends QueryPack {
         count(lit(1)).as("_n"),
         sum(col("vdec")).as("_s"),
         sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).as("_ss"))
+      // _ss exceeds 2^53: a direct decimal→double cast double-rounds in
+      // at least one engine (probed: 547/2000 DuckDB mismatches); routing
+      // through a string makes both sides correctly-rounded → identical.
       .withColumn("_mean", col("_s").cast("double") / col("_n").cast("double"))
       .withColumn("_std",
-        sqrt(col("_ss").cast("double") / col("_n").cast("double") -
+        sqrt(col("_ss").cast("string").cast("double") / col("_n").cast("double") -
              col("_mean") * col("_mean")))
     df.join(broadcast(stats), groupCols)
       .filter(col("vd") >= col("_mean") - lit(k) * col("_std") &&
@@ -50,7 +53,7 @@ object Statistical extends QueryPack {
     s"""$sOut AS (
        |  SELECT $groups, count(*) AS n,
        |         CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean,
-       |         sqrt(CAST(sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+       |         sqrt(CAST(CAST(sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)/CAST(count(*) AS DOUBLE)
        |              - (CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))
        |               *(CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))) AS std
        |  FROM $in GROUP BY $groups),
@@ -76,8 +79,11 @@ object Statistical extends QueryPack {
       sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"))
     val dn = col("n").cast("double")
     val dsx = col("sx").cast("double"); val dsxx = col("sxx").cast("double")
-    val dsy = col("sy").cast("double"); val dsxy = col("sxy").cast("double")
-    val dsyy = col("syy").cast("double")
+    // sxy/syy exceed 2^53 — string-routed casts are correctly rounded on
+    // both engines (see clipPass note); the narrower moments stay native.
+    val dsy = col("sy").cast("double")
+    val dsxy = col("sxy").cast("string").cast("double")
+    val dsyy = col("syy").cast("string").cast("double")
     val sxxc = dsxx - dsx * dsx / dn
     val sxyc = dsxy - dsx * dsy / dn
     val syyc = dsyy - dsy * dsy / dn
@@ -103,7 +109,8 @@ object Statistical extends QueryPack {
       |  SELECT l_suppkey, n,
       |         CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
       |         CAST(sxx AS DOUBLE) AS dsxx, CAST(sy AS DOUBLE) AS dsy,
-      |         CAST(sxy AS DOUBLE) AS dsxy, CAST(syy AS DOUBLE) AS dsyy
+      |         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy,
+      |         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy
       |  FROM m WHERE n >= 3),
       |c AS (
       |  SELECT l_suppkey, n, dn, dsx, dsy,
@@ -146,7 +153,7 @@ object Statistical extends QueryPack {
            sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).as("_ss"))
       .withColumn("clip_mean", col("_s").cast("double") / col("n_kept").cast("double"))
       .withColumn("clip_std",
-        sqrt(col("_ss").cast("double") / col("n_kept").cast("double") -
+        sqrt(col("_ss").cast("string").cast("double") / col("n_kept").cast("double") -
              col("clip_mean") * col("clip_mean")))
       .drop("_s", "_ss")
       .orderBy(groups.head, groups.tail: _*)
@@ -160,7 +167,7 @@ object Statistical extends QueryPack {
        |${clipPassSql("c2", g, "4.0", "s3", "c3")}
        |SELECT $g, count(*) AS n_kept,
        |       CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS clip_mean,
-       |       sqrt(CAST(sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+       |       sqrt(CAST(CAST(sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)/CAST(count(*) AS DOUBLE)
        |            - (CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))
        |             *(CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))) AS clip_std
        |FROM c3 GROUP BY $g ORDER BY $g""".stripMargin
@@ -217,7 +224,7 @@ object Statistical extends QueryPack {
            sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).as("_ss"))
       .withColumn("mean_v", col("_s").cast("double") / col("n").cast("double"))
       .withColumn("std_tenth",
-        sqrt(col("_ss").cast("double") / col("n").cast("double") -
+        sqrt(col("_ss").cast("string").cast("double") / col("n").cast("double") -
              col("mean_v") * col("mean_v")) / lit(10.0))
       .drop("_s", "_ss")
       .orderBy("bucket")
@@ -229,7 +236,7 @@ object Statistical extends QueryPack {
        |${clipPassSql("c0", "bucket", "4.0", "s1", "c1")}
        |SELECT bucket, count(*) AS n,
        |       CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_v,
-       |       sqrt(CAST(sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+       |       sqrt(CAST(CAST(sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)/CAST(count(*) AS DOUBLE)
        |            - (CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))
        |             *(CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))) / 10.0 AS std_tenth
        |FROM c1 GROUP BY bucket ORDER BY bucket""".stripMargin
