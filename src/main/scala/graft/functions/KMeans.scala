@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native Lloyd's k-means over `array<float>` embeddings — the
+  * IVF *training* stage (centroid set) feeding the v4 build / v6 search
+  * pair. Deliberately plan-level, not MLlib: each iteration is
+  *
+  *   assign: corpus ⋈ broadcast(centroids) → argmin squared distance
+  *           (one scan, k·dims flops per row, no shuffle of the corpus);
+  *   update: groupBy(cell) of posexploded vectors → per-dim means
+  *           (one shuffle on (cell, pos), map-side combined).
+  *
+  * Centroids are k·dims doubles — driver-safe for any realistic k; the
+  * corpus is never collected. Initialization is deterministic (first k
+  * distinct vec_ids by id order), so runs are reproducible.
+  */
+object KMeans {
+
+  /** One row per (cell, pos) — the long-format centroid table. */
+  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val corpus = embeddings.select("vec_id", "embedding")
+
+    // deterministic seed: the k lowest vec_ids
+    var centroids = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").cast("int").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cell"), col("pos"),
+        col("v").cast("double").as("mean_v"))
+      .groupBy("cell", "pos").agg(first(col("mean_v")).as("mean_v"))
+    // re-number cells 0..k-1 for stability
+    val cellIds = Window.orderBy("cell")
+    centroids = centroids
+      .withColumn("cell", dense_rank().over(cellIds) - 1)
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(corpus, centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v").cast("double")).as("mean_v"))
+      centroids.persist() // cut the per-iteration lineage growth
+      centroids.count()
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: adds a `cell` column. The centroid table
+    * pivots to dense arrays and broadcasts; distance is ‖e‖²-free argmin
+    * over −2·e·c + ‖c‖² (monotone-equivalent, one dot per cell). */
+  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
+        .as("pv"))
+      .select(col("cell"),
+        expr("transform(pv, x -> CAST(x.mean_v AS FLOAT))").as("centroid"))
+      .withColumn("cnorm2", DotProduct.dot(col("centroid"), col("centroid")))
+    val w = Window.partitionBy("vec_id").orderBy(col("score"), col("cell"))
+    embeddings.crossJoin(broadcast(cents))
+      .withColumn("score",
+        col("cnorm2") - lit(2.0) * DotProduct.dot(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("score", "rn", "centroid", "cnorm2")
+  }
+
+  /** Within-cluster sum of squared distances — the convergence metric. */
+  def cost(embeddings: DataFrame, centroids: DataFrame): Double = {
+    val assigned = assign(embeddings, centroids)
+    val cents = centroids.groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
+        .as("pv"))
+      .select(col("cell"),
+        expr("transform(pv, x -> CAST(x.mean_v AS FLOAT))").as("centroid"))
+    assigned.join(broadcast(cents), "cell")
+      .withColumn("d2",
+        DotProduct.dot(col("embedding"), col("embedding")) -
+        lit(2.0) * DotProduct.dot(col("embedding"), col("centroid")) +
+        DotProduct.dot(col("centroid"), col("centroid")))
+      .agg(sum(col("d2"))).collect()(0).getDouble(0)
+  }
+}
