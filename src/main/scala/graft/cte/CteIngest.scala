@@ -50,9 +50,14 @@ object CteIngest {
     val is180 = stripped.contains("6583")
 
     // Effective flash level: FLASHLVL only when FLASHSTA says the flash
-    // fired; some FLCs lack the keyword entirely (:280-291).
+    // fired; some FLCs lack the keyword entirely (:280-291). A successful
+    // flash with a MISSING level keyword reads as 0 — the reference would
+    // KeyError there; treating it as 0 routes the row through the pf gate
+    // instead of crashing the ingest (or silently null-skipping the gate).
     val flashOk = lower(col("flashsta")) === "successful"
-    val flashEff = when(flashOk, col("flashlvl").cast("int")).otherwise(lit(0))
+    val flashEff =
+      when(flashOk, coalesce(col("flashlvl").cast("int"), lit(0)))
+        .otherwise(lit(0))
 
     val absP2 = abs(col("postarg2"))
     val chip =

@@ -63,7 +63,8 @@ class CteIngestSpec extends SparkSpecBase {
       hdr("/d/a5_flt.fits", flashlvl = 12.0, postarg1 = 2.5), // x-dithered
       hdr("/d/a6_flt.fits", flashlvl = 12.0, postarg2 = 5.0), // sub-dither
       hdr("/d/a7_flt.fits", flashlvl = 12.0, postarg2 = 82.1), // good chip 1
-      hdr("/d/a8_flc.fits", flashlvl = 12.0)),                 // good chip 2, CTE-corr
+      hdr("/d/a8_flc.fits", flashlvl = 12.0),                  // good chip 2, CTE-corr
+      hdr("/d/a9_flt.fits", flashsta = "SUCCESSFUL", flashlvl = null)),
       p)
     assert(got("/d/a1_flt.fits").getAs[String]("gate") == "false_chinject")
     assert(got("/d/a2_flt.fits").getAs[String]("gate") == "false_pf")
@@ -73,6 +74,9 @@ class CteIngestSpec extends SparkSpecBase {
     assert(got("/d/a6_flt.fits").getAs[String]("gate") == "false_subdither")
     assert(got("/d/a7_flt.fits").getAs[String]("gate") == "ok")
     assert(got("/d/a8_flc.fits").getAs[String]("gate") == "ok")
+    // successful flash but MISSING level keyword → level 0 ≠ desired 12;
+    // the gate must fire rather than null-skip
+    assert(got("/d/a9_flt.fits").getAs[String]("gate") == "false_pf")
   }
 
   test("derived columns match the reference's formatting rules") {
