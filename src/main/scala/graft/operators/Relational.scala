@@ -260,8 +260,13 @@ object Relational extends QueryPack {
       |                 THEN 1 ELSE 0 END AS new_s
       |  FROM g),
       |sess AS (
-      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                             ROWS UNBOUNDED PRECEDING) AS session_id
+      |  -- CAST: DuckDB widens sum(int) to HUGEINT (int128); Spark emits
+      |  -- int64. The driver hashes the typed value, so the declared types
+      |  -- must match, not just the numeric values.
+      |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+      |                                  ORDER BY ts, event_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |            AS session_id
       |  FROM f)
       |SELECT user_id, session_id, count(*) AS n_events,
       |       min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms

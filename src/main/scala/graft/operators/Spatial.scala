@@ -115,7 +115,9 @@ object Spatial extends QueryPack {
     s"""WITH p AS ($pointsSql),
        |ap(center_id, cx, cy, r) AS (VALUES
        |  $apRows)
-       |SELECT center_id, r, count(*) AS n_points,
+       |-- CAST on r: the VALUES literals type as DECIMAL(3,1) in DuckDB
+       |-- while Spark's Seq[Double] column is DOUBLE; typed hash must agree.
+       |SELECT center_id, CAST(r AS DOUBLE) AS r, count(*) AS n_points,
        |       CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS aperture_sum
        |FROM p JOIN ap
        |  ON (p.x - cx)*(p.x - cx) + (p.y - cy)*(p.y - cy) <= r*r

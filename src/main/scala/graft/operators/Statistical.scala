@@ -338,8 +338,13 @@ object Statistical extends QueryPack {
       |  FROM lineitem),
       |t2 AS (SELECT l_returnflag, x, y, z, x*x AS x2, y*y AS y2 FROM t)
       |SELECT l_returnflag, count(*) AS n,
-      |       sum(x) AS sx, sum(y) AS sy, sum(x2) AS sx2,
-      |       sum(x*y) AS sxy, sum(y2) AS sy2,
+      |       -- CAST: DuckDB widens sum(BIGINT) to HUGEINT; Spark emits
+      |       -- int64. The driver hashes typed values, so declared types
+      |       -- must match.
+      |       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |       CAST(sum(x2) AS BIGINT) AS sx2,
+      |       CAST(sum(x*y) AS BIGINT) AS sxy,
+      |       CAST(sum(y2) AS BIGINT) AS sy2,
       |       CAST(sum(CAST(z*CAST(1 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sz,
       |       CAST(sum(CAST(z*CAST(x AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szx,
       |       CAST(sum(CAST(z*CAST(x2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szx2,

@@ -154,7 +154,9 @@ object WindowedScalar extends QueryPack {
       |       sqrt(l_quantity) AS sqrt_qty,
       |       abs(l_discount - 0.05) AS abs_disc_dev,
       |       (l_tax + 1.0) * (l_tax + 1.0) AS tax_sq,
-      |       floor(l_extendedprice / 1000.0) AS price_bucket,
+      |       -- CAST: DuckDB floor() returns DOUBLE, Spark floor() returns
+      |       -- BIGINT; the driver hashes typed values so they must agree.
+      |       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_bucket,
       |       fmod(l_quantity, 7.0) AS qty_mod7
       |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
 
