@@ -126,7 +126,7 @@ object CteAnalytics {
                 col("ratio") < col("_m") + lit(4.0) * col("_s"))
         .drop("_m", "_s")
     }
-    (matched, clipped)
+    (pairTable, clipped)
   }
 
   /** The survivors of bin + sigma-clip, row-per-star — the content of the
@@ -153,7 +153,7 @@ object CteAnalytics {
                       preds: Map[String, Any] = Map.empty): DataFrame = {
     val spark = photLong.sparkSession
     import spark.implicits._
-    val (matched, clipped) =
+    val (pairTable, clipped) =
       ratioPipeline(photLong, fileinfo, targname, clipRounds, preds)
     val binDf = SchemaRegistry.fluxBins.toDF("bin_lo", "bin_hi")
     val groups = Seq("imagename_1", "imagename_2", "aperture", "bin_lo", "bin_hi")
@@ -181,12 +181,15 @@ object CteAnalytics {
       (stderr * sqrt(dn)).as("slopestdev"),
       col("n").cast("int").as("numpoints"))
 
-    // All 8 bins per (pair, aperture) that has any matched photometry:
-    // bins emptied by binning/clipping get m=0, std=0, n=0
-    // (uvis_external_cte_plots.py:198-201 writes those rows, not NaN).
-    // The domain table is dimension-sized (pairs × apertures × 8).
-    val domain = matched
-      .select("imagename_1", "imagename_2", "aperture").distinct()
+    // All 14 apertures × 8 bins for EVERY processed pair: the reference's
+    // else-branch writes slope 0, stdev 0, numpoints 0 rows even for a
+    // (pair, aperture) with zero matched stars
+    // (uvis_external_cte_plots.py:198-201), so the domain comes from the
+    // pair table itself, not from matched photometry. It stays
+    // dimension-sized (pairs × 14 × 8).
+    val apDf = SchemaRegistry.apertures.toDF("aperture")
+    val domain = pairTable
+      .crossJoin(broadcast(apDf))
       .crossJoin(broadcast(binDf))
     domain.join(fitted, groups, "left")
       .select(

@@ -138,7 +138,9 @@ object CteIngest {
       col("chip"),
       col("postarg1"), col("postarg2"),
       col("flashdur"), col("flashcur"), col("shutrpos"),
-      when(exptimeI <= 60, "s").otherwise("l").as("length"), // :384-387
+      // Length classifies on the RAW float exptime (the reference compares
+      // `if exptime <= 60.` before any int cast, :384-387): 60.5 is long.
+      when(col("exptime") <= 60.0, "s").otherwise("l").as("length"),
       col("_ll._1").as("ra_lowerleft"), col("_ll._2").as("dec_lowerleft"),
       col("_lr._1").as("ra_lowerright"), col("_lr._2").as("dec_lowerright"),
       col("_ur._1").as("ra_upperright"), col("_ur._2").as("dec_upperright"),

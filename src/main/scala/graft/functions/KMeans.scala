@@ -36,14 +36,21 @@ object KMeans {
     centroids = centroids
       .withColumn("cell", dense_rank().over(cellIds) - 1)
 
+    // Each iteration persists its centroids to cut lineage growth; the
+    // previous iteration's cache is released once the new one is
+    // materialized. The RETURNED frame stays persisted — callers that are
+    // done with it should unpersist().
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val assigned = assign(corpus, centroids)
       centroids = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
         .agg(avg(col("v").cast("double")).as("mean_v"))
-      centroids.persist() // cut the per-iteration lineage growth
+      centroids.persist()
       centroids.count()
+      prev.foreach(_.unpersist())
+      prev = Some(centroids)
     }
     centroids
   }

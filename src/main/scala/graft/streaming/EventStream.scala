@@ -68,10 +68,19 @@ object EventStream {
                    keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Within one micro-batch the winner per key must be deterministic
+        // (dropDuplicates keeps an arbitrary row): rank all non-key
+        // columns descending and keep row 1, so replays of the same batch
+        // merge identically.
+        val nonKey = batch.columns.filterNot(keys.contains).toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(nonKey.map(c => col(c).desc_nulls_last): _*)
+        val dedup = batch
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
         graft.sources.MergeWriter.upsertParquet(
-          batch.sparkSession, tablePath,
-          // within one micro-batch, last statement of a key wins
-          batch.dropDuplicates(keys), keys)
+          batch.sparkSession, tablePath, dedup, keys)
       }
       .start()
 
