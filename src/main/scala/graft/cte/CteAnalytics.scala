@@ -100,6 +100,24 @@ object CteAnalytics {
       .join(p2, Seq("imagename_2", "master_id", "aperture"))
       .withColumn("ratio", col("clean_1") / col("clean_2"))
 
+    // The result domain: (pair, aperture) where BOTH chips returned
+    // photometry at that aperture — the reference's pre-match gate
+    // `fluxes_chip1 != [] and fluxes_chip2 != []`
+    // (uvis_external_cte_plots.py:1237); a pair/aperture failing it hits
+    // the "Entries missing in Phot table" branch (:1281-1283) and writes
+    // NO Results rows. The check is per chip BEFORE master-id matching:
+    // a pair whose chips both have stars but share no master_id still
+    // passes the gate and emits the 8 zero-bins. Existence is per
+    // (imagename, aperture) — image-count-sized, so the semi-joins stay
+    // broadcastable against the already-broadcast pair table.
+    val present = p.select(col("imagename"), col("aperture")).distinct()
+    val pairAp = pairTable
+      .join(present.select(col("imagename").as("imagename_1"),
+        col("aperture")), "imagename_1")
+      .join(present.select(col("imagename").as("imagename_2"),
+        col("aperture")), Seq("imagename_2", "aperture"), "left_semi")
+      .select("imagename_1", "imagename_2", "aperture")
+
     // Overlapping flux bins: broadcast 1→N join, strict bounds on BOTH
     // chips' cleaned fluxes (the reference requires x > lo and x < hi for
     // chip1 AND chip2, uvis_external_cte_plots.py:162-166).
@@ -126,7 +144,7 @@ object CteAnalytics {
                 col("ratio") < col("_m") + lit(4.0) * col("_s"))
         .drop("_m", "_s")
     }
-    (pairTable, clipped)
+    (pairAp, clipped)
   }
 
   /** The survivors of bin + sigma-clip, row-per-star — the content of the
@@ -153,7 +171,7 @@ object CteAnalytics {
                       preds: Map[String, Any] = Map.empty): DataFrame = {
     val spark = photLong.sparkSession
     import spark.implicits._
-    val (pairTable, clipped) =
+    val (pairAp, clipped) =
       ratioPipeline(photLong, fileinfo, targname, clipRounds, preds)
     val binDf = SchemaRegistry.fluxBins.toDF("bin_lo", "bin_hi")
     val groups = Seq("imagename_1", "imagename_2", "aperture", "bin_lo", "bin_hi")
@@ -181,16 +199,14 @@ object CteAnalytics {
       (stderr * sqrt(dn)).as("slopestdev"),
       col("n").cast("int").as("numpoints"))
 
-    // All 14 apertures × 8 bins for EVERY processed pair: the reference's
-    // else-branch writes slope 0, stdev 0, numpoints 0 rows even for a
-    // (pair, aperture) with zero matched stars
-    // (uvis_external_cte_plots.py:198-201), so the domain comes from the
-    // pair table itself, not from matched photometry. It stays
-    // dimension-sized (pairs × 14 × 8).
-    val apDf = SchemaRegistry.apertures.toDF("aperture")
-    val domain = pairTable
-      .crossJoin(broadcast(apDf))
-      .crossJoin(broadcast(binDf))
+    // All 8 bins for every POPULATED (pair, aperture): once both chips
+    // returned photometry, the reference writes a Results row for every
+    // bin — zero-filled where binning/clipping emptied it
+    // (uvis_external_cte_plots.py:198-201). (pair, aperture) combos
+    // where either chip has no phot rows at all never reach that loop
+    // (:1237, :1281-1283) and get NO rows. The domain stays
+    // dimension-sized (populated pairs × ≤14 × 8).
+    val domain = pairAp.crossJoin(broadcast(binDf))
     domain.join(fitted, groups, "left")
       .select(
         col("imagename_1"), col("imagename_2"), col("aperture"),

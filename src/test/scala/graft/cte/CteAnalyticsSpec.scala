@@ -14,11 +14,12 @@ class CteAnalyticsSpec extends SparkSpecBase {
     val res = CteAnalytics.fluxRatioSlopes(ph, fi, CteFixtures.T)
       .filter(col("aperture") === 3)
       .orderBy("bin_lo", "bin_hi").collect()
-    // All 8 bins emit a row per (pair, aperture) — empty ones as 0s
-    // (uvis_external_cte_plots.py:198-201) — including pair B, which has
-    // no photometry at all: the reference's else-branch still writes its
-    // 8 zero rows. 2 pairs × 8 bins.
-    assert(res.length == 16)
+    // All 8 bins emit a row for every POPULATED (pair, aperture) — empty
+    // bins as 0s (uvis_external_cte_plots.py:198-201). Pair B has no
+    // photometry, so it fails the pre-match per-chip gate (:1237) and
+    // takes the "Entries missing in Phot table" branch (:1281-1283):
+    // NO rows at all. 1 populated pair × 8 bins.
+    assert(res.length == 8)
     val hit = res.filter(_.getAs[Int]("numpoints") > 0)
     // stars 1-4 (clean 300·…) → bin 250-500; stars 5-8 (clean 1500·…)
     // land in BOTH overlapping bins 500-2000 and 1000-2000.
@@ -41,8 +42,10 @@ class CteAnalyticsSpec extends SparkSpecBase {
       .filter(col("aperture") === 5).collect()
     // clean 400/300 both in (250,500); ratio constant ⇒ scipy sigmaclip
     // empties the group (std 0 ⇒ strict bounds collapse) ⇒ every bin
-    // reports m=0, std=0, n=0 — for both pairs (pair B photometry-free).
-    assert(res.length == 16)
+    // reports m=0, std=0, n=0. Both chips DO have aperture-5 phot, so the
+    // pair passes the pre-match gate and emits its 8 zero rows; pair B
+    // (photometry-free) emits none.
+    assert(res.length == 8)
     res.foreach { r =>
       assert(r.getAs[Int]("numpoints") == 0)
       assert(r.getAs[Double]("slope") == 0.0)
@@ -101,11 +104,11 @@ class CteAnalyticsSpec extends SparkSpecBase {
       .filter(col("aperture") === 3).orderBy("fluxbin", "mjd").collect()
     // Of the 3 bins with data at aperture 3, only 500-2000 is tracked
     // (250-500 and 1000-2000 are not in the cteVStime color map); every
-    // tracked bin appears for BOTH pairs (pair B as 0-slope/NaN-stderr
-    // rows at its own epoch — the reference appends those too, :1401-1425).
+    // tracked bin appears for pair A (empty ones as 0-slope/NaN-stderr).
+    // Pair B produced no Results rows (no photometry ⇒ pre-match gate),
+    // so it contributes nothing here either.
     assert(t.map(_.getAs[String]("fluxbin")).toSeq ==
-      Seq("2000-8000", "2000-8000", "500-2000", "500-2000",
-          "8000-32000", "8000-32000"))
+      Seq("2000-8000", "500-2000", "8000-32000"))
     val hit = t.find(r => r.getAs[String]("fluxbin") == "500-2000" &&
       r.getAs[Double]("mjd") == 55000.0).get
     assert(math.abs(hit.getAs[Double]("slope") - (-1e-4 / 2.0 * 2048.0)) < 1e-9)

@@ -27,9 +27,9 @@ class CtePipelineSpec extends SparkSpecBase {
     // analytics (counts captured eagerly — table() plans are snapshots of
     // the warehouse dir and go stale across upsert swaps)
     val slopes = pipe.computeSlopes(CteFixtures.T)
-    // all 8 bins emitted per (pair, aperture) for BOTH pairs (pair B as
-    // zero rows); 3 carry data at aperture 3
-    assert(slopes.filter(col("aperture") === 3).count() == 16)
+    // all 8 bins emitted per populated (pair, aperture); pair B has no
+    // photometry ⇒ no rows (pre-match gate); 3 bins carry data
+    assert(slopes.filter(col("aperture") === 3).count() == 8)
     assert(slopes.filter(col("aperture") === 3 && col("numpoints") > 0)
       .count() == 3)
     val storedCount = pipe.table("results").count()
