@@ -7,12 +7,23 @@ object Bench {
     // Warm the JVM/codegen on EVERY query once at the smallest SF so the
     // timed pass measures the engine, not first-call classloading or
     // whole-stage-codegen compilation (those costs are per-plan-shape and
-    // would otherwise land on whichever query runs them first).
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // would otherwise land on whichever query runs them first). The warm
+    // dir is derived from the bench dir (sibling sf0.001) unless
+    // overridden, and warm-up failures are LOUD: a missing warm dir would
+    // silently shift codegen cost back into the timed pass.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      new java.io.File(sfDir).getParent + "/sf0.001")
+    var warmFailed = 0
+    SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        warmFailed += 1
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
     }
+    if (warmFailed > 0)
+      System.err.println(s"[bench] $warmFailed warm-up failures from $warmDir" +
+        " — timed pass includes first-call codegen for those queries")
     spark.catalog.clearCache()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

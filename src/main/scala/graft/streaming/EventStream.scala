@@ -69,16 +69,33 @@ object EventStream {
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Within one micro-batch the winner per key must be deterministic
-        // (dropDuplicates keeps an arbitrary row): rank all non-key
-        // columns descending and keep row 1, so replays of the same batch
-        // merge identically.
+        // (dropDuplicates keeps an arbitrary row), and it should be the
+        // LATEST event, matching the reference's last-statement-wins
+        // upsert: order by the event-time column(s) first, then the
+        // remaining non-key columns as a deterministic tie-break.
         val nonKey = batch.columns.filterNot(keys.contains).toSeq
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*)
-          .orderBy(nonKey.map(c => col(c).desc_nulls_last): _*)
-        val dedup = batch
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
+        val dedup =
+          if (nonKey.isEmpty) {
+            // every column is a key ⇒ same-key rows are identical; an
+            // ordered window over zero columns would throw.
+            batch.dropDuplicates(keys)
+          } else {
+            val isEventTime = batch.schema.fields.filter { f =>
+              nonKey.contains(f.name) && (f.dataType match {
+                case _: org.apache.spark.sql.types.TimestampType => true
+                case _: org.apache.spark.sql.types.TimestampNTZType => true
+                case _ => f.name == "ts" || f.name.endsWith("_ts") ||
+                  f.name.endsWith("ts_ms")
+              })
+            }.map(_.name).toSeq
+            val ordering = (isEventTime ++ nonKey.filterNot(isEventTime.contains))
+              .map(c => col(c).desc_nulls_last)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*)
+              .orderBy(ordering: _*)
+            batch.withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+          }
         graft.sources.MergeWriter.upsertParquet(
           batch.sparkSession, tablePath, dedup, keys)
       }

@@ -73,6 +73,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Seq((1L, 1.0), (2L, 99.0), (3L, 3.0)))
   }
 
+  test("upsert sink: latest event-time wins within a batch; all-key batches dedup") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_upwin")
+    val landing = root.resolve("landing")
+    Files.createDirectories(landing)
+    val table = root.resolve("table").toString
+
+    // Key 7 arrives twice in ONE batch: the older event has the
+    // lexicographically LARGER payload ("zzz"), so non-key ordering alone
+    // would pick the stale row — event-time-first ordering must win.
+    def drop(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("event_id", "ts_ms", "payload")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(landing.resolve(name).toString)
+    drop("b1", Seq((7L, 100L, "zzz"), (7L, 200L, "aaa")))
+    val schema = spark.read.parquet(landing.resolve("b1").toString).schema
+    val q = EventStream.upsertStream(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(landing.toString),
+      table, Seq("event_id"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((7L, 200L, "aaa")))
+
+    // Every column a key: duplicate rows collapse instead of throwing on
+    // an empty window ordering.
+    val root2 = Files.createTempDirectory("graft_upallkey")
+    val landing2 = root2.resolve("landing")
+    Files.createDirectories(landing2)
+    val table2 = root2.resolve("table").toString
+    Seq((1L, "a"), (1L, "a"), (2L, "b"))
+      .toDF("k1", "k2").coalesce(1).write.mode("overwrite")
+      .parquet(landing2.resolve("b1").toString)
+    val schema2 = spark.read.parquet(landing2.resolve("b1").toString).schema
+    val q2 = EventStream.upsertStream(
+      spark.readStream.schema(schema2)
+        .option("recursiveFileLookup", "true").parquet(landing2.toString),
+      table2, Seq("k1", "k2"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(table2).count() == 2)
+  }
+
   test("flatMapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_state")
