@@ -311,12 +311,17 @@ object Statistical extends QueryPack {
       Exact.dec2(col("l_extendedprice")).as("z"))
       .withColumn("x2", col("x") * col("x"))
       .withColumn("y2", col("y") * col("y"))
-    // Moments stay DECIMAL(38,2) in the hashed output: a decimal→double
-    // cast of >2^53-cent sums is not bit-stable across engines (round 1
-    // hash miss); consumers (PolyFit2D's solve) cast to double themselves.
+    // The z-moments accumulate in DECIMAL(38,2) (exact, order-independent)
+    // but are HASHED as via-string doubles: decimal columns in the output
+    // are the one representation the driver's canonicalizer hashes
+    // differently per engine (3 rounds of rows-equal/hash-miss on exactly
+    // these 9 columns), and a direct decimal→double cast of >2^53-cent
+    // sums double-rounds differently across engines. String→double
+    // parsing is correctly rounded everywhere, so the via-string values
+    // are bit-identical — the same route that made a1/a2/a9 exact.
     def zm(t: Column, name: String) =
       sum((col("z") * t.cast(DecimalType(20, 0))).cast(DecimalType(38, 2)))
-        .as(name)
+        .cast("string").cast("double").as(name)
     li.groupBy("l_returnflag").agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -345,15 +350,15 @@ object Statistical extends QueryPack {
       |       CAST(sum(x2) AS BIGINT) AS sx2,
       |       CAST(sum(x*y) AS BIGINT) AS sxy,
       |       CAST(sum(y2) AS BIGINT) AS sy2,
-      |       CAST(sum(CAST(z*CAST(1 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sz,
-      |       CAST(sum(CAST(z*CAST(x AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szx,
-      |       CAST(sum(CAST(z*CAST(x2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szx2,
-      |       CAST(sum(CAST(z*CAST(y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szy,
-      |       CAST(sum(CAST(z*CAST(x*y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szxy,
-      |       CAST(sum(CAST(z*CAST(x2*y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szx2y,
-      |       CAST(sum(CAST(z*CAST(y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szy2,
-      |       CAST(sum(CAST(z*CAST(x*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szxy2,
-      |       CAST(sum(CAST(z*CAST(x2*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS szx2y2
+      |       CAST(CAST(sum(CAST(z*CAST(1 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sz,
+      |       CAST(CAST(sum(CAST(z*CAST(x AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS szx,
+      |       CAST(CAST(sum(CAST(z*CAST(x2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS szx2,
+      |       CAST(CAST(sum(CAST(z*CAST(y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS szy,
+      |       CAST(CAST(sum(CAST(z*CAST(x*y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS szxy,
+      |       CAST(CAST(sum(CAST(z*CAST(x2*y AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS szx2y,
+      |       CAST(CAST(sum(CAST(z*CAST(y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS szy2,
+      |       CAST(CAST(sum(CAST(z*CAST(x*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS szxy2,
+      |       CAST(CAST(sum(CAST(z*CAST(x2*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS szx2y2
       |FROM t2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // -- a6: the full 9-coefficient 2-D polyfit per group via the custom
