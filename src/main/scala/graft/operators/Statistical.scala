@@ -380,6 +380,46 @@ object Statistical extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // -- a6-recovery: the ORACLE-CHECKABLE face of the 9-coefficient fit.
+  //    The solve itself is not ANSI-SQL-expressible, but its answer on a
+  //    planted exact-polynomial dataset is: generate z = poly(u, v) with
+  //    known coefficients over scaled lineitem coords, fit, and round to
+  //    6 dp — a correct distributed fit MUST recover the planted values,
+  //    so the oracle simply selects them as literals per group. Inputs
+  //    are scaled by powers of two (u = x/64 ∈ (0, 0.8], v = y/8 ∈
+  //    [-0.75, 0] — exact in binary fp) to keep the normal equations
+  //    well-conditioned: recovery error ~1e-10, six orders below the
+  //    rounding tolerance. Coefficients are dyadic rationals, so the
+  //    rounded doubles are bit-exact against the SQL literals.
+  private val plantedCoef =
+    Seq(2.0, 0.5, -0.25, 1.0, 0.125, 0.0625, -1.0, 0.5, 0.015625)
+
+  private val a6FitRecovery: Q = (s, dir) => {
+    val fit = udaf(PolyFit2D.udaf)
+    val u = col("l_quantity").cast("double") / 64.0
+    val v = (year(col("l_shipdate")) - lit(1998)).cast("double") / 8.0
+    val c = plantedCoef.map(lit)
+    val z = (c(0) + c(1) * u + c(2) * u * u) +
+      v * (c(3) + c(4) * u + c(5) * u * u) +
+      v * v * (c(6) + c(7) * u + c(8) * u * u)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), u.as("u"), v.as("v"), z.as("z"))
+      .groupBy("l_returnflag")
+      .agg(fit(col("u"), col("v"), col("z")).as("c"))
+      .select(col("l_returnflag") +:
+        (0 until 9).map(k =>
+          round(element_at(col("c"), k + 1), 6).as(s"c$k")): _*)
+      .orderBy("l_returnflag")
+  }
+
+  private val a6RecoverySql = {
+    val cols = plantedCoef.zipWithIndex
+      .map { case (c, k) => s"CAST($c AS DOUBLE) AS c$k" }
+      .mkString(", ")
+    s"""SELECT l_returnflag, $cols
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   // -- a7: model evaluation — the inverse of a6 (plot_model_on_reality.py:
   //    48-113): evaluate a fixed 9-coefficient surface at each row's
   //    (x, y), as a pure generated column (whole-stage codegen'd).
@@ -415,6 +455,7 @@ object Statistical extends QueryPack {
     "a9_histogram_mean"   -> a9Histogram,
     "a6_gram_sums"        -> a6GramSums,
     "a6_polyfit2d"        -> a6PolyFit,
+    "a6_fit_recovery"     -> a6FitRecovery,
     "a7_model_eval"       -> a7ModelEval,
     "a14_cte_vs_time"     -> a14CteVsTime)
 
@@ -424,6 +465,7 @@ object Statistical extends QueryPack {
     "a4_bin_clip_mean"    -> a4Sql,
     "a9_histogram_mean"   -> a9Sql,
     "a6_gram_sums"        -> a6GramSql,
+    "a6_fit_recovery"     -> a6RecoverySql,
     "a7_model_eval"       -> a7Sql,
     "a14_cte_vs_time"     -> a14Sql)
 }
