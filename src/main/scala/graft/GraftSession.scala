@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Whole-operator Catalyst extensions (grouped top-k strategy) via
+      // the standard deploy path — the same line a cluster spark-submit
+      // would carry in --conf.
+      .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")

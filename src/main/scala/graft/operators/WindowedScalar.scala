@@ -73,6 +73,31 @@ object WindowedScalar extends QueryPack {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin
 
+  // -- w4: grouped top-k via the custom Catalyst operator
+  //    (plans.GroupedTopK): k cheapest orders per customer. Same
+  //    semantics as the o4-style row_number window (the oracle uses it),
+  //    but the physical plan is partial-heap → exchange of ≤ groups×k
+  //    rows → final-heap instead of a full shuffle+sort of every row —
+  //    the 100 TB form of W1/O5. Ties are impossible: (totalprice,
+  //    orderkey) is total.
+  private val w4GroupedTopK: Q = (s, dir) =>
+    graft.plans.GroupedTopK.topK(
+      Tables.orders(s, dir)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+      Seq("o_custkey"), 3,
+      col("o_totalprice").asc, col("o_orderkey").asc)
+      .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+
+  private val w4Sql =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      |FROM r WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin
+
   // -- a12: count + recovered-fraction arithmetic
   //    (compare_idl_python.py:373-391): fraction of lineitems shipped late
   //    per returnflag, as 100·(1 − (n − n_late)/n).
@@ -236,6 +261,7 @@ object WindowedScalar extends QueryPack {
 
   def queries: Map[String, Q] = Map(
     "w3_latest_group"    -> w3LatestMonth,
+    "w4_grouped_topk"    -> w4GroupedTopK,
     "o4_first_per_group" -> o4FirstPerGroup,
     "o5_global_topk"     -> o5TopK,
     "a12_count_fraction" -> a12CountFraction,
@@ -247,6 +273,7 @@ object WindowedScalar extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "w3_latest_group"    -> w3Sql,
+    "w4_grouped_topk"    -> w4Sql,
     "o4_first_per_group" -> o4Sql,
     "o5_global_topk"     -> o5Sql,
     "a12_count_fraction" -> a12Sql,

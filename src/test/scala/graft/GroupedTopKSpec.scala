@@ -1,0 +1,78 @@
+package graft
+
+import graft.plans.{GroupedTopK, GroupedTopKExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GroupedTopKSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
+
+  // Deterministic skewed data: 40 groups, 0..79 rows each, value = a
+  // fixed permutation so heaps actually reorder; (g, id) is a total key.
+  private lazy val data = {
+    import spark.implicits._
+    (0 until 40).flatMap { g =>
+      (0 until (g * 2)).map { i =>
+        (g, (i * 7919 + g * 31) % 1000, i)
+      }
+    }.toDF("g", "score", "id")
+  }
+
+  test("matches the row_number window formulation, including k > group size") {
+    val k = 5
+    val got = GroupedTopK.topK(data, Seq("g"), k,
+        col("score").asc, col("id").asc)
+      .orderBy("g", "score", "id").collect().toSeq
+    val w = Window.partitionBy("g").orderBy(col("score").asc, col("id").asc)
+    val want = data.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+      .orderBy("g", "score", "id").collect().toSeq
+    assert(got == want)
+    // groups smaller than k return every row (g=1 has 2 rows)
+    assert(got.count(_.getInt(0) == 1) == 2)
+    // absent group stays absent (g=0 generated no rows)
+    assert(!got.exists(_.getInt(0) == 0))
+  }
+
+  test("descending order and multi-column grouping") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 1, 30.0), ("a", 1, 20.0),
+      ("a", 2, 5.0), ("b", 1, 7.0), ("b", 1, 6.0))
+      .toDF("k1", "k2", "v")
+    val got = GroupedTopK.topK(df, Seq("k1", "k2"), 2, col("v").desc)
+      .orderBy("k1", "k2", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 1, 20.0), ("a", 1, 30.0),
+      ("a", 2, 5.0), ("b", 1, 6.0), ("b", 1, 7.0)))
+  }
+
+  test("plan: two-phase exec around one exchange, no window, no sort") {
+    val plan = GroupedTopK.topK(data, Seq("g"), 3, col("score").asc,
+      col("id").asc)
+    plan.collect() // force AQE finalization
+    val executed = plan.queryExecution.executedPlan
+    val topks = collect(executed) { case e: GroupedTopKExec => e }
+    assert(topks.map(_.partial).sorted == Seq(false, true),
+      s"want partial+final, got:\n$executed")
+    val shuffles = collect(executed) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size == 1, s"want exactly 1 exchange, got:\n$executed")
+    assert(collect(executed) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("partial flush keeps results correct when group count exceeds the cap") {
+    spark.conf.set("spark.graft.topk.maxPartialGroups", "4")
+    try {
+      val got = GroupedTopK.topK(data, Seq("g"), 2,
+          col("score").asc, col("id").asc)
+        .orderBy("g", "score", "id").collect().toSeq
+      val w = Window.partitionBy("g").orderBy(col("score").asc, col("id").asc)
+      val want = data.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 2).drop("_rn")
+        .orderBy("g", "score", "id").collect().toSeq
+      assert(got == want)
+    } finally spark.conf.unset("spark.graft.topk.maxPartialGroups")
+  }
+}
