@@ -262,13 +262,112 @@ object Dedup extends QueryPack {
        |ORDER BY lang, source, doc_a, doc_b""".stripMargin
   }
 
+  // -- d7: cross-corpus decontamination — the train-vs-eval flavor of d4
+  //    (drop training docs that near-duplicate a held-out benchmark doc).
+  //    Same banded-LSH candidate generation, but the band join is
+  //    train × eval instead of a self-join, so fan-out is bounded by the
+  //    (small) eval corpus side per bucket; flagged docs aggregate to one
+  //    row each. Here the held-out set is the deterministic doc_id % 7
+  //    slice; in production it'd be a second table on the same schema.
+  private val d7Decontam: Q = (s, dir) => {
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextKernels.minhashSigsUdf(col("text")).as("sig"),
+      TextKernels.wordShingleHashesUdf(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist()
+    val bandCols = (0 until nBands).map { i =>
+      expr(s"struct(CAST($i AS INT) AS band_id, " +
+           s"(element_at(sig, ${2 * i + 1})*131 + element_at(sig, ${2 * i + 2})) % $P AS bh)")
+    }
+    val banded = base
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+              col("band.bh").as("bh"))
+    val cand = banded.filter(col("doc_id") % 7 =!= 0).as("a")
+      .join(banded.filter(col("doc_id") % 7 === 0).as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("train_doc"), col("b.doc_id").as("eval_doc"))
+      .distinct()
+    val sh = base.select(col("doc_id"), col("hs"))
+    cand
+      .join(sh.select(col("doc_id").as("train_doc"), col("hs").as("hs_a")), "train_doc")
+      .join(sh.select(col("doc_id").as("eval_doc"), col("hs").as("hs_b")), "eval_doc")
+      .withColumn("inter", TextKernels.intersectCountUdf(col("hs_a"), col("hs_b")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+        (expr("size(hs_a)") + expr("size(hs_b)") - col("inter")).cast("double"))
+      .filter(col("jac") >= expr(jacThreshold))
+      .groupBy("train_doc")
+      .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
+      .orderBy("train_doc")
+  }
+
+  private val d7Sql = {
+    val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      s"${TextPrims.minhashOne("hs", a, b, DuckD)} AS sig$k"
+    }
+    val bandSelects = (0 until nBands).map { i =>
+      s"SELECT doc_id, sh, $i AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh FROM sigs"
+    }
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         list_distinct(${shingleHashes(DuckD)}) AS hs
+       |  FROM documents),
+       |sigs AS (SELECT doc_id, hs AS sh, ${sigs.mkString(",\n       ")}
+       |         FROM h WHERE len(hs) > 0),
+       |banded AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh
+       |   AND a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0),
+       |j AS (
+       |  SELECT c.train_doc, c.eval_doc,
+       |         len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |         len(sa.sh) AS na, len(sb.sh) AS nb
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.train_doc
+       |  JOIN sigs sb ON sb.doc_id = c.eval_doc)
+       |SELECT train_doc, count(*) AS n_matches,
+       |       max(CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE)) AS max_jac
+       |FROM j WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) >= $jacThreshold
+       |GROUP BY train_doc ORDER BY train_doc""".stripMargin
+  }
+
+  // -- d8: deterministic stratified sampling — per-stratum keep rates on
+  //    a multiplicative hash of the key (no rand(), so re-runs and both
+  //    engines agree; no shuffle, no reservoir — the sample IS a filter,
+  //    which is the only shape that works when the corpus outgrows any
+  //    single reservoir). Here: 10% of 'en', 50% of everything else.
+  private val d8Stratified: Q = (s, dir) => {
+    val u = (col("doc_id") * lit(2654435761L)) % lit(1000003L) % lit(100L)
+    Tables.documents(s, dir)
+      .withColumn("u", u)
+      .filter((col("lang") === "en" && col("u") < 10) ||
+              (col("lang") =!= "en" && col("u") < 50))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  private val d8Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |         (doc_id * 2654435761) % 1000003 % 100 AS u
+      |  FROM documents)
+      |SELECT doc_id, lang, source FROM t
+      |WHERE (lang = 'en' AND u < 10) OR (lang <> 'en' AND u < 50)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "d1_exact_dedup_stats" -> d1ExactStats,
     "d2_prefix_dedup"      -> d2PrefixDedup,
     "d3_minhash_sig"       -> d3MinhashSig,
     "d4_lsh_neardup_pairs" -> d4LshPairs,
     "d5_simhash"           -> d5Simhash,
-    "d6_char_jaccard"      -> d6CharJaccard)
+    "d6_char_jaccard"      -> d6CharJaccard,
+    "d7_decontaminate"     -> d7Decontam,
+    "d8_stratified_sample" -> d8Stratified)
 
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup_stats" -> d1Sql,
@@ -276,5 +375,7 @@ object Dedup extends QueryPack {
     "d3_minhash_sig"       -> d3Sql,
     "d4_lsh_neardup_pairs" -> d4Sql,
     "d5_simhash"           -> d5Sql,
-    "d6_char_jaccard"      -> d6Sql)
+    "d6_char_jaccard"      -> d6Sql,
+    "d7_decontaminate"     -> d7Sql,
+    "d8_stratified_sample" -> d8Sql)
 }

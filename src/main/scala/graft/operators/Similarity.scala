@@ -95,11 +95,18 @@ object Similarity extends QueryPack {
               col("norm").as("qnorm"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
                      col("norm").as("cnorm"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+    // Score, slim to (query, neighbor, cos), then grouped top-k: the
+    // custom operator's partial heaps cut each scan partition to ≤ 5 rows
+    // per query BEFORE the exchange — the window formulation would
+    // shuffle and sort all n×q scored candidates. Rank is assigned after,
+    // over ≤ 5·queries rows (negligible).
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .select("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    graft.plans.GroupedTopK.topK(scored, Seq("query_id"), 5,
+        col("cos").desc, col("neighbor_id").asc)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
       .orderBy("query_id", "rank")
   }
@@ -186,15 +193,19 @@ object Similarity extends QueryPack {
     val side = Tables.embeddings(s, dir)
       .withColumn("norm", DotProduct.norm(col("embedding")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    bandedCandidates(e)
+    val scored = bandedCandidates(e)
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
       .join(side.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("norm").as("qnorm")), "query_id")
       .join(side.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("norm").as("cnorm")), "neighbor_id")
       .withColumn("cos", DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .select("query_id", "neighbor_id", "cos")
+    // grouped top-k before the rank window: shuffle ≤ 3 rows per query,
+    // not every surviving candidate pair (see v1).
+    graft.plans.GroupedTopK.topK(scored, Seq("query_id"), 3,
+        col("cos").desc, col("neighbor_id").asc)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
       .select("query_id", "rank", "neighbor_id", "cos")
       .orderBy("query_id", "rank")
   }
@@ -249,11 +260,14 @@ object Similarity extends QueryPack {
     val b = e.select(col("label"), col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"), col("norm").as("cnorm"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    a.join(b, Seq("label"))
+    val scored = a.join(b, Seq("label"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .select("label", "query_id", "neighbor_id", "cos")
+    // grouped top-k inside each inverted list's scored pairs (see v1).
+    graft.plans.GroupedTopK.topK(scored, Seq("query_id"), 3,
+        col("cos").desc, col("neighbor_id").asc)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
       .select("label", "query_id", "rank", "neighbor_id", "cos")
       .orderBy("query_id", "rank")
   }

@@ -148,15 +148,44 @@ object TextAnalysis extends QueryPack {
        |       substr(text, 1, 16) AS head
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- t5: repetition ratio — the boilerplate/SEO-spam signal every
+  //    corpus-quality filter carries (repeated tokens ⇒ low information):
+  //    1 − distinct/total tokens per doc. Pure scan arithmetic; the
+  //    division is exact-int → double, identical on both engines.
+  private val tRepetition: Q = (s, dir) => {
+    val toks = TextPrims.tokens("text", SparkD)
+    Tables.documents(s, dir)
+      .withColumn("n_tok", expr(s"size($toks)"))
+      .withColumn("n_uniq", expr(s"size(array_distinct($toks))"))
+      .filter(col("n_tok") > 0)
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_uniq").cast("double") / col("n_tok").cast("double"))
+      .select("doc_id", "n_tok", "n_uniq", "rep_ratio")
+      .orderBy("doc_id")
+  }
+
+  private val tRepetitionSql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    s"""WITH t AS (
+       |  SELECT doc_id, len($toks) AS n_tok,
+       |         len(list_distinct($toks)) AS n_uniq
+       |  FROM documents)
+       |SELECT doc_id, n_tok, n_uniq,
+       |       1.0 - CAST(n_uniq AS DOUBLE)/CAST(n_tok AS DOUBLE) AS rep_ratio
+       |FROM t WHERE n_tok > 0 ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "t1_token_count"  -> tTokenCount,
     "t2_quality_score" -> tQualityScore,
     "t3_lang_id"      -> tLangId,
-    "t4_fingerprint"  -> tFingerprint)
+    "t4_fingerprint"  -> tFingerprint,
+    "t5_repetition"   -> tRepetition)
 
   def oracles: Map[String, String] = Map(
     "t1_token_count"  -> tTokenSql,
     "t2_quality_score" -> tQualitySql,
     "t3_lang_id"      -> tLangSql,
-    "t4_fingerprint"  -> tFingerprintSql)
+    "t4_fingerprint"  -> tFingerprintSql,
+    "t5_repetition"   -> tRepetitionSql)
 }
