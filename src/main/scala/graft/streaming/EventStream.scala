@@ -26,6 +26,21 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Streaming exact dedup bounded by the watermark — the streaming face
+    * of the d1 batch dedup: re-delivered events (same natural key) inside
+    * the watermark horizon are dropped, and key state older than the
+    * horizon is EVICTED, so the state store is sized by the horizon and
+    * the key arrival rate, never by stream lifetime. (Unbounded
+    * `dropDuplicates` on a stream leaks state forever — the classic
+    * production OOM.) A key re-delivered after its state aged out is
+    * emitted again: the horizon is the dedup contract, pick it from the
+    * source's real re-delivery window. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           eventTime: String, horizon: String): DataFrame =
+    events
+      .withWatermark(eventTime, horizon)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Per-user running profile for the custom-state operator. */
   case class UserProfile(userId: Long, nEvents: Long, totalValue: Double,
                          lastTsMs: Long)

@@ -62,6 +62,27 @@ class GroupedTopKSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
     assert(collect(executed) { case w: WindowExec => w }.isEmpty)
   }
 
+  test("null group keys and null order values match the window semantics") {
+    import spark.implicits._
+    val df = Seq[(Option[String], Option[Int], Int)](
+      (None, Some(3), 1), (None, Some(1), 2), (None, None, 3),
+      (Some("g"), None, 4), (Some("g"), Some(2), 5), (Some("g"), None, 6))
+      .toDF("g", "score", "id")
+    val got = GroupedTopK.topK(df, Seq("g"), 2,
+        col("score").asc_nulls_last, col("id").asc)
+      .orderBy(col("g").asc_nulls_first, col("score").asc_nulls_last, col("id"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getInt(2))).toSeq
+    val w = Window.partitionBy("g")
+      .orderBy(col("score").asc_nulls_last, col("id").asc)
+    val want = df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2).drop("_rn")
+      .orderBy(col("g").asc_nulls_first, col("score").asc_nulls_last, col("id"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getInt(2))).toSeq
+    assert(got == want)
+    // the null group is a real group with its own top-2
+    assert(got.count(_._1.isEmpty) == 2)
+  }
+
   test("partial flush keeps results correct when group count exceeds the cap") {
     spark.conf.set("spark.graft.topk.maxPartialGroups", "4")
     try {

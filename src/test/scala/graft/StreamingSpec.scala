@@ -118,6 +118,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(table2).count() == 2)
   }
 
+  test("dropDuplicatesWithinWatermark: dedup inside horizon, evict beyond") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_wmdedup")
+    val landing = root.resolve("landing")
+    Files.createDirectories(landing)
+
+    def drop(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("event_id", "ts")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(landing.resolve(name).toString)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    drop("b1", Seq((1L, t("2026-01-01 10:00:00")),
+                   (1L, t("2026-01-01 10:00:00"))))  // same-batch dup
+    val schema = spark.read.parquet(landing.resolve("b1").toString).schema
+    val q = EventStream.dedupWithinWatermark(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(landing.toString),
+        Seq("event_id"), "ts", "30 minutes")
+      .writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2 pushes the watermark to 11:30 (12:00 − 30 min), ageing out
+    // key 1's state (expired 10:30)
+    drop("b2", Seq((2L, t("2026-01-01 12:00:00"))))
+    q.processAllAvailable()
+    // key 1 re-delivered AFTER its state evicted: emitted again — the
+    // horizon, not stream lifetime, is the dedup contract
+    drop("b3", Seq((1L, t("2026-01-01 12:01:00")),
+                   (2L, t("2026-01-01 12:01:00"))))  // key 2 still live: dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wmdedup")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSeq.sorted
+    assert(got == Seq(
+      (1L, "2026-01-01 10:00:00.0"),
+      (1L, "2026-01-01 12:01:00.0"),
+      (2L, "2026-01-01 12:00:00.0")))
+  }
+
   test("flatMapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_state")
