@@ -320,13 +320,58 @@ object Similarity extends QueryPack {
        |  AND ${dotD("sa.embedding", "sb.embedding")} / (sa.norm * sb.norm) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // -- v7: int8 scalar quantization — per-vector min/max affine codes,
+  //    the storage-compression step before ANN serving (4× smaller than
+  //    float32, 8× than double). Pure per-row transform, no shuffle.
+  //    Constant vectors (max = min) code to 0. The hashed output
+  //    summarizes the code array with exact BIGINT aggregates (sum,
+  //    position-weighted checksum, nonzero count) — list-vs-ndarray
+  //    string forms differ across engines, so arrays themselves never
+  //    appear in hashed output. The affine expression text is identical
+  //    on both sides: left-associative ((v−mn)/(mx−mn))·255, floor'd
+  //    BEFORE the int cast (DuckDB CAST(double) rounds half-even; on the
+  //    already-integral floor result the cast is exact everywhere).
+  private val v7Quantize: Q = (s, dir) => {
+    Tables.embeddings(s, dir)
+      .withColumn("mn", expr("CAST(array_min(embedding) AS DOUBLE)"))
+      .withColumn("mx", expr("CAST(array_max(embedding) AS DOUBLE)"))
+      .withColumn("codes", expr(
+        "transform(embedding, v -> CASE WHEN mx = mn THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(least(floor((CAST(v AS DOUBLE) - mn) / (mx - mn) * 255.0), 255.0) AS BIGINT) END)"))
+      .select(col("vec_id"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("code_sum"),
+        expr("aggregate(transform(codes, (x, i) -> x * (CAST(i AS BIGINT) + 1)), " +
+             "CAST(0 AS BIGINT), (a, x) -> a + x)").as("code_checksum"),
+        expr("CAST(size(filter(codes, x -> x > 0)) AS BIGINT)").as("n_nonzero"))
+      .orderBy("vec_id")
+  }
+
+  private val v7Sql =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |         CAST(list_max(embedding) AS DOUBLE) AS mx
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, v -> CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+      |           ELSE CAST(least(floor((CAST(v AS DOUBLE) - mn) / (mx - mn) * 255.0), 255.0) AS BIGINT) END) AS codes
+      |  FROM q)
+      |SELECT vec_id,
+      |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |       CAST(list_sum(list_transform(codes, (x, i) -> x * CAST(i AS BIGINT))) AS BIGINT) AS code_checksum,
+      |       CAST(len(list_filter(codes, x -> x > 0)) AS BIGINT) AS n_nonzero
+      |FROM c ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "v1_knn_brute_topk" -> v1BruteTopk,
     "v2_lsh_buckets"    -> v2LshBuckets,
     "v3_lsh_ann_topk"   -> v3LshTopk,
     "v4_label_centroids" -> v4Centroids,
     "v5_embed_neardup"  -> v5NearDup,
-    "v6_ivf_topk"       -> v6IvfTopk)
+    "v6_ivf_topk"       -> v6IvfTopk,
+    "v7_quantize"       -> v7Quantize)
 
   def oracles: Map[String, String] = Map(
     "v1_knn_brute_topk" -> v1Sql,
@@ -334,5 +379,6 @@ object Similarity extends QueryPack {
     "v3_lsh_ann_topk"   -> v3Sql,
     "v4_label_centroids" -> v4Sql,
     "v5_embed_neardup"  -> v5Sql,
-    "v6_ivf_topk"       -> v6Sql)
+    "v6_ivf_topk"       -> v6Sql,
+    "v7_quantize"       -> v7Sql)
 }

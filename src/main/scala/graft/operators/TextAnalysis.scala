@@ -175,17 +175,62 @@ object TextAnalysis extends QueryPack {
        |FROM t WHERE n_tok > 0 ORDER BY doc_id""".stripMargin
   }
 
+  // -- t6: document chunking — fixed-size token windows with overlap
+  //    (size 50, stride 40), the context-window prep step of every
+  //    training pipeline. One row per (doc, chunk) via an in-plan
+  //    sequence explode — a narrow transform, NO shuffle, no UDF; at
+  //    100 TB the fan-out stays wherever the doc partition is. Integer
+  //    chunk-count arithmetic (`div`) keeps both engines identical
+  //    (float division + CAST would round-half-even in DuckDB).
+  private val chunkSize = 50
+  private val chunkStride = 40
+
+  private val tChunking: Q = (s, dir) => {
+    val toks = TextPrims.tokens("text", SparkD)
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toks))
+      .withColumn("n_tok", expr("size(toks)"))
+      .filter(col("n_tok") > 0)
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(CAST(0 AS BIGINT), (n_tok + ${chunkStride - 1}) div $chunkStride - 1)")))
+      .withColumn("chunk",
+        expr(s"slice(toks, chunk_id * $chunkStride + 1, $chunkSize)"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("CAST(size(chunk) AS BIGINT)").as("n_chunk_tok"),
+        expr("element_at(chunk, 1)").as("head_token"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val tChunkingSql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks, len($toks) AS n_tok FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |         unnest(range(0, (n_tok + ${chunkStride - 1})//$chunkStride)) AS chunk_id
+       |  FROM t WHERE n_tok > 0),
+       |s AS (
+       |  SELECT doc_id, chunk_id,
+       |         toks[(chunk_id*$chunkStride + 1):(chunk_id*$chunkStride + $chunkSize)] AS chunk
+       |  FROM c)
+       |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tok,
+       |       chunk[1] AS head_token
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "t1_token_count"  -> tTokenCount,
     "t2_quality_score" -> tQualityScore,
     "t3_lang_id"      -> tLangId,
     "t4_fingerprint"  -> tFingerprint,
-    "t5_repetition"   -> tRepetition)
+    "t5_repetition"   -> tRepetition,
+    "t6_chunking"     -> tChunking)
 
   def oracles: Map[String, String] = Map(
     "t1_token_count"  -> tTokenSql,
     "t2_quality_score" -> tQualitySql,
     "t3_lang_id"      -> tLangSql,
     "t4_fingerprint"  -> tFingerprintSql,
-    "t5_repetition"   -> tRepetitionSql)
+    "t5_repetition"   -> tRepetitionSql,
+    "t6_chunking"     -> tChunkingSql)
 }
