@@ -94,43 +94,96 @@ object Dedup extends QueryPack {
   private val nBands = 6
   private val jacThreshold = "0.08"
 
-  private val d4LshPairs: Q = (s, dir) => {
-    // Candidates travel as compact (doc_id, band_id, bh) triples — shingle
-    // arrays are only joined back for the pairs that survive banding.
-    // The signature table is referenced 3× (banding + both join legs);
-    // persisted so the text kernels run once per doc, not three times
-    // (the harness clears the cache between queries).
-    val base = Tables.documents(s, dir).select(
+  /** (doc_id, sig, hs) for docs with ≥1 shingle — the MinHash signature
+    * table behind d4/d7 and [[CorpusCuration]]. Callers that reference it
+    * more than once should persist (the text kernels dominate its cost). */
+  def signatures(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(
       col("doc_id"),
       TextKernels.minhashSigsUdf(col("text")).as("sig"),
       TextKernels.wordShingleHashesUdf(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
-      .persist()
+
+  /** Band keys (doc_id, band_id, bh) from a signature table: candidates
+    * travel as compact triples; shingles join back only for survivors. */
+  def bandsOf(sigTable: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val bandCols = (0 until nBands).map { i =>
       expr(s"struct(CAST($i AS INT) AS band_id, " +
            s"(element_at(sig, ${2 * i + 1})*131 + element_at(sig, ${2 * i + 2})) % $P AS bh)")
     }
-    val banded = base
+    sigTable
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
               col("band.bh").as("bh"))
+  }
+
+  /** Exact Jaccard over candidate (left, right) id pairs, shingles joined
+    * from `sigTable`; keeps pairs ≥ `threshold`. */
+  private def exactJaccard(cand: org.apache.spark.sql.DataFrame,
+                           sigTable: org.apache.spark.sql.DataFrame,
+                           left: String, right: String,
+                           threshold: String)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = sigTable.select(col("doc_id"), col("hs"))
+    cand
+      .join(sh.select(col("doc_id").as(left), col("hs").as("hs_a")), left)
+      .join(sh.select(col("doc_id").as(right), col("hs").as("hs_b")), right)
+      .withColumn("inter", TextKernels.intersectCountUdf(col("hs_a"), col("hs_b")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+        (expr("size(hs_a)") + expr("size(hs_b)") - col("inter")).cast("double"))
+      .filter(col("jac") >= expr(threshold))
+  }
+
+  /** MinHash-LSH near-duplicate pairs (doc_a < doc_b, exact Jaccard ≥
+    * threshold) — d4's machinery as a reusable operator. */
+  def nearDupPairs(docs: org.apache.spark.sql.DataFrame,
+                   threshold: String = jacThreshold)
+      : org.apache.spark.sql.DataFrame = {
+    // The signature table is referenced 3× (banding + both join legs);
+    // persisted so the text kernels run once per doc, not three times
+    // (the harness clears the cache between queries).
+    val base = signatures(docs).persist()
+    val banded = bandsOf(base)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = base.select(col("doc_id"), col("hs"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+    exactJaccard(cand, base, "doc_a", "doc_b", threshold)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** Training docs near-duplicating any held-out doc: one row per flagged
+    * train doc with match count and max Jaccard — d7's machinery over two
+    * corpora (train ⋈ eval band join, never train ⋈ train). */
+  def decontaminate(train: org.apache.spark.sql.DataFrame,
+                    heldOut: org.apache.spark.sql.DataFrame,
+                    threshold: String = jacThreshold)
+      : org.apache.spark.sql.DataFrame = {
+    val trainSig = signatures(train).persist()
+    val evalSig = signatures(heldOut).persist()
+    val cand = bandsOf(trainSig).as("a")
+      .join(bandsOf(evalSig).as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("train_doc"), col("b.doc_id").as("eval_doc"))
+      .distinct()
+    val sh = trainSig.select(col("doc_id").as("train_doc"), col("hs").as("hs_a"))
+    val shE = evalSig.select(col("doc_id").as("eval_doc"), col("hs").as("hs_b"))
+    cand.join(sh, "train_doc").join(shE, "eval_doc")
       .withColumn("inter", TextKernels.intersectCountUdf(col("hs_a"), col("hs_b")))
       .withColumn("jac",
         col("inter").cast("double") /
         (expr("size(hs_a)") + expr("size(hs_b)") - col("inter")).cast("double"))
-      .filter(col("jac") >= expr(jacThreshold))
-      .select("doc_a", "doc_b", "jac")
-      .orderBy("doc_a", "doc_b")
+      .filter(col("jac") >= expr(threshold))
+      .groupBy("train_doc")
+      .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
   }
+
+  private val d4LshPairs: Q = (s, dir) =>
+    nearDupPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
 
   private val d4Sql = {
     val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
@@ -270,36 +323,9 @@ object Dedup extends QueryPack {
   //    row each. Here the held-out set is the deterministic doc_id % 7
   //    slice; in production it'd be a second table on the same schema.
   private val d7Decontam: Q = (s, dir) => {
-    val base = Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextKernels.minhashSigsUdf(col("text")).as("sig"),
-      TextKernels.wordShingleHashesUdf(col("text")).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .persist()
-    val bandCols = (0 until nBands).map { i =>
-      expr(s"struct(CAST($i AS INT) AS band_id, " +
-           s"(element_at(sig, ${2 * i + 1})*131 + element_at(sig, ${2 * i + 2})) % $P AS bh)")
-    }
-    val banded = base
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"),
-              col("band.bh").as("bh"))
-    val cand = banded.filter(col("doc_id") % 7 =!= 0).as("a")
-      .join(banded.filter(col("doc_id") % 7 === 0).as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh"))
-      .select(col("a.doc_id").as("train_doc"), col("b.doc_id").as("eval_doc"))
-      .distinct()
-    val sh = base.select(col("doc_id"), col("hs"))
-    cand
-      .join(sh.select(col("doc_id").as("train_doc"), col("hs").as("hs_a")), "train_doc")
-      .join(sh.select(col("doc_id").as("eval_doc"), col("hs").as("hs_b")), "eval_doc")
-      .withColumn("inter", TextKernels.intersectCountUdf(col("hs_a"), col("hs_b")))
-      .withColumn("jac",
-        col("inter").cast("double") /
-        (expr("size(hs_a)") + expr("size(hs_b)") - col("inter")).cast("double"))
-      .filter(col("jac") >= expr(jacThreshold))
-      .groupBy("train_doc")
-      .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
+    val docs = Tables.documents(s, dir)
+    decontaminate(docs.filter(col("doc_id") % 7 =!= 0),
+                  docs.filter(col("doc_id") % 7 === 0))
       .orderBy("train_doc")
   }
 

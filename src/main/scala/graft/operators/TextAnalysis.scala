@@ -41,11 +41,17 @@ object TextAnalysis extends QueryPack {
 
   // -- t2: quality scoring — length, mean word length, stopword ratio,
   //    alpha ratio, folded into one deterministic score.
-  private val tQualityScore: Q = (s, dir) => {
+
+  /** Adds the quality/repetition signal columns (same formulas the t2/t5
+    * oracles hash) to any frame with a `text` column — the reusable form
+    * consumed by [[CorpusCuration]]. Pure narrow transforms. */
+  def withQualitySignals(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val toks = TextPrims.tokens("text", SparkD)
     val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
-    Tables.documents(s, dir)
+    df
       .withColumn("n_tok", expr(s"size($toks)"))
+      .withColumn("n_uniq", expr(s"size(array_distinct($toks))"))
       .withColumn("n_stop",
         expr(s"size(filter($toks, t -> array_contains($stopArr, t)))"))
       .withColumn("alpha_chars", expr("length(regexp_replace(text, '[^a-zA-Z]', ''))"))
@@ -59,6 +65,12 @@ object TextAnalysis extends QueryPack {
         lit(0.4) * col("stop_ratio") +
         lit(0.3) * least(lit(1.0), col("n_tok").cast("double") / lit(100.0)) +
         lit(0.3) * col("alpha_ratio"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_uniq").cast("double") / col("n_tok").cast("double"))
+  }
+
+  private val tQualityScore: Q = (s, dir) => {
+    withQualitySignals(Tables.documents(s, dir))
       .select("doc_id", "n_tok", "n_stop", "stop_ratio", "alpha_ratio",
               "mean_word_len", "quality_score")
       .orderBy("doc_id")
@@ -153,13 +165,8 @@ object TextAnalysis extends QueryPack {
   //    1 − distinct/total tokens per doc. Pure scan arithmetic; the
   //    division is exact-int → double, identical on both engines.
   private val tRepetition: Q = (s, dir) => {
-    val toks = TextPrims.tokens("text", SparkD)
-    Tables.documents(s, dir)
-      .withColumn("n_tok", expr(s"size($toks)"))
-      .withColumn("n_uniq", expr(s"size(array_distinct($toks))"))
+    withQualitySignals(Tables.documents(s, dir))
       .filter(col("n_tok") > 0)
-      .withColumn("rep_ratio",
-        lit(1.0) - col("n_uniq").cast("double") / col("n_tok").cast("double"))
       .select("doc_id", "n_tok", "n_uniq", "rep_ratio")
       .orderBy("doc_id")
   }
@@ -185,16 +192,24 @@ object TextAnalysis extends QueryPack {
   private val chunkSize = 50
   private val chunkStride = 40
 
-  private val tChunking: Q = (s, dir) => {
+  /** Overlapping token-window chunks of any frame with a `text` column:
+    * one row per (doc, chunk) with the chunk's token array — the
+    * reusable form consumed by [[CorpusCuration]]. */
+  def chunked(df: org.apache.spark.sql.DataFrame, size: Int = chunkSize,
+              stride: Int = chunkStride): org.apache.spark.sql.DataFrame = {
     val toks = TextPrims.tokens("text", SparkD)
-    Tables.documents(s, dir)
+    df
       .withColumn("toks", expr(toks))
       .withColumn("n_tok", expr("size(toks)"))
       .filter(col("n_tok") > 0)
       .withColumn("chunk_id", explode(expr(
-        s"sequence(CAST(0 AS BIGINT), (n_tok + ${chunkStride - 1}) div $chunkStride - 1)")))
+        s"sequence(CAST(0 AS BIGINT), (n_tok + ${stride - 1}) div $stride - 1)")))
       .withColumn("chunk",
-        expr(s"slice(toks, chunk_id * $chunkStride + 1, $chunkSize)"))
+        expr(s"slice(toks, chunk_id * $stride + 1, $size)"))
+  }
+
+  private val tChunking: Q = (s, dir) => {
+    chunked(Tables.documents(s, dir))
       .select(col("doc_id"), col("chunk_id"),
         expr("CAST(size(chunk) AS BIGINT)").as("n_chunk_tok"),
         expr("element_at(chunk, 1)").as("head_token"))

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{CorpusCuration, Dedup}
+import org.apache.spark.sql.functions._
+
+class CorpusCurationSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  // held-out "benchmark": the doc_id % 7 slice, as in d7
+  private lazy val heldOut = docs.filter(col("doc_id") % 7 === 0)
+  private lazy val train = docs.filter(col("doc_id") % 7 =!= 0)
+
+  test("funnel is monotone and every stage's contract holds") {
+    val cfg = CorpusCuration.Config()
+    val (chunks, f) =
+      CorpusCuration.curateWithFunnel(train, heldOut, cfg)
+    assert(f.nInput >= f.nQuality)
+    assert(f.nQuality >= f.nExact)
+    assert(f.nExact >= f.nNearDedup)
+    assert(f.nNearDedup >= f.nClean)
+    assert(f.nClean >= f.nSampled)
+    assert(f.nSampled > 0, s"empty corpus out of $f")
+    assert(f.nChunks >= f.nSampled) // every surviving doc has ≥1 chunk
+
+    // no near-dup pair survives inside the curated doc set
+    val survivors = CorpusCuration.sampleStage(
+      CorpusCuration.decontamStage(
+        CorpusCuration.nearDedupStage(
+          CorpusCuration.exactDedupStage(
+            CorpusCuration.qualityStage(train, cfg)), cfg), heldOut, cfg), cfg)
+    val leftoverPairs = Dedup.nearDupPairs(survivors, cfg.jaccardThreshold)
+    // greedy drop-the-greater removes at least one side of every pair
+    // found in ONE pass; a pair could only survive if dropping b exposed
+    // no new pair — verify none did at this threshold
+    assert(leftoverPairs.count() == 0)
+
+    // no surviving doc is flagged against the held-out corpus
+    assert(Dedup.decontaminate(survivors, heldOut, cfg.jaccardThreshold)
+      .count() == 0)
+
+    // chunks reference only surviving docs
+    val orphan = chunks.join(survivors.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    assert(orphan.count() == 0)
+  }
+
+  test("curation is deterministic across runs") {
+    val a = CorpusCuration.curate(train, heldOut)
+      .select(col("doc_id"), col("chunk_id")).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    val b = CorpusCuration.curate(train, heldOut)
+      .select(col("doc_id"), col("chunk_id")).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+}

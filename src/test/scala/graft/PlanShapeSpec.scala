@@ -56,6 +56,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(n == cte.CteFixtures.fileinfo(spark).count())
   }
 
+  test("scan-only pipeline ops carry no exchange: d8 sample, t6 chunking, v7 quantize") {
+    // These three are the "runs at NVMe speed on 100 TB" class — a
+    // shuffle appearing in any of them is a plan regression. (The final
+    // orderBy is dropped here: Verify adds it only for deterministic
+    // hashing; pipeline use is unordered.)
+    for (name <- Seq("d8_stratified_sample", "t6_chunking", "v7_quantize")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val noSort = df.queryExecution.optimizedPlan match {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+        case p => p
+      }
+      val plan = org.apache.spark.sql.graftshim.ColumnBridge
+        .ofRows(spark, noSort).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name grew a shuffle:\n$plan")
+    }
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
