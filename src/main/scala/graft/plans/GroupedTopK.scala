@@ -166,8 +166,20 @@ class GraftStrategies(spark: SparkSession) extends SparkStrategy {
   }
 }
 
-/** `spark.sql.extensions` entry point (set by `GraftSession.builder`). */
+/** `spark.sql.extensions` entry point (set by `GraftSession.builder`):
+  * the whole-operator strategy plus SQL registration of the engine's
+  * codegen expressions, so `spark.sql("… graft_dot(a, b) …")` works the
+  * same as the Column API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(new GraftStrategies(_))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, s"graft_dot takes 2 arguments, got ${args.length}")
+        graft.functions.DotProduct(args.head, args(1))
+      }))
+  }
 }

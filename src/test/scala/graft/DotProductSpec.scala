@@ -30,6 +30,16 @@ class DotProductSpec extends SparkSpecBase {
     }
   }
 
+  test("graft_dot is registered in SQL via the session extensions") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val sql = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs").collect()
+    assert(sql.head.getDouble(0) == 32.0)
+    val api = df.select(DotProduct.dot(col("a"), col("b"))).collect()
+    assert(sql.head.getDouble(0) == api.head.getDouble(0))
+  }
+
   test("length mismatch truncates to the shorter side; nulls propagate") {
     import spark.implicits._
     val df = Seq(
