@@ -139,14 +139,40 @@ object Statistical extends QueryPack {
       |FROM lineitem""".stripMargin
 
   // -- a2: 3-pass 4σ sigma clip per (returnflag, linestatus), reporting
-  //    survivor count + clipped mean/std.
+  //    survivor count + clipped mean/std. Multi-pass clips use WINDOW
+  //    stats instead of clipPass's aggregate+broadcast-join: the first
+  //    window shuffles+sorts on the group key once, and every later pass
+  //    reuses that partitioning and order (filters are narrow), so three
+  //    passes are ONE exchange + sort and then a linear pipeline. The
+  //    join formulation never shuffles the fact data, but each pass reads
+  //    its input twice (stats + filter), which forces a full persist per
+  //    pass to avoid 2^passes lineage blowup — at 100 TB, caching the
+  //    corpus three times loses to shuffling it once, and the linear plan
+  //    has no cache-eviction failure mode. Local cost is a wash (decimal
+  //    arithmetic dominates); the arithmetic is the same exact-decimal
+  //    sums (order-independent), so survivors and the hashed output are
+  //    bit-identical to the join formulation the oracle SQL spells out.
+  //    Single-pass users (a4, a9) keep clipPass: one pass has no reuse to
+  //    exploit, and the broadcast join avoids the sort entirely.
+  private def clipPassW(df: DataFrame, groupCols: Seq[String], k: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val mean = sum(col("vdec")).over(w).cast("double") /
+      count(lit(1)).over(w).cast("double")
+    val std = sqrt(
+      sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).over(w)
+        .cast("string").cast("double") /
+        count(lit(1)).over(w).cast("double") - mean * mean)
+    df.withColumn("_mean", mean).withColumn("_std", std)
+      .filter(col("vd") >= col("_mean") - lit(k) * col("_std") &&
+              col("vd") <= col("_mean") + lit(k) * col("_std"))
+      .drop("_mean", "_std")
+  }
+
   private val a2SigmaClip: Q = (s, dir) => {
     val groups = Seq("l_returnflag", "l_linestatus")
     var df = clipInput(s, dir)
-    // Persist between passes: each pass references its input twice (stats
-    // + filter join), so an unpersisted 3-pass loop re-derives the base
-    // scan 2^3 times. Same pattern a real cluster run would use.
-    for (_ <- 1 to 3) df = clipPass(df, groups, 4.0).persist()
+    for (_ <- 1 to 3) df = clipPassW(df, groups, 4.0)
     df.groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("n_kept"),
            sum(col("vdec")).as("_s"),
