@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpecBase {
+
+  // 90% of rows share one hot key — the shape that single-tasks a plain
+  // groupBy/join on that key.
+  private lazy val skewed = {
+    import spark.implicits._
+    ((1 to 9000).map(i => ("hot", i.toLong)) ++
+      (1 to 1000).map(i => (s"k${i % 50}", i.toLong)))
+      .toDF("k", "v").repartition(8)
+  }
+
+  test("salted aggregation equals the direct groupBy exactly") {
+    val got = Skew.saltedSumCount(skewed, Seq("k"), "v", salts = 16)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the partial stage actually fans the hot key out across salts
+    val partialGroups = skewed.withColumn("_salt",
+        pmod(hash(struct(col("k"), col("v"))), lit(16)))
+      .filter(col("k") === "hot").select("_salt").distinct().count()
+    assert(partialGroups > 8, s"hot key landed on only $partialGroups salts")
+  }
+
+  test("salted join equals the plain inner join") {
+    import spark.implicits._
+    val small = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 10) }.toDF("k", "dim")
+    val got = Skew.saltedJoin(skewed, small, Seq("k"), salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("dim").as("sd"))
+      .orderBy("k").collect().toSeq
+    val want = skewed.join(small, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("dim").as("sd"))
+      .orderBy("k").collect().toSeq
+    assert(got == want)
+  }
+}
