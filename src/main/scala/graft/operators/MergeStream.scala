@@ -39,6 +39,38 @@ object MergeStream extends QueryPack {
       |SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
       |ORDER BY o_orderkey""".stripMargin
 
+  // -- w5: as-of join, self form — attach to every event the time of the
+  //    user's latest STRICTLY-PRIOR 'click'. Spark has no native as-of
+  //    join; the union/backfill trick is unnecessary when the probe and
+  //    build sides share a partition key: one window over (user, time)
+  //    with an UNBOUNDED..−1 frame and last(..., ignoreNulls) is the
+  //    whole operator — a single shuffle on user_id, no join at all.
+  //    Ordering runs on epoch-millis BIGINT on BOTH engines (the raw ts
+  //    column is nanos in DuckDB but micros in Spark — ordering by it
+  //    could disagree on sub-ms neighbors), with event_id as the total
+  //    tie-break.
+  private val w5AsofPrior: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prior_click_ms",
+        last(when(col("event_type") === "click", col("ts_ms")),
+          ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "ts_ms", "prior_click_ms")
+      .orderBy("event_id")
+  }
+
+  private val w5Sql =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |       last_value(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_ms
+      |FROM events ORDER BY event_id""".stripMargin
+
   // -- st1: tumbling 1-hour windowed counts per event type.
   private val st1Tumbling: Q = (s, dir) =>
     EventStream.tumblingCounts(Tables.events(s, dir))
@@ -78,11 +110,13 @@ object MergeStream extends QueryPack {
 
   def queries: Map[String, Q] = Map(
     "s5_merge_upsert"    -> s5MergeUpsert,
+    "w5_asof_prior"      -> w5AsofPrior,
     "st1_tumbling_window" -> st1Tumbling,
     "st2_session_window" -> st2Session)
 
   def oracles: Map[String, String] = Map(
     "s5_merge_upsert"    -> s5Sql,
+    "w5_asof_prior"      -> w5Sql,
     "st1_tumbling_window" -> st1Sql,
     "st2_session_window" -> st2Sql)
 }
