@@ -87,6 +87,12 @@ case class GroupedTopKExec(
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partial map flushes"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else if (groupExprs.isEmpty) Seq(AllTuples)
@@ -101,6 +107,8 @@ case class GroupedTopKExec(
     val outputLocal = output
     val kLocal = k
     val flushAt = if (partial) maxPartialGroups else Int.MaxValue
+    val outRows = longMetric("numOutputRows")
+    val flushes = longMetric("numFlushes")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupLocal, outputLocal)
       val ord = RowOrdering.create(orderLocal, outputLocal)
@@ -138,12 +146,15 @@ case class GroupedTopKExec(
             if (!iter.hasNext) { flushed = drain(heaps); heaps = newHeaps(); done = true }
             else {
               add(iter.next())
-              if (heaps.size > flushAt) { val full = heaps; heaps = newHeaps(); flushed = drain(full) }
+              if (heaps.size > flushAt) {
+                val full = heaps; heaps = newHeaps(); flushed = drain(full)
+                flushes += 1
+              }
             }
           }
         }
         def hasNext: Boolean = { advance(); flushed.hasNext }
-        def next(): InternalRow = { advance(); flushed.next() }
+        def next(): InternalRow = { advance(); outRows += 1; flushed.next() }
       }
     }, preservesPartitioning = true)
   }

@@ -60,6 +60,13 @@ class GroupedTopKSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
     val shuffles = collect(executed) { case s: ShuffleExchangeLike => s }
     assert(shuffles.size == 1, s"want exactly 1 exchange, got:\n$executed")
     assert(collect(executed) { case w: WindowExec => w }.isEmpty)
+    // metrics: the partial phase must emit no more than groups×k ≪ input
+    val partial = topks.find(_.partial).get
+    val partialOut = partial.metrics("numOutputRows").value
+    val nGroups = 39 // g ∈ 1..39 generate rows
+    assert(partialOut > 0 && partialOut <= nGroups.toLong * 3 * 4,
+      s"partial emitted $partialOut rows") // ≤ groups×k×partitions
+    assert(partialOut < data.count(), "partial phase did not reduce rows")
   }
 
   test("null group keys and null order values match the window semantics") {
