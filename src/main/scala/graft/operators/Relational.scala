@@ -349,9 +349,35 @@ object Relational extends QueryPack {
     """SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
       |FROM orders ORDER BY order_month""".stripMargin
 
+  // -- a15: ROLLUP subtotals — the OLAP reporting staple (per-(flag,
+  //    status) revenue with per-flag and grand totals in one pass).
+  //    Spark plans rollup as Expand (one extra row set per grouping
+  //    level) + a single hash aggregation — still one shuffle; no
+  //    re-aggregation of the base table per level. Sums stay exact
+  //    decimal and cross into the hashed output via string→double; null
+  //    ordering is pinned explicitly on both engines (their defaults
+  //    differ).
+  private val a15Rollup: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        graft.Exact.dec2(col("l_extendedprice")).as("p"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast("string").cast("double").as("revenue"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  private val a15Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s1_scan_filter_project" -> s1ScanFilterProject,
     "q1_pricing_agg"         -> q1PricingAgg,
+    "a15_rollup"             -> a15Rollup,
     "j1_join_topk"           -> j1JoinTopk,
     "j1_semi_join"           -> j1SemiJoin,
     "j2_pair_selfjoin"       -> j2PairSelfJoin,
@@ -367,6 +393,7 @@ object Relational extends QueryPack {
   def oracles: Map[String, String] = Map(
     "s1_scan_filter_project" -> s1Sql,
     "q1_pricing_agg"         -> q1Sql,
+    "a15_rollup"             -> a15Sql,
     "j1_join_topk"           -> j1Sql,
     "j1_semi_join"           -> j1SemiSql,
     "j2_pair_selfjoin"       -> j2Sql,
