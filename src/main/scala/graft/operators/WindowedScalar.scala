@@ -98,6 +98,36 @@ object WindowedScalar extends QueryPack {
       |FROM r WHERE rn <= 3
       |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin
 
+  // -- w6: running total per group — cumulative revenue per customer in
+  //    order-date order. One shuffle on the group key; the cumulative sum
+  //    accumulates in exact DECIMAL (every prefix is order-independent
+  //    within its frame), crossing to the hashed output via the
+  //    string-routed double cast. Frame is pinned to ROWS (not the RANGE
+  //    default) so date ties accumulate row-at-a-time identically on both
+  //    engines, with o_orderkey as the total tie-break.
+  private val w6RunningTotal: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        graft.Exact.dec2(col("o_totalprice")).as("p"))
+      .withColumn("running_total",
+        sum(col("p")).over(w).cast("string").cast("double"))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val w6Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+      |         AS running_total
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   // -- a12: count + recovered-fraction arithmetic
   //    (compare_idl_python.py:373-391): fraction of lineitems shipped late
   //    per returnflag, as 100·(1 − (n − n_late)/n).
@@ -262,6 +292,7 @@ object WindowedScalar extends QueryPack {
   def queries: Map[String, Q] = Map(
     "w3_latest_group"    -> w3LatestMonth,
     "w4_grouped_topk"    -> w4GroupedTopK,
+    "w6_running_total"   -> w6RunningTotal,
     "o4_first_per_group" -> o4FirstPerGroup,
     "o5_global_topk"     -> o5TopK,
     "a12_count_fraction" -> a12CountFraction,
@@ -274,6 +305,7 @@ object WindowedScalar extends QueryPack {
   def oracles: Map[String, String] = Map(
     "w3_latest_group"    -> w3Sql,
     "w4_grouped_topk"    -> w4Sql,
+    "w6_running_total"   -> w6Sql,
     "o4_first_per_group" -> o4Sql,
     "o5_global_topk"     -> o5Sql,
     "a12_count_fraction" -> a12Sql,
