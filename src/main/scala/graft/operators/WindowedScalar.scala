@@ -128,6 +128,34 @@ object WindowedScalar extends QueryPack {
       |FROM orders WHERE o_custkey < 200
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  // -- w7: the ranking family — rank/dense_rank computed over DATE-only
+  //    ordering (ties are real, and both functions are deterministic on
+  //    ties because tied rows share a value; row_number there would NOT
+  //    be), plus ntile(4) over the fully-keyed total order (deterministic
+  //    only because the order is total). One shuffle on the group key —
+  //    both windows share the partitioning, so the second sort is local.
+  private val w7RankFamily: Q = (s, dir) => {
+    val byDate = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    val total = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("rnk", rank().over(byDate))
+      .withColumn("drnk", dense_rank().over(byDate))
+      .withColumn("quartile", ntile(4).over(total))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val w7Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rnk,
+      |       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drnk,
+      |       ntile(4) OVER (PARTITION BY o_custkey
+      |                      ORDER BY o_orderdate, o_orderkey) AS quartile
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   // -- a12: count + recovered-fraction arithmetic
   //    (compare_idl_python.py:373-391): fraction of lineitems shipped late
   //    per returnflag, as 100·(1 − (n − n_late)/n).
@@ -293,6 +321,7 @@ object WindowedScalar extends QueryPack {
     "w3_latest_group"    -> w3LatestMonth,
     "w4_grouped_topk"    -> w4GroupedTopK,
     "w6_running_total"   -> w6RunningTotal,
+    "w7_rank_family"     -> w7RankFamily,
     "o4_first_per_group" -> o4FirstPerGroup,
     "o5_global_topk"     -> o5TopK,
     "a12_count_fraction" -> a12CountFraction,
@@ -306,6 +335,7 @@ object WindowedScalar extends QueryPack {
     "w3_latest_group"    -> w3Sql,
     "w4_grouped_topk"    -> w4Sql,
     "w6_running_total"   -> w6Sql,
+    "w7_rank_family"     -> w7Sql,
     "o4_first_per_group" -> o4Sql,
     "o5_global_topk"     -> o5Sql,
     "a12_count_fraction" -> a12Sql,
