@@ -158,6 +158,36 @@ class StreamingSpec extends SparkSpecBase {
       (2L, "2026-01-01 12:00:00.0")))
   }
 
+  test("stream-static join enriches events with a dimension table") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ssjoin")
+    val landing = root.resolve("landing")
+    Files.createDirectories(landing)
+    // static dimension: joined per micro-batch, re-read lazily — the
+    // standard streaming enrichment (broadcast-sized dim ⇒ no stateful
+    // shuffle, unlike stream-stream joins)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+
+    def drop(name: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("event_id", "user_id", "value")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(landing.resolve(name).toString)
+    drop("b1", Seq((10L, 1L, 5.0), (11L, 3L, 7.0)))  // user 3: no dim row
+    val schema = spark.read.parquet(landing.resolve("b1").toString).schema
+    val q = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(landing.toString)
+      .join(dim, Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    drop("b2", Seq((12L, 2L, 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin")
+      .collect().map(r => (r.getLong(1), Option(r.getString(3)))).toSeq.sorted
+    assert(got == Seq((10L, Some("gold")), (11L, None), (12L, Some("basic"))))
+  }
+
   test("flatMapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_state")
