@@ -387,26 +387,13 @@ object Statistical extends QueryPack {
       |       CAST(CAST(sum(CAST(z*CAST(x2*y2 AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS szx2y2
       |FROM t2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  // -- a6: the full 9-coefficient 2-D polyfit per group via the custom
-  //    Aggregator (min-norm solve; see PolyFit2D). Not ANSI-SQL
-  //    expressible → registered without an oracle (rows-only check);
-  //    numeric correctness is covered by PolyFitSpec's exact-recovery
-  //    tests.
-  private val a6PolyFit: Q = (s, dir) => {
-    val fit = udaf(PolyFit2D.udaf)
-    val li = Tables.lineitem(s, dir).select(
-      col("l_returnflag"),
-      col("l_quantity").as("x"),
-      (year(col("l_shipdate")) - lit(1998)).cast("double").as("y"),
-      col("l_extendedprice").as("z"))
-    li.groupBy("l_returnflag")
-      .agg(fit(col("x"), col("y"), col("z")).as("c"))
-      .select(col("l_returnflag") +:
-        (0 until 9).map(k => element_at(col("c"), k + 1).as(s"c$k")): _*)
-      .orderBy("l_returnflag")
-  }
-
   // -- a6-recovery: the ORACLE-CHECKABLE face of the 9-coefficient fit.
+  //    (The raw real-data fit was registered rows-only through round 4;
+  //    its solve is not ANSI-SQL-expressible, so that entry could never
+  //    graduate past the weak rows check. Retired in favor of this query
+  //    — same Aggregator, same lineitem coordinates, planted surface —
+  //    plus a6_gram_sums for the distributed moment accumulation and
+  //    PolyFitSpec/CteAnalyticsSpec for real-data fits.)
   //    The solve itself is not ANSI-SQL-expressible, but its answer on a
   //    planted exact-polynomial dataset is: generate z = poly(u, v) with
   //    known coefficients over scaled lineitem coords, fit, and round to
@@ -480,7 +467,6 @@ object Statistical extends QueryPack {
     "a4_bin_clip_mean"    -> a4BinClipMean,
     "a9_histogram_mean"   -> a9Histogram,
     "a6_gram_sums"        -> a6GramSums,
-    "a6_polyfit2d"        -> a6PolyFit,
     "a6_fit_recovery"     -> a6FitRecovery,
     "a7_model_eval"       -> a7ModelEval,
     "a14_cte_vs_time"     -> a14CteVsTime)
