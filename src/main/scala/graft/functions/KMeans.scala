@@ -57,7 +57,11 @@ object KMeans {
 
   /** Nearest-centroid assignment: adds a `cell` column. The centroid table
     * pivots to dense arrays and broadcasts; distance is ‖e‖²-free argmin
-    * over −2·e·c + ‖c‖² (monotone-equivalent, one dot per cell). */
+    * over −2·e·c + ‖c‖² (monotone-equivalent, one dot per cell). The
+    * argmin runs through GroupedTopK(k=1): the broadcast join keeps all k
+    * scored rows of a vector in one partition, so the partial heap
+    * reduces them to ONE row before the exchange — a window would
+    * shuffle+sort the full n·k score table. */
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids
       .groupBy("cell")
@@ -66,13 +70,12 @@ object KMeans {
       .select(col("cell"),
         expr("transform(pv, x -> CAST(x.mean_v AS FLOAT))").as("centroid"))
       .withColumn("cnorm2", DotProduct.dot(col("centroid"), col("centroid")))
-    val w = Window.partitionBy("vec_id").orderBy(col("score"), col("cell"))
-    embeddings.crossJoin(broadcast(cents))
+    val scored = embeddings.crossJoin(broadcast(cents))
       .withColumn("score",
         col("cnorm2") - lit(2.0) * DotProduct.dot(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("score", "rn", "centroid", "cnorm2")
+    graft.plans.GroupedTopK.topK(scored, Seq("vec_id"), 1,
+        col("score").asc, col("cell").asc)
+      .drop("score", "centroid", "cnorm2")
   }
 
   /** Within-cluster sum of squared distances — the convergence metric. */

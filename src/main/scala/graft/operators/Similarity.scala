@@ -244,48 +244,106 @@ object Similarity extends QueryPack {
       |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
-  // -- v6: IVF search phase — the inverted-file complement to v4's
-  //    centroid build: vectors are grouped into cells (the corpus's
-  //    cluster labels = the inverted lists) and neighbor search runs only
-  //    within the query's cell, exact cosine + top-3 on the short list.
-  //    At scale, cell count grows with the corpus (k-means k ∝ √n is the
-  //    classic rule), keeping lists near-constant; the search is one
-  //    shuffle on the cell id. LSH (v3) needs no training; IVF gives
-  //    better recall/cost once centroids exist — the engine offers both.
+  // -- v6: IVF search over TRAINED cells — KMeans.fit (2 Lloyd
+  //    iterations, deterministic first-k seed) builds k ∝ √n centroids,
+  //    every vector is assigned to its nearest cell (the inverted lists),
+  //    and neighbor search runs only within the query's cell: exact
+  //    cosine + top-3 on the short list, one shuffle on the cell id.
+  //    k ∝ √n keeps list length ∝ √n, so the per-cell self-join is
+  //    O(n^1.5) total instead of the O(n²/k) a fixed cell count degrades
+  //    to — the cell count, not the plan, is what grows at 100 TB. LSH
+  //    (v3) needs no training; IVF gives better recall/cost once
+  //    centroids exist — the engine offers both. The oracle replays the
+  //    exact training: 2 unrolled Lloyd iterations (per-dim means are
+  //    exact — float mantissas leave ~29 headroom bits in a double sum —
+  //    and every dot product is the same left-to-right fold both sides).
+  private def ivfK(n: Long): Int =
+    if (n <= 64) 8 else if (n <= 256) 16 else if (n <= 1024) 32
+    else if (n <= 4096) 64 else 128
+
+  private val ivfKSql =
+    """(SELECT CASE WHEN count(*) <= 64 THEN 8 WHEN count(*) <= 256 THEN 16
+      |  WHEN count(*) <= 1024 THEN 32 WHEN count(*) <= 4096 THEN 64
+      |  ELSE 128 END FROM embeddings)""".stripMargin
+
   private val v6IvfTopk: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-      .withColumn("norm", DotProduct.norm(col("embedding")))
-    val a = e.select(col("label"), col("vec_id").as("query_id"),
+    // One count to size k — metadata-only against parquet statistics.
+    val k = ivfK(e.count())
+    val centroids = graft.functions.KMeans.fit(e, k, iters = 2)
+    val assigned = graft.functions.KMeans
+      .assign(e.withColumn("norm", DotProduct.norm(col("embedding"))), centroids)
+    val a = assigned.select(col("cell"), col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("norm").as("qnorm"))
-    val b = e.select(col("label"), col("vec_id").as("neighbor_id"),
+    val b = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"), col("norm").as("cnorm"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    val scored = a.join(b, Seq("label"))
+    val scored = a.join(b, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
-      .select("label", "query_id", "neighbor_id", "cos")
+      .select("cell", "query_id", "neighbor_id", "cos")
     // grouped top-k inside each inverted list's scored pairs (see v1).
     graft.plans.GroupedTopK.topK(scored, Seq("query_id"), 3,
         col("cos").desc, col("neighbor_id").asc)
       .withColumn("rank", row_number().over(w))
-      .select("label", "query_id", "rank", "neighbor_id", "cos")
+      .select("cell", "query_id", "rank", "neighbor_id", "cos")
       .orderBy("query_id", "rank")
   }
 
+  /** One Lloyd assignment CTE pair: scored argmin over `cents`, ties by
+    * cell. Mirrors KMeans.assign (float-cast centroids, ‖c‖²−2·e·c). */
+  private def assignSql(cents: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             c.cnorm2
+       |             - 2.0 * ${dotD("e.embedding", "c.centroid")}, c.cell) AS rn
+       |    FROM e, $cents c) s WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd update CTE pair: per-(cell, dim) means of the members,
+    * re-packed to a float centroid array. Mirrors KMeans.fit's update. */
+  private def updateSql(asg: String, outMeans: String, outCents: String): String =
+    s"""$outMeans AS (
+       |  SELECT a.cell, CAST(u.i - 1 AS INT) AS pos,
+       |         avg(CAST(m.embedding[u.i] AS DOUBLE)) AS mean_v
+       |  FROM $asg a JOIN e m USING (vec_id),
+       |       (SELECT unnest(range(1, ${dims + 1})) AS i) u
+       |  GROUP BY a.cell, u.i),
+       |$outCents AS (
+       |  SELECT cell, centroid, ${dotD("centroid", "centroid")} AS cnorm2
+       |  FROM (
+       |    SELECT cell, list(CAST(mean_v AS FLOAT) ORDER BY pos) AS centroid
+       |    FROM $outMeans GROUP BY cell) t)""".stripMargin
+
   private val v6Sql =
-    s"""WITH n AS (
-       |  SELECT vec_id, label, embedding,
-       |         sqrt(${dotD("embedding", "embedding")}) AS norm
-       |  FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seed AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cell, embedding FROM (
+       |    SELECT vec_id, embedding,
+       |           row_number() OVER (ORDER BY vec_id) AS rn FROM e) s
+       |  WHERE rn <= $ivfKSql),
+       |cents0 AS (
+       |  SELECT cell, embedding AS centroid,
+       |         ${dotD("embedding", "embedding")} AS cnorm2 FROM seed),
+       |${assignSql("cents0", "a1")},
+       |${updateSql("a1", "m1", "cents1")},
+       |${assignSql("cents1", "a2")},
+       |${updateSql("a2", "m2", "cents2")},
+       |${assignSql("cents2", "a3")},
+       |n2 AS (
+       |  SELECT a.cell, e.vec_id, e.embedding,
+       |         sqrt(${dotD("e.embedding", "e.embedding")}) AS norm
+       |  FROM a3 a JOIN e USING (vec_id)),
        |p AS (
-       |  SELECT a.label, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  SELECT a.cell, a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |         ${dotD("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
-       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |  FROM n2 a JOIN n2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
        |r AS (
-       |  SELECT label, query_id, neighbor_id, cos,
+       |  SELECT cell, query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM p)
-       |SELECT label, query_id, rank, neighbor_id, cos
+       |SELECT CAST(cell AS INT) AS cell, query_id, rank, neighbor_id, cos
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   // -- v5: embedding near-duplicate pairs — cosine ≥ 0.3 on banded-LSH
