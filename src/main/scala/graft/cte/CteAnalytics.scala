@@ -276,6 +276,122 @@ object CteAnalytics {
           col("bin_hi").cast("string")).as("fluxbin"))
   }
 
+  /** The 180°-test product table (cte180test_plots.py:286-487) — the
+    * analysis data behind the cteVSlogflux_180test plots: one row per
+    * 180° pair (same-chip visits 10 vs 11, rank-matched), overlapping
+    * flux bin and exptime, carrying
+    *
+    *   - the σ-clipped mean of the visit-10 image's fluxes in the bin
+    *     (sigmaclip(high=4, low=4), cte180test_plots.py:367) and its
+    *     log10 — the plot's x axis (:167);
+    *   - the pair's CTE slope corrected to full chip height
+    *     ((slope/2)·2048, :168) with chip-1 slopes inverted (readout
+    *     direction is reversed on chip 1, :157-158, chip1_invert);
+    *   - standerr = slopestdev/√numpoints (:386), likewise corrected
+    *     (:176), NaN when the bin has no points (:388);
+    *   - the combined observation epoch (A5 cohorts) of the visit-10
+    *     image — the reference's epoch dict keys.
+    *
+    * Reference-parity notes:
+    *   - a row exists iff the Results row for (pair, bin, aperture)
+    *     exists — the `slope != []` gate (:380); the flux mean rides in
+    *     by left join, so a bin whose clip emptied (std 0 ⇒ scipy's open
+    *     interval clips everything, e.g. a single-star bin) or that holds
+    *     no fluxes keeps NaN, np.mean-of-empty (:370);
+    *   - flux-bin bounds are INCLUSIVE here (query_for_flux_range,
+    *     database_queries.py:414-417), unlike the strict bounds of the
+    *     ratio pipeline's binning;
+    *   - the reference's flux query drops its imagename filter
+    *     (database_queries.py:414-417 — the documented SURVEY §7.1 bug,
+    *     every pair sees the whole table's fluxes); we take each pair's
+    *     own visit-10 fluxes, the intended per-image semantics;
+    *   - `clipSigma` covers both published variants: 4σ
+    *     (cte180test_plots.py:367) and the 1.3σ "clipoutliers" re-fit
+    *     (uvis_external_cte_plots.py:714).
+    *
+    * Scale shape: the pair table is fileinfo-derived (dimension-sized,
+    * one window pass over (chip, exptime, visit) covers every slice the
+    * reference loops over) and broadcasts into the phot-side semi-join;
+    * phot shuffles once on (imagename, bin) for the clip and once for
+    * the mean — both partial-aggregable. The results join is
+    * pair-keyed, AQE-sized.
+    */
+  def cte180Table(resultsLong: DataFrame, photLong: DataFrame,
+                  fileinfo: DataFrame, targname: String, filt: String,
+                  ctecorr: Int, aperture: Int,
+                  preds: Map[String, Any] = Map.empty,
+                  clipSigma: Double = 4.0, clipRounds: Int = 3): DataFrame = {
+    val spark = resultsLong.sparkSession
+    import spark.implicits._
+
+    // J4 across ALL (chip, exptime) slices at once: rank within
+    // (chip, exptime, visit) by imagename, equi-join visit 10 to 11 —
+    // pairs180 generalized from one slice to the whole publish domain.
+    val base = CteQueries.filterFileinfo(
+        fileinfo.filter(col("targname") === targname &&
+          col("filter") === filt && col("ctecorr") === ctecorr), preds)
+      .withColumn("visit", CteQueries.visitOf(col("imagename")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chip", "exptime", "visit").orderBy("imagename")
+    val v10 = base.filter(col("visit") === "10")
+      .withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("chip"), col("exptime"),
+        col("imagename").as("imagename_1"), col("dateobs"))
+    val v11 = base.filter(col("visit") === "11")
+      .withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("chip"), col("exptime"),
+        col("imagename").as("imagename_2"))
+    val cohorts = epochCohorts(fileinfo, targname)
+    val pairs = v10.join(v11, Seq("rn", "chip", "exptime"))
+      .join(broadcast(cohorts), "dateobs")
+      .select("chip", "exptime", "imagename_1", "imagename_2", "epoch")
+
+    // Visit-10 fluxes at the aperture, binned inclusively, σ-clipped per
+    // (image, bin): population stats, strict exclusion (scipy), bounded
+    // rounds — the same clip machinery as the ratio pipeline.
+    val binDf = SchemaRegistry.fluxBins.toDF("bin_lo", "bin_hi")
+    val fx = photLong.filter(col("targname") === targname &&
+        col("aperture") === aperture)
+      .select(col("imagename").as("imagename_1"), col("flux"))
+      .join(broadcast(pairs.select("imagename_1")), Seq("imagename_1"),
+        "left_semi")
+    val binned = fx.join(broadcast(binDf),
+      col("flux") >= col("bin_lo") && col("flux") <= col("bin_hi"))
+    val groups = Seq("imagename_1", "bin_lo", "bin_hi")
+    val clipped = (1 to clipRounds).foldLeft(binned) { (df, _) =>
+      val stats = df.groupBy(groups.map(col): _*)
+        .agg(avg(col("flux")).as("_m"), stddev_pop(col("flux")).as("_s"))
+      df.join(stats, groups)
+        .filter(col("flux") > col("_m") - lit(clipSigma) * col("_s") &&
+                col("flux") < col("_m") + lit(clipSigma) * col("_s"))
+        .drop("_m", "_s")
+    }
+    val fluxMeans = clipped.groupBy(groups.map(col): _*)
+      .agg(avg(col("flux")).as("flux_mean"))
+
+    val res = resultsLong.filter(col("targname") === targname &&
+        col("aperture") === aperture)
+      .select("imagename_1", "imagename_2", "bin_lo", "bin_hi",
+        "slope", "slopestdev", "numpoints")
+    val sign = when(col("chip") === 1, lit(-1.0)).otherwise(lit(1.0))
+    val standerr = when(col("numpoints") > 0,
+        col("slopestdev") / sqrt(col("numpoints").cast("double")))
+      .otherwise(lit(Double.NaN))
+    pairs.join(res, Seq("imagename_1", "imagename_2"))
+      .join(fluxMeans, groups, "left")
+      .select(
+        lit(targname).as("targname"), col("epoch"), col("chip"),
+        col("exptime"), col("imagename_1"), col("imagename_2"),
+        lit(aperture).as("aperture"),
+        concat_ws("-", col("bin_lo").cast("string"),
+          col("bin_hi").cast("string")).as("fluxbin"),
+        coalesce(col("flux_mean"), lit(Double.NaN)).as("flux_mean"),
+        log10(coalesce(col("flux_mean"), lit(Double.NaN))).as("log10flux"),
+        (sign * col("slope") / 2.0 * 2048.0).as("cteslope"),
+        (standerr / 2.0 * 2048.0).as("cteslope_stderr"),
+        col("numpoints"))
+  }
+
   /** The fitvals publish table (uvis_external_cte_plots.py:697-704,
     * 763-776): the fitted 9-coefficient surface evaluated on the
     * reference's flux grid (100 points, log10flux = k/50 + 2.5) at a

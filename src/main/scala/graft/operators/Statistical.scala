@@ -329,6 +329,143 @@ object Statistical extends QueryPack {
       |WHERE s_nationkey < 10
       |ORDER BY s_suppkey""".stripMargin
 
+  // -- a16: the 180°-test product shape (cte180test_plots.py:286-487,
+  //    ported faithfully in cte.CteAnalytics.cte180Table; this is the
+  //    oracle-checked driver-table mirror): a rank-positional pair join
+  //    (J4) whose left member contributes a 4σ-clipped mean of its fact
+  //    rows and whose right member contributes a regression slope, with
+  //    the slope conditionally INVERTED per partition parity (the
+  //    chip-1 readout-direction flip, :157-158) and corrected to
+  //    (x/2)·2048 chip units; stderr = slopestdev/√n (:386). Suppliers
+  //    play the images (parity = visit), their lineitems the fluxes.
+  //    All arithmetic rides the exact-decimal routes of a1/a2.
+  private val a16PairProduct: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s_nationkey"), col("s_suppkey") % 2)
+      .orderBy("s_suppkey")
+    val ranked = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("rn", row_number().over(w))
+    val v0 = ranked.filter(col("s_suppkey") % 2 === 0)
+      .select(col("rn"), col("s_nationkey"), col("s_suppkey").as("sk_1"))
+    val v1 = ranked.filter(col("s_suppkey") % 2 === 1)
+      .select(col("rn"), col("s_nationkey"), col("s_suppkey").as("sk_2"))
+    val pairs = v0.join(v1, Seq("rn", "s_nationkey"))
+
+    // left side: one 4σ clip pass over sk_1's prices, exact-decimal mean.
+    val li = Tables.lineitem(s, dir).select(
+      col("l_suppkey").as("sk_1"),
+      Exact.dec2(col("l_extendedprice")).as("vdec"),
+      Exact.dec2(col("l_extendedprice")).cast("double").as("vd"))
+      .join(broadcast(pairs.select("sk_1")), Seq("sk_1"), "left_semi")
+    val means = clipPass(li, Seq("sk_1"), 4.0)
+      .groupBy("sk_1")
+      .agg(count(lit(1)).as("n_flux"), sum(col("vdec")).as("_s"))
+      .withColumn("clip_mean",
+        col("_s").cast("double") / col("n_flux").cast("double"))
+      .drop("_s")
+
+    // right side: a1's regression per sk_2, Results-style slopestdev =
+    // stderr·√n (the reference's storage convention).
+    val m = Tables.lineitem(s, dir).select(
+        col("l_suppkey").as("sk_2"),
+        col("l_quantity").cast("long").as("x"),
+        Exact.dec2(col("l_extendedprice")).as("y"))
+      .groupBy("sk_2").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum((col("y") * col("x")).cast(DecimalType(38, 2))).as("sxy"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"))
+    val dn = col("n").cast("double")
+    val dsx = col("sx").cast("double"); val dsxx = col("sxx").cast("double")
+    val dsy = col("sy").cast("double")
+    val dsxy = col("sxy").cast("string").cast("double")
+    val dsyy = col("syy").cast("string").cast("double")
+    val sxxc = dsxx - dsx * dsx / dn
+    val sxyc = dsxy - dsx * dsy / dn
+    val syyc = dsyy - dsy * dsy / dn
+    val slopes = m.filter(col("n") >= 3)
+      .withColumn("slope", sxyc / sxxc)
+      .withColumn("slopestdev",
+        sqrt((syyc - col("slope") * sxyc) / (dn - lit(2.0)) / sxxc) * sqrt(dn))
+      .select("sk_2", "n", "slope", "slopestdev")
+
+    val sign = when(col("s_nationkey") % 2 === 0, lit(-1.0)).otherwise(lit(1.0))
+    pairs.join(slopes, "sk_2")
+      .join(means, Seq("sk_1"), "left")
+      .select(
+        col("sk_1"), col("sk_2"), col("s_nationkey"),
+        coalesce(col("n_flux"), lit(0L)).as("n_flux"),
+        coalesce(col("clip_mean"), lit(Double.NaN)).as("clip_mean"),
+        (sign * col("slope") / 2.0 * 2048.0).as("slope_2048"),
+        (when(col("n") > 0, col("slopestdev") / sqrt(col("n").cast("double")))
+          .otherwise(lit(Double.NaN)) / 2.0 * 2048.0).as("stderr_2048"),
+        col("n"))
+      .orderBy("sk_1")
+  }
+
+  private val a16Sql =
+    s"""WITH ranked AS (
+       |  SELECT s_suppkey, s_nationkey, s_suppkey % 2 AS par,
+       |         row_number() OVER (PARTITION BY s_nationkey, s_suppkey % 2
+       |                            ORDER BY s_suppkey) AS rn
+       |  FROM supplier),
+       |pairs AS (
+       |  SELECT a.rn, a.s_nationkey, a.s_suppkey AS sk_1, b.s_suppkey AS sk_2
+       |  FROM ranked a JOIN ranked b
+       |    ON a.rn = b.rn AND a.s_nationkey = b.s_nationkey
+       |  WHERE a.par = 0 AND b.par = 1),
+       |c0 AS (
+       |  SELECT l_suppkey AS sk_1,
+       |         CAST(l_extendedprice AS DECIMAL(18,2)) AS vdec,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS vd
+       |  FROM lineitem WHERE l_suppkey IN (SELECT sk_1 FROM pairs)),
+       |${clipPassSql("c0", "sk_1", "4.0", "s1", "c1")},
+       |means AS (
+       |  SELECT sk_1, count(*) AS n_flux,
+       |         CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS clip_mean
+       |  FROM c1 GROUP BY sk_1),
+       |m AS (
+       |  SELECT l_suppkey AS sk_2, count(*) AS n,
+       |         sum(CAST(l_quantity AS BIGINT)) AS sx,
+       |         sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS sxx,
+       |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+       |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_quantity AS BIGINT) AS DECIMAL(38,2))) AS sxy,
+       |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+       |  FROM lineitem GROUP BY l_suppkey),
+       |d AS (
+       |  SELECT sk_2, n,
+       |         CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+       |         CAST(sxx AS DOUBLE) AS dsxx, CAST(sy AS DOUBLE) AS dsy,
+       |         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy,
+       |         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy
+       |  FROM m WHERE n >= 3),
+       |c AS (
+       |  SELECT sk_2, n, dn,
+       |         dsxx - dsx*dsx/dn AS sxxc,
+       |         dsxy - dsx*dsy/dn AS sxyc,
+       |         dsyy - dsy*dsy/dn AS syyc
+       |  FROM d),
+       |r0 AS (SELECT sk_2, n, dn, sxxc, sxyc, syyc, sxyc/sxxc AS slope FROM c),
+       |slopes AS (
+       |  SELECT sk_2, n, slope,
+       |         sqrt((syyc - slope*sxyc)/(dn - 2.0)/sxxc) * sqrt(dn) AS slopestdev
+       |  FROM r0)
+       |SELECT p.sk_1, p.sk_2, p.s_nationkey,
+       |       coalesce(me.n_flux, 0) AS n_flux,
+       |       coalesce(me.clip_mean, CAST('nan' AS DOUBLE)) AS clip_mean,
+       |       (CASE WHEN p.s_nationkey % 2 = 0 THEN -1.0 ELSE 1.0 END)
+       |         * sl.slope / 2.0 * 2048.0 AS slope_2048,
+       |       (CASE WHEN sl.n > 0 THEN sl.slopestdev / sqrt(CAST(sl.n AS DOUBLE))
+       |             ELSE CAST('nan' AS DOUBLE) END) / 2.0 * 2048.0 AS stderr_2048,
+       |       sl.n
+       |FROM pairs p
+       |JOIN slopes sl ON p.sk_2 = sl.sk_2
+       |LEFT JOIN means me ON p.sk_1 = me.sk_1
+       |ORDER BY p.sk_1""".stripMargin
+
   // -- a6-moments: the distributed half of polyfit2d — exact Vandermonde
   //    moment accumulation Σ z·x^j·y^i per group (what the Aggregator's
   //    buffer holds), oracle-checkable because it is pure integer/decimal
@@ -473,7 +610,8 @@ object Statistical extends QueryPack {
     "a6_gram_sums"        -> a6GramSums,
     "a6_fit_recovery"     -> a6FitRecovery,
     "a7_model_eval"       -> a7ModelEval,
-    "a14_cte_vs_time"     -> a14CteVsTime)
+    "a14_cte_vs_time"     -> a14CteVsTime,
+    "a16_pair_product"    -> a16PairProduct)
 
   def oracles: Map[String, String] = Map(
     "a1_regression_slope" -> a1Sql,
@@ -483,5 +621,6 @@ object Statistical extends QueryPack {
     "a6_gram_sums"        -> a6GramSql,
     "a6_fit_recovery"     -> a6RecoverySql,
     "a7_model_eval"       -> a7Sql,
-    "a14_cte_vs_time"     -> a14Sql)
+    "a14_cte_vs_time"     -> a14Sql,
+    "a16_pair_product"    -> a16Sql)
 }

@@ -76,6 +76,56 @@ object CteFixtures {
       .toDF("master_id", "xpix", "ypix", "ra", "dec", "targname")
   }
 
+  /** 180°-test fileinfo (cte180test_plots.py path): same-chip visit-10/11
+    * images on BOTH chips at two dateobss 20 days apart — the A5 cohort
+    * walk combines 55600 and 55620 into epoch 55610. Kept separate from
+    * `fileinfo` so its hand-counted expectations stay untouched. */
+  def fileinfo180(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      fi("iaaa10p1q", 1, 55600.0), fi("iaaa10p2q", 1, 55600.0),
+      fi("iaaa11p1q", 1, 55600.0), fi("iaaa11p2q", 1, 55600.0),
+      fi("iaab10z1q", 2, 55620.0), fi("iaab11z1q", 2, 55620.0))
+    val schema = fileinfo(spark).schema
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  /** Visit-10 fluxes for the 180° product (aperture 3, raw — the flux-
+    * range query does not background-subtract by default):
+    *   - iaaa10p1q: {300, 320, 340, 480} in bin 250-500 (480 included:
+    *     inclusive bounds) — 4σ keeps all (mean 360); 1.3σ drops 480
+    *     (clipped mean 320);
+    *   - iaaa10p2q: single 400 — std 0 ⇒ scipy clips to empty ⇒ NaN mean;
+    *   - iaab10z1q: {1000, 1100, 1200, 1300} in bins 500-2000 and
+    *     1000-2000 (overlap), mean 1150. */
+  def phot180(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val d0 = java.sql.Date.valueOf("2026-01-01")
+    val fluxes = Seq(
+      ("iaaa10p1q", Seq(300.0, 320.0, 340.0, 480.0)),
+      ("iaaa10p2q", Seq(400.0)),
+      ("iaab10z1q", Seq(1000.0, 1100.0, 1200.0, 1300.0)))
+    fluxes.flatMap { case (img, fs) =>
+      fs.zipWithIndex.map { case (f, i) =>
+        (i + 1, img, d0, i + 1, 50.0, 100.0 * (i + 1), 0.1, 0.1, 3, f, 1.0, 10.0, T)
+      }
+    }.toDF("find_id", "imagename", "ingest_date", "master_id", "xpix",
+      "ypix", "ra", "dec", "aperture", "flux", "mnbkgrd", "totbkgrd", "targname")
+  }
+
+  /** Planted Results rows for the 180° pairs (slope, slopestdev,
+    * numpoints per bin; the 8000-32000 row is a reference-style zero
+    * bin). */
+  def results180(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("iaaa10p1q", "iaaa11p1q", 3, 250, 500, 0.001, 0.004, 4, T),
+      ("iaaa10p1q", "iaaa11p1q", 3, 8000, 32000, 0.0, 0.0, 0, T),
+      ("iaaa10p2q", "iaaa11p2q", 3, 250, 500, 0.002, 0.006, 9, T),
+      ("iaab10z1q", "iaab11z1q", 3, 500, 2000, 0.003, 0.004, 4, T))
+      .toDF("imagename_1", "imagename_2", "aperture", "bin_lo", "bin_hi",
+        "slope", "slopestdev", "numpoints", "targname")
+  }
+
   /** Phot rows for pair A at aperture 3 (+ a second aperture 5 with flat
     * ratio for aperture-isolation checks). All rows carry totbkgrd 10, so
     * clean flux = flux − 10. Chip 1 carries the planted CTE loss:
