@@ -276,6 +276,42 @@ object CteAnalytics {
           col("bin_hi").cast("string")).as("fluxbin"))
   }
 
+  /** The cteVSflashlvl product table (uvis_external_cte_plots.py:
+    * 1746-1890, plot correction 951-952): CTE slope as a function of
+    * post-flash level — one row per chip pair holding a Results row, at
+    * every (aperture, fluxbin), keyed by the pair's combined observation
+    * epoch (find_epochs, :1792) and its flashlvl. Slope and standard
+    * error are corrected to full chip height ((x/2)·2048); standerr =
+    * slopestdev/√numpoints (:1857-1860) — NOTE /√n here, unlike
+    * cteVStime's /n (the reference's own inconsistency, SURVEY §7.1) —
+    * and NaN for zero-point bins. The reference re-queries per
+    * (epoch × exptime × flashlvl × pair); here one broadcast join of the
+    * chip-1 dimension row supplies every key at once. */
+  def cteVsFlashlvl(resultsLong: DataFrame, fileinfo: DataFrame,
+                    targname: String): DataFrame = {
+    val cohorts = epochCohorts(fileinfo, targname)
+    val keys = fileinfo
+      .filter(col("targname") === targname && col("chip") === 1)
+      .select(col("imagename").as("imagename_1"), col("dateobs"),
+        col("filter"),
+        when(col("exptime") > 60.0, "l").otherwise("s").as("exp_length"),
+        col("flashlvl"), col("ctecorr"))
+      .join(broadcast(cohorts), "dateobs")
+    resultsLong.filter(col("targname") === targname)
+      .join(broadcast(keys), "imagename_1")
+      .select(
+        col("targname"), col("filter"), col("exp_length"), col("ctecorr"),
+        col("aperture"), col("imagename_1"), col("imagename_2"),
+        concat_ws("-", col("bin_lo").cast("string"),
+          col("bin_hi").cast("string")).as("fluxbin"),
+        col("epoch"), col("flashlvl"),
+        (col("slope") / 2.0 * 2048.0).as("cteslope"),
+        (when(col("numpoints") =!= 0,
+            col("slopestdev") / sqrt(col("numpoints").cast("double")))
+          .otherwise(lit(Double.NaN)) / 2.0 * 2048.0).as("cteslope_stderr"),
+        col("numpoints"))
+  }
+
   /** The 180°-test product table (cte180test_plots.py:286-487) — the
     * analysis data behind the cteVSlogflux_180test plots: one row per
     * 180° pair (same-chip visits 10 vs 11, rank-matched), overlapping
@@ -464,6 +500,38 @@ object CteAnalytics {
                col("epoch") - lit(epochOffset),
                col("slope")).as("c"))
       .select(col("targname") +:
+        (0 until 9).map(k => element_at(col("c"), k + 1).as(s"c$k")): _*)
+  }
+
+  /** A6 history: the epoch-keyed coefficient table the reference
+    * materializes as *_mjd<epoch>_coeffs.txt files — fit_empirical_model
+    * writes one per epoch, plot_model_on_reality.py:212-242 globs them
+    * SORTED by epoch, and calculate_slopes(use_latest_coeffs=True) reads
+    * the last ("Users should be using coefficients from the latest
+    * epoch", uvis_external_cte_plots.py:612-613: the latest fit has the
+    * most data). Each as-of epoch row fits every slope observed up to
+    * and including that epoch, so the max-epoch row is exactly
+    * `polyfitByTarget` over the full data and earlier rows reproduce
+    * what the monitor would have published at the time. (The single-
+    * epoch head of the history is the reference's degenerate one-epoch
+    * fit — rank 3, where PolyFit2D returns lstsq's minimum-norm
+    * solution.)
+    *
+    * Scale shape: the as-of epoch list is dimension-sized (dozens), so
+    * the cumulative fan-out is a broadcast 1→N join; every copy then
+    * collapses through the same partial-aggregable Gram-moment buffer
+    * as the single fit — one shuffle of (targets × epochs) tiny rows. */
+  def polyfitHistory(slopeRows: DataFrame, epochOffset: Double = 55400.0): DataFrame = {
+    val fit = udaf(PolyFit2D.udaf)
+    val asof = slopeRows.select(col("epoch").as("as_of_epoch")).distinct()
+    slopeRows
+      .filter(!isnan(col("slope")))
+      .join(broadcast(asof), col("epoch") <= col("as_of_epoch"))
+      .groupBy("targname", "as_of_epoch")
+      .agg(fit(log10(col("binflux")),
+               col("epoch") - lit(epochOffset),
+               col("slope")).as("c"))
+      .select(col("targname") +: col("as_of_epoch") +:
         (0 until 9).map(k => element_at(col("c"), k + 1).as(s"c$k")): _*)
   }
 

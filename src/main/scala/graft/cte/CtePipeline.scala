@@ -103,23 +103,33 @@ class CtePipeline(spark: SparkSession, warehouse: String) {
     slopes
   }
 
-  /** Per-target polyfit over epoch cohorts: joins results back to the
-    * pair's epoch (via chip-1 dateobs → combined epoch) and bin flux
-    * midpoint, then fits the 9-coefficient surface. */
-  def computeCoefficients(targname: String): DataFrame = {
+  /** Slope rows joined to their combined epoch and bin-flux midpoint —
+    * the polyfit input (shared by the current fit and the history). */
+  private def slopeRows(targname: String): DataFrame = {
     val cohorts = CteAnalytics.epochCohorts(table("fileinfo"), targname)
     val pairEpoch = table("fileinfo")
       .filter(col("targname") === targname && col("chip") === 1)
       .select(col("imagename").as("imagename_1"), col("dateobs"))
       .join(broadcast(cohorts), "dateobs")
-    val rows = table("results")
+    table("results")
       .filter(col("targname") === targname && !isnan(col("slope")))
       .join(broadcast(pairEpoch), "imagename_1")
       .withColumn("binflux",
         (col("bin_lo").cast("double") + col("bin_hi").cast("double")) / 2.0)
       .select("targname", "binflux", "epoch", "slope")
-    CteAnalytics.polyfitByTarget(rows)
   }
+
+  /** Per-target polyfit over epoch cohorts: joins results back to the
+    * pair's epoch (via chip-1 dateobs → combined epoch) and bin flux
+    * midpoint, then fits the 9-coefficient surface. */
+  def computeCoefficients(targname: String): DataFrame =
+    CteAnalytics.polyfitByTarget(slopeRows(targname))
+
+  /** Epoch-keyed coefficient history (the reference's sorted
+    * *_mjd<epoch>_coeffs.txt set): one cumulative fit per combined
+    * epoch; the max-epoch row matches computeCoefficients. */
+  def coefficientHistory(targname: String): DataFrame =
+    CteAnalytics.polyfitHistory(slopeRows(targname))
 
   // ---- stage 3: publish
 
@@ -136,6 +146,9 @@ class CtePipeline(spark: SparkSession, warehouse: String) {
     val coeffs = computeCoefficients(targname)
     TsvTables.write(coeffs, s"$outDir/${targname}_coeffs")
     TsvTables.write(
+      coefficientHistory(targname).orderBy("targname", "as_of_epoch"),
+      s"$outDir/${targname}_coeffs_history")
+    TsvTables.write(
       CteAnalytics.clippedRatios(table("phot"), table("fileinfo"), targname)
         .orderBy("imagename_1", "imagename_2", "aperture", "bin_lo", "master_id"),
       s"$outDir/${targname}_fluxratios")
@@ -145,6 +158,12 @@ class CtePipeline(spark: SparkSession, warehouse: String) {
           table("fileinfo"))
         .orderBy("aperture", "mjd", "fluxbin"),
       s"$outDir/${targname}_cteVStime")
+    TsvTables.write(
+      CteAnalytics.cteVsFlashlvl(
+          table("results").filter(col("targname") === targname),
+          table("fileinfo"), targname)
+        .orderBy("aperture", "fluxbin", "epoch", "flashlvl", "imagename_1"),
+      s"$outDir/${targname}_cteVSflashlvl")
     // Latest combined epoch — "Users should be using coefficients from
     // the latest epoch" (uvis_external_cte_plots.py:612-613); the epoch
     // list is dimension-sized.

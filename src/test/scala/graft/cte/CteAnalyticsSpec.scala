@@ -180,6 +180,55 @@ class CteAnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("coefficient history: one cumulative fit per epoch, latest == current fit") {
+    import spark.implicits._
+    val cRef = Array(0.2, -0.1, 0.05, 0.01, -0.02, 0.0, 1e-4, 0.0, -1e-5)
+    val epochs = Seq(55100.0, 55400.0, 55700.0)
+    val rows = for {
+      e <- epochs
+      f <- Seq(500.0, 2000.0, 8000.0, 20000.0)
+    } yield {
+      val x = e - 55400.0
+      val y = math.log10(f)
+      val z = (for (i <- 0 until 3; j <- 0 until 3)
+        yield cRef(i * 3 + j) * math.pow(x, i) * math.pow(y, j)).sum
+      ("t", f, e, z)
+    }
+    val df = rows.toDF("targname", "binflux", "epoch", "slope")
+    val hist = CteAnalytics.polyfitHistory(df)
+      .orderBy("as_of_epoch").collect()
+    // one row per combined epoch, sorted — the reference's sorted
+    // *_mjd<epoch>_coeffs.txt glob (plot_model_on_reality.py:212-242).
+    assert(hist.map(_.getAs[Double]("as_of_epoch")).toSeq == epochs)
+    // latest-epoch selection == the current single fit
+    // (calculate_slopes(use_latest_coeffs=True) reads the last file).
+    val latest = hist.last
+    val current = CteAnalytics.polyfitByTarget(df).collect()(0)
+    (0 until 9).foreach { k =>
+      assert(math.abs(latest.getAs[Double](s"c$k") -
+        current.getAs[Double](s"c$k")) < 1e-9, s"c$k")
+    }
+    // each as-of row is the fit over rows at or before that epoch:
+    // the middle row must match a direct fit of the first two epochs.
+    val upTo2 = CteAnalytics.polyfitByTarget(
+      df.filter(col("epoch") <= 55400.0)).collect()(0)
+    (0 until 9).foreach { k =>
+      assert(math.abs(hist(1).getAs[Double](s"c$k") -
+        upTo2.getAs[Double](s"c$k")) < 1e-9, s"c$k")
+    }
+    // the one-epoch head is the reference's degenerate single-epoch fit
+    // (rank 3): it still reproduces the planted values at that epoch.
+    val headRow = hist.head
+    Seq(500.0, 2000.0, 8000.0, 20000.0).foreach { f =>
+      val y = math.log10(f); val x = 55100.0 - 55400.0
+      val want = (for (i <- 0 until 3; j <- 0 until 3)
+        yield cRef(i * 3 + j) * math.pow(x, i) * math.pow(y, j)).sum
+      val c = (0 until 9).map(k => headRow.getAs[Double](s"c$k")).toArray
+      val gotV = graft.functions.PolyFit2D.eval(c, y, x)
+      assert(math.abs(gotV - want) < 1e-6, s"eval at flux $f")
+    }
+  }
+
   test("model evaluation matches the fit at sample points") {
     val c = (0 until 9).map(k => lit(k * 0.1 + 0.05))
     import spark.implicits._

@@ -18,13 +18,14 @@ object CteFixtures {
   val T = "ngc104"
 
   private def fi(img: String, chip: Int, dateobs: Double,
-                 corners: (Double, Double, Double, Double) = (0.0, 1.0, 0.0, 1.0)) =
+                 corners: (Double, Double, Double, Double) = (0.0, 1.0, 0.0, 1.0),
+                 flashlvl: Double = 0.0) =
     Row(img, s"/data/$img", s"$img.coo", s"$img.mag", "/phot", img,
       "11924", "F502N", "NONE", "ZERO", "A",
       java.sql.Date.valueOf("2026-01-01"),
       corners._1, corners._3, corners._2, corners._3,
       corners._2, corners._4, corners._1, corners._4,
-      3.5, dateobs, 60.0, 0.0, 0.0, 0.0, 0.0,
+      3.5, dateobs, 60.0, flashlvl, 0.0, 0.0, 0.0,
       0, chip, T)
 
   def fileinfo(spark: SparkSession): DataFrame = {
@@ -122,6 +123,29 @@ object CteFixtures {
       ("iaaa10p1q", "iaaa11p1q", 3, 8000, 32000, 0.0, 0.0, 0, T),
       ("iaaa10p2q", "iaaa11p2q", 3, 250, 500, 0.002, 0.006, 9, T),
       ("iaab10z1q", "iaab11z1q", 3, 500, 2000, 0.003, 0.004, 4, T))
+      .toDF("imagename_1", "imagename_2", "aperture", "bin_lo", "bin_hi",
+        "slope", "slopestdev", "numpoints", "targname")
+  }
+
+  /** Post-flash fixtures for the cteVSflashlvl product: two chip pairs at
+    * the same epoch, flash levels 6 and 12 e-. */
+  def fileinfoFlash(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      fi("iaac01f1q", 1, 55000.0, flashlvl = 6.0),
+      fi("iaac01f2q", 2, 55000.0, flashlvl = 6.0),
+      fi("iaac02g1q", 1, 55000.0, flashlvl = 12.0),
+      fi("iaac02g2q", 2, 55000.0, flashlvl = 12.0))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), fileinfo(spark).schema)
+  }
+
+  /** Planted Results rows for the post-flash pairs. */
+  def resultsFlash(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("iaac01f1q", "iaac01f2q", 3, 250, 500, 0.001, 0.004, 4, T),
+      ("iaac02g1q", "iaac02g2q", 3, 250, 500, 0.002, 0.006, 9, T),
+      ("iaac02g1q", "iaac02g2q", 3, 8000, 32000, 0.0, 0.0, 0, T))
       .toDF("imagename_1", "imagename_2", "aperture", "bin_lo", "bin_hi",
         "slope", "slopestdev", "numpoints", "targname")
   }
