@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Similarity,
     operators.MergeStream,
     operators.Multimodal,
-    operators.Spatial)
+    operators.Spatial,
+    operators.Skew)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

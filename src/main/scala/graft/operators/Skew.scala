@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation beyond what AQE gives for free.
@@ -22,7 +23,7 @@ import org.apache.spark.sql.functions._
   * rows share a salt; that only narrows the spread for exact-duplicate
   * floods, which exact dedup (d1) removes upstream anyway.
   */
-object Skew {
+object Skew extends QueryPack {
 
   /** Two-stage salted count+sum per key; bit-equal to
     * `df.groupBy(keys).agg(count, sum(valueCol))` because both stages sum
@@ -57,4 +58,66 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, keys :+ "_salt").drop("_salt")
   }
+
+  // ---- oracle-checked bench entries: the salted forms run against a
+  //      synthetic 99:1 hot key derived from lineitem, so every round's
+  //      BENCH records their cost and CORRECTNESS proves bit-equality
+  //      with the plain formulations (the oracle SQL *is* the plain
+  //      groupBy/join — salting must be invisible in the result).
+  //      graft.SkewProbe measures salted-vs-plain head-to-head under
+  //      forced sort-merge (the no-broadcast regime salting exists for).
+
+  /** ~99% of lineitem rows collapse onto one 'hot' key; the rest spread
+    * over k0..k6. */
+  private def skewedRows(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      when(pmod(col("l_orderkey"), lit(100)) < 99, lit("hot"))
+        .otherwise(concat(lit("k"),
+          pmod(col("l_orderkey"), lit(7)).cast("string"))).as("k"),
+      col("l_quantity").cast("long").as("v"))
+
+  private val skewedSql =
+    """SELECT CASE WHEN l_orderkey % 100 < 99 THEN 'hot'
+      |            ELSE 'k' || CAST(l_orderkey % 7 AS VARCHAR) END AS k,
+      |       CAST(l_quantity AS BIGINT) AS v
+      |FROM lineitem""".stripMargin
+
+  private val x1SaltedAgg: Q = (s, dir) =>
+    saltedSumCount(skewedRows(s, dir), Seq("k"), "v", salts = 32)
+      .orderBy("k")
+
+  private val x1Sql =
+    s"""WITH t AS ($skewedSql)
+       |SELECT k, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+       |FROM t GROUP BY k ORDER BY k""".stripMargin
+
+  private val x2SaltedJoin: Q = (s, dir) => {
+    val big = skewedRows(s, dir)
+    // the dimension side (key payloads); dimension-sized but joined
+    // through the salted path as if too large to broadcast.
+    val dim = big.select("k").distinct()
+      .withColumn("payload", length(col("k")).cast("long"))
+    saltedJoin(big, dim, Seq("k"), salts = 32)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+           sum(col("payload")).as("sum_payload"))
+      .orderBy("k")
+  }
+
+  private val x2Sql =
+    s"""WITH t AS ($skewedSql),
+       |dim AS (SELECT k, CAST(length(k) AS BIGINT) AS payload
+       |        FROM (SELECT DISTINCT k FROM t))
+       |SELECT t.k, count(*) AS n, CAST(sum(t.v) AS BIGINT) AS sum_v,
+       |       CAST(sum(dim.payload) AS BIGINT) AS sum_payload
+       |FROM t JOIN dim ON t.k = dim.k
+       |GROUP BY t.k ORDER BY t.k""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "x1_skew_salted_agg"  -> x1SaltedAgg,
+    "x2_skew_salted_join" -> x2SaltedJoin)
+
+  def oracles: Map[String, String] = Map(
+    "x1_skew_salted_agg"  -> x1Sql,
+    "x2_skew_salted_join" -> x2Sql)
 }

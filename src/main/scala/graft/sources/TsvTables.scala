@@ -17,6 +17,15 @@ import org.apache.spark.sql.types.StructType
   * FILE (one `.mag` per image, thousands of images = natural task
   * granularity), never per line.
   */
+/** One parsed (star, aperture) row of a DAOphot .mag file. NaN marks
+  * IRAF's INDEF sentinel. Top-level (not nested in the object): encoders
+  * for object-nested case classes make Janino's generated accessors fail
+  * to resolve, silently dropping every .mag scan to interpreted
+  * projections. */
+private[sources] case class DaophotRow(
+    source_file: String, find_id: Long, xpix: Double, ypix: Double,
+    msky: Double, rapert: Double, area: Double, flux: Double)
+
 object TsvTables {
 
   /** Read a '#'-commented TSV with an explicit schema (no header line —
@@ -49,12 +58,6 @@ object TsvTables {
   }
 
   // ---- IRAF DAOphot dialect (database_update.py:481-509, A11) ----
-
-  /** One parsed (star, aperture) row of a DAOphot .mag file. NaN marks
-    * IRAF's INDEF sentinel. */
-  private case class DaophotRow(
-      source_file: String, find_id: Long, xpix: Double, ypix: Double,
-      msky: Double, rapert: Double, area: Double, flux: Double)
 
   /** Parse one DAOphot text file: `#N` lines declare the column layout in
     * blocks; each data record spans several physical lines joined by
