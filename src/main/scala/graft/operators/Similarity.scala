@@ -271,8 +271,13 @@ object Similarity extends QueryPack {
     // One count to size k — metadata-only against parquet statistics.
     val k = ivfK(e.count())
     val centroids = graft.functions.KMeans.fit(e, k, iters = 2)
+    // Persisted: BOTH sides of the in-cell self-join read `assigned`;
+    // without the persist the full train+assign pipeline (corpus scan +
+    // broadcast argmin) executes twice. Same pattern as d4's signature
+    // table; Bench/Verify clear the cache after each query.
     val assigned = graft.functions.KMeans
       .assign(e.withColumn("norm", DotProduct.norm(col("embedding"))), centroids)
+      .persist()
     val a = assigned.select(col("cell"), col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("norm").as("qnorm"))
     val b = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),

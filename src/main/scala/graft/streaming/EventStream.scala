@@ -116,6 +116,22 @@ object EventStream {
       }
       .start()
 
+  /** Stream-stream interval join (the click-attribution shape): each
+    * click row matches the impression with the same id whose event time
+    * precedes it by at most `horizon`. This is the one streaming join
+    * where BOTH sides buffer state; the two watermarks plus the
+    * time-range predicate are what let Spark bound how long an
+    * impression can still receive a matching click (≈ horizon + the
+    * click watermark) and EVICT its state — a bare equi-join of two
+    * streams would hold both sides forever. The same plan runs in batch
+    * mode (watermarks are no-ops there) for the spec's cross-check. */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+                      watermark: String, horizon: String): DataFrame =
+    impressions.withWatermark("imp_ts", watermark)
+      .join(clicks.withWatermark("click_ts", watermark),
+        expr("imp_id = click_imp_id AND click_ts >= imp_ts" +
+          s" AND click_ts <= imp_ts + interval '$horizon'"))
+
   /** Gap-based sessions per user via native `session_window` — the
     * streaming-native form of the a5 sessionization. The gap is 30 min
     * PLUS 1 ms: Spark's session window is end-exclusive (an event exactly

@@ -3,6 +3,12 @@ package graft
 import graft.operators.Skew
 import org.apache.spark.sql.functions._
 
+/** Perf note (round-5 SkewProbe, sf0.1, 99:1 hot key, alternating reps,
+  * broadcast off for the join probe): plain med 0.39/0.83 s (agg/join)
+  * vs salted 0.49/0.96 s — partial aggregation and a sub-core-count hot
+  * partition make plain faster at local scale; the salted forms are the
+  * insurance for hot partitions ≫ cores and non-algebraic buffers (see
+  * Skew scaladoc). These specs pin bit-equality, not speed. */
 class SkewSpec extends SparkSpecBase {
 
   // 90% of rows share one hot key — the shape that single-tasks a plain

@@ -188,6 +188,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Seq((10L, Some("gold")), (11L, None), (12L, Some("basic"))))
   }
 
+  test("stream-stream interval join attributes clicks within the horizon") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ssij")
+    val imps = root.resolve("imps"); val clicks = root.resolve("clicks")
+    Files.createDirectories(imps); Files.createDirectories(clicks)
+
+    def dropImps(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("imp_id", "s").select(col("imp_id"),
+          to_timestamp(col("s")).as("imp_ts"))
+        .coalesce(1).write.parquet(imps.resolve(name).toString)
+    def dropClicks(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("click_imp_id", "s").select(col("click_imp_id"),
+          to_timestamp(col("s")).as("click_ts"))
+        .coalesce(1).write.parquet(clicks.resolve(name).toString)
+
+    dropImps("b1", Seq((1L, "2026-01-01 10:00:00"), (2L, "2026-01-01 10:05:00")))
+    dropClicks("b1", Seq((1L, "2026-01-01 10:20:00")))
+
+    val impSchema = spark.read.parquet(imps.resolve("b1").toString).schema
+    val clickSchema = spark.read.parquet(clicks.resolve("b1").toString).schema
+    def stream(dir: java.nio.file.Path, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir.toString)
+
+    val q = EventStream.attributeClicks(
+        stream(imps, impSchema), stream(clicks, clickSchema),
+        watermark = "10 minutes", horizon = "30 minutes")
+      .writeStream.format("memory").queryName("ssij")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // 2nd micro-batch: one more in-horizon click for imp 1, one click for
+    // imp 2 far beyond the 30-minute horizon (must NOT match).
+    dropClicks("b2", Seq((1L, "2026-01-01 10:25:00"), (2L, "2026-01-01 11:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssij")
+      .select("imp_id", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSeq.sorted
+    assert(got == Seq(
+      (1L, "2026-01-01 10:20:00.0"), (1L, "2026-01-01 10:25:00.0")))
+
+    // batch face of the same plan over the full data agrees.
+    val allImps = spark.read.option("recursiveFileLookup", "true")
+      .parquet(imps.toString)
+    val allClicks = spark.read.option("recursiveFileLookup", "true")
+      .parquet(clicks.toString)
+    val batch = EventStream.attributeClicks(allImps, allClicks,
+        "10 minutes", "30 minutes")
+      .select("imp_id", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSeq.sorted
+    assert(batch == got)
+  }
+
   test("flatMapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_state")
