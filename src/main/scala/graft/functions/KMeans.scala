@@ -62,7 +62,14 @@ object KMeans {
     * scored rows of a vector in one partition, so the partial heap
     * reduces them to ONE row before the exchange — a window would
     * shuffle+sort the full n·k score table. */
-  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    assignTopN(embeddings, centroids, 1)
+
+  /** The `nprobe` generalization: each vector gets its `n` nearest cells
+    * (one row per (vector, probed cell)) — n = 1 is the inverted-list
+    * build; n > 1 is the IVF query-side probe that recovers the recall a
+    * single probe loses at cell boundaries. */
+  def assignTopN(embeddings: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
     val cents = centroids
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
@@ -73,7 +80,7 @@ object KMeans {
     val scored = embeddings.crossJoin(broadcast(cents))
       .withColumn("score",
         col("cnorm2") - lit(2.0) * DotProduct.dot(col("embedding"), col("centroid")))
-    graft.plans.GroupedTopK.topK(scored, Seq("vec_id"), 1,
+    graft.plans.GroupedTopK.topK(scored, Seq("vec_id"), n,
         col("score").asc, col("cell").asc)
       .drop("score", "centroid", "cnorm2")
   }

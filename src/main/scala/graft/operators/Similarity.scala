@@ -261,10 +261,12 @@ object Similarity extends QueryPack {
     if (n <= 64) 8 else if (n <= 256) 16 else if (n <= 1024) 32
     else if (n <= 4096) 64 else 128
 
-  private val ivfKSql =
-    """(SELECT CASE WHEN count(*) <= 64 THEN 8 WHEN count(*) <= 256 THEN 16
-      |  WHEN count(*) <= 1024 THEN 32 WHEN count(*) <= 4096 THEN 64
-      |  ELSE 128 END FROM embeddings)""".stripMargin
+  private def ivfKSqlFor(t: String): String =
+    s"""(SELECT CASE WHEN count(*) <= 64 THEN 8 WHEN count(*) <= 256 THEN 16
+       |  WHEN count(*) <= 1024 THEN 32 WHEN count(*) <= 4096 THEN 64
+       |  ELSE 128 END FROM $t)""".stripMargin
+
+  private val ivfKSql = ivfKSqlFor("embeddings")
 
   private val v6IvfTopk: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
@@ -295,24 +297,28 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  /** One Lloyd assignment CTE pair: scored argmin over `cents`, ties by
-    * cell. Mirrors KMeans.assign (float-cast centroids, ‖c‖²−2·e·c). */
-  private def assignSql(cents: String, out: String): String =
+  /** One Lloyd assignment CTE pair over corpus CTE `from`: scored argmin
+    * (top-`probe`) over `cents`, ties by cell. Mirrors
+    * KMeans.assign/assignTopN (float-cast centroids, ‖c‖²−2·e·c). */
+  private def assignSql(cents: String, out: String, from: String = "e",
+                        probe: Int = 1): String =
     s"""$out AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |             c.cnorm2
        |             - 2.0 * ${dotD("e.embedding", "c.centroid")}, c.cell) AS rn
-       |    FROM e, $cents c) s WHERE rn = 1)""".stripMargin
+       |    FROM $from e, $cents c) s WHERE rn <= $probe)""".stripMargin
 
-  /** One Lloyd update CTE pair: per-(cell, dim) means of the members,
-    * re-packed to a float centroid array. Mirrors KMeans.fit's update. */
-  private def updateSql(asg: String, outMeans: String, outCents: String): String =
+  /** One Lloyd update CTE pair over corpus CTE `from`: per-(cell, dim)
+    * means of the members, re-packed to a float centroid array. Mirrors
+    * KMeans.fit's update. */
+  private def updateSql(asg: String, outMeans: String, outCents: String,
+                        from: String = "e"): String =
     s"""$outMeans AS (
        |  SELECT a.cell, CAST(u.i - 1 AS INT) AS pos,
        |         avg(CAST(m.embedding[u.i] AS DOUBLE)) AS mean_v
-       |  FROM $asg a JOIN e m USING (vec_id),
+       |  FROM $asg a JOIN $from m USING (vec_id),
        |       (SELECT unnest(range(1, ${dims + 1})) AS i) u
        |  GROUP BY a.cell, u.i),
        |$outCents AS (
@@ -349,6 +355,88 @@ object Similarity extends QueryPack {
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM p)
        |SELECT CAST(cell AS INT) AS cell, query_id, rank, neighbor_id, cos
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // -- v8: the IVF shape that actually ships at 100 TB — k-means never
+  //    sees the full corpus: train on a bounded DETERMINISTIC sample
+  //    (vec_id mod m, m from a CASE chain both engines evaluate — the
+  //    faiss train-on-subset practice), assign EVERY vector once (one
+  //    broadcast argmin scan), and probe the query's nprobe=2 nearest
+  //    cells at search time, recovering the recall a single probe loses
+  //    at cell boundaries. Each corpus vector lives in exactly ONE
+  //    inverted list, so the two probed candidate sets are disjoint —
+  //    no dedup stage. Costs: Lloyd O(sample·k·dims), assignment
+  //    O(n·k·dims), search O(n·nprobe·list·dims); only the assignment
+  //    and search scans touch the corpus.
+  private def ivfSampleMod(n: Long): Int = if (n <= 1024) 1 else 4
+
+  private val ivfSampleModSql =
+    "(SELECT CASE WHEN count(*) <= 1024 THEN 1 ELSE 4 END FROM e)"
+
+  private val v8IvfSampled: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val m = ivfSampleMod(e.count())
+    val sample = e.filter(pmod(col("vec_id"), lit(m)) === 0)
+    val k = ivfK(sample.count())
+    val centroids = graft.functions.KMeans.fit(sample, k, iters = 2)
+    val withNorm = e.withColumn("norm", DotProduct.norm(col("embedding")))
+    // inverted lists: one cell per corpus vector (persisted: search
+    // reads it once per probed cell side).
+    val lists = graft.functions.KMeans.assign(withNorm, centroids).persist()
+    val probes = graft.functions.KMeans.assignTopN(withNorm, centroids, 2)
+    val a = probes.select(col("cell"), col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("norm").as("qnorm"))
+    val b = lists.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("norm").as("cnorm"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .select("query_id", "neighbor_id", "cos")
+    graft.plans.GroupedTopK.topK(scored, Seq("query_id"), 3,
+        col("cos").desc, col("neighbor_id").asc)
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  private val v8Sql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |smp AS (
+       |  SELECT vec_id, embedding FROM e
+       |  WHERE vec_id % $ivfSampleModSql = 0),
+       |seed AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cell, embedding FROM (
+       |    SELECT vec_id, embedding,
+       |           row_number() OVER (ORDER BY vec_id) AS rn FROM smp) s
+       |  WHERE rn <= ${ivfKSqlFor("smp")}),
+       |cents0 AS (
+       |  SELECT cell, embedding AS centroid,
+       |         ${dotD("embedding", "embedding")} AS cnorm2 FROM seed),
+       |${assignSql("cents0", "a1", from = "smp")},
+       |${updateSql("a1", "m1", "cents1", from = "smp")},
+       |${assignSql("cents1", "a2", from = "smp")},
+       |${updateSql("a2", "m2", "cents2", from = "smp")},
+       |${assignSql("cents2", "lists", from = "e", probe = 1)},
+       |${assignSql("cents2", "probes", from = "e", probe = 2)},
+       |n2 AS (
+       |  SELECT l.cell, e.vec_id, e.embedding,
+       |         sqrt(${dotD("e.embedding", "e.embedding")}) AS norm
+       |  FROM lists l JOIN e USING (vec_id)),
+       |q2 AS (
+       |  SELECT p.cell, e.vec_id, e.embedding,
+       |         sqrt(${dotD("e.embedding", "e.embedding")}) AS norm
+       |  FROM probes p JOIN e USING (vec_id)),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ${dotD("q.embedding", "b.embedding")} / (q.norm * b.norm) AS cos
+       |  FROM q2 q JOIN n2 b ON q.cell = b.cell AND q.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM p)
+       |SELECT query_id, rank, neighbor_id, cos
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   // -- v5: embedding near-duplicate pairs — cosine ≥ 0.3 on banded-LSH
@@ -434,7 +522,8 @@ object Similarity extends QueryPack {
     "v4_label_centroids" -> v4Centroids,
     "v5_embed_neardup"  -> v5NearDup,
     "v6_ivf_topk"       -> v6IvfTopk,
-    "v7_quantize"       -> v7Quantize)
+    "v7_quantize"       -> v7Quantize,
+    "v8_ivf_sampled"    -> v8IvfSampled)
 
   def oracles: Map[String, String] = Map(
     "v1_knn_brute_topk" -> v1Sql,
@@ -443,5 +532,6 @@ object Similarity extends QueryPack {
     "v4_label_centroids" -> v4Sql,
     "v5_embed_neardup"  -> v5Sql,
     "v6_ivf_topk"       -> v6Sql,
+    "v8_ivf_sampled"    -> v8Sql,
     "v7_quantize"       -> v7Sql)
 }
