@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DataFrame-native Lloyd's k-means over `array<float>` embeddings — the
@@ -31,10 +30,18 @@ object KMeans {
       .select(col("cell"), col("pos"),
         col("v").cast("double").as("mean_v"))
       .groupBy("cell", "pos").agg(first(col("mean_v")).as("mean_v"))
-    // re-number cells 0..k-1 for stability
-    val cellIds = Window.orderBy("cell")
-    centroids = centroids
-      .withColumn("cell", dense_rank().over(cellIds) - 1)
+    // re-number cells 0..k-1 for stability. The distinct seed ids are k
+    // ints (dimension-sized — k ∝ √n stays driver-safe at any corpus
+    // scale), so the id map is collected and broadcast-joined back; a
+    // dense_rank over an unpartitioned window would do the same job but
+    // drags every row to one partition and trips the global-window
+    // warning, so it is banned here like everywhere else in the engine.
+    import spark.implicits._
+    val idMap = centroids.select("cell").distinct().orderBy("cell")
+      .collect().map(_.getInt(0)).zipWithIndex.toSeq
+      .toDF("cell", "cell_new")
+    centroids = centroids.join(broadcast(idMap), "cell")
+      .select(col("cell_new").as("cell"), col("pos"), col("mean_v"))
 
     // Each iteration persists its centroids to cut lineage growth; the
     // previous iteration's cache is released once the new one is

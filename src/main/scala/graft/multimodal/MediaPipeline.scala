@@ -86,6 +86,46 @@ object MediaPipeline {
     }
   }
 
+  case class PHashRow(id: Long, phash: Long)
+
+  /** Perceptual (average) hash of the decoded plane — the media-side
+    * near-duplicate signature (aHash shape): 63 luma samples at
+    * length-adaptive positions x·len/63, thresholded STRICTLY against
+    * their mean, packed into a non-negative BIGINT (bit 63 unused so the
+    * value never goes negative in either engine). Sampling is
+    * length-adaptive on purpose: fixed-stride sampling zeroes the high
+    * bits of short planes, which collapses one LSH band bucket into an
+    * O(n²) degenerate (measured on the corpus before this shape was
+    * chosen: max band bucket 11 adaptive vs thousands fixed-stride). */
+  def perceptualHashes(media: Dataset[MediaRow], decoder: MediaDecoder)
+      (implicit spark: SparkSession): Dataset[PHashRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        val planes = decoder.decodeBatch(batch.map(_.payload))
+        batch.zip(planes).map { case (row, plane) =>
+          val n = 63
+          val samples = new Array[Long](n)
+          var sum = 0L
+          var x = 0
+          while (x < n) {
+            val p = (x.toLong * plane.length / n).toInt
+            val v = if (p < plane.length) plane(p).toLong else 0L
+            samples(x) = v; sum += v; x += 1
+          }
+          val mean = sum.toDouble / n.toDouble
+          var h = 0L
+          x = 0
+          while (x < n) {
+            if (samples(x).toDouble > mean) h |= (1L << x)
+            x += 1
+          }
+          PHashRow(row.id, h)
+        }
+      }
+    }
+  }
+
   case class FrameStat(id: Long, frame_idx: Int, n_px: Int, mean_luma: Double)
   case class ResizedRow(id: Long, out_w: Int, out_h: Int, pixels: Array[Int])
 

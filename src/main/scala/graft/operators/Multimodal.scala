@@ -55,11 +55,74 @@ object Multimodal extends QueryPack {
       |       CAST(CASE WHEN n_rows % 64 = 0 THEN 64 ELSE n_rows % 64 END AS INT) AS min_batch
       |FROM s ORDER BY shard""".stripMargin
 
+  // -- m3: perceptual-hash near-duplicates — the media-modality face of
+  //    d4: a 63-bit aHash per decoded plane (MediaPipeline
+  //    .perceptualHashes), banded into 4×16-bit LSH keys, candidate
+  //    pairs by band equality, then exact Hamming ≤ 12 on candidates —
+  //    never O(n²). With a real decoder the same plan is image aHash
+  //    dedup; the stub makes it byte-profile dedup, which the oracle
+  //    recomputes from the source text.
+  private val m3PhashNearDup: Q = (s, dir) => {
+    implicit val sp = s
+    val media = MediaPipeline.toMedia(Tables.documents(s, dir))
+    // persisted: both sides of the band self-join read the hash table.
+    val ph = MediaPipeline
+      .perceptualHashes(media, MediaPipeline.FakeDecoder).toDF().persist()
+    val bandCols = (0 until 4).map { b =>
+      expr(s"struct(CAST($b AS INT) AS band_id, " +
+        s"CAST(shiftright(phash, ${16 * b}) & 65535 AS BIGINT) AS bv)")
+    }
+    val bands = ph.select(col("id"), col("phash"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("phash"), col("band.band_id"), col("band.bv"))
+    val a = bands.select(col("band_id"), col("bv"),
+      col("id").as("id_a"), col("phash").as("pa"))
+    val b2 = bands.select(col("band_id"), col("bv"),
+      col("id").as("id_b"), col("phash").as("pb"))
+    a.join(b2, Seq("band_id", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "pa", "pb").distinct()
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .filter(col("hamming") <= 12)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val m3Sql =
+    """WITH sm AS (
+      |  SELECT doc_id, list_transform(range(0, 63), x ->
+      |           CAST(ascii(substr(text, CAST((x * length(text)) // 63 + 1 AS INT), 1)) AS BIGINT)) AS smp
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST(list_sum(smp) AS DOUBLE) / 63.0 AS mn, smp
+      |  FROM sm),
+      |ph AS (
+      |  SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(0, 63), x ->
+      |           CASE WHEN CAST(smp[CAST(x AS INT) + 1] AS DOUBLE) > mn
+      |                THEN (CAST(1 AS BIGINT) << CAST(x AS INT))
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, phash, b.band_id, (phash >> (16 * b.band_id)) & 65535 AS bv
+      |  FROM ph, (SELECT unnest(range(0, 4)) AS band_id) b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+      |         a.phash AS pa, c.phash AS pb
+      |  FROM bands a JOIN bands c
+      |    ON a.band_id = c.band_id AND a.bv = c.bv AND a.doc_id < c.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(pa, pb)) <= 12
+      |ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
-    "m2_media_batch_stats" -> m2BatchStats)
+    "m2_media_batch_stats" -> m2BatchStats,
+    "m3_phash_neardup" -> m3PhashNearDup)
 
   def oracles: Map[String, String] = Map(
     "m1_media_features" -> m1Sql,
-    "m2_media_batch_stats" -> m2Sql)
+    "m2_media_batch_stats" -> m2Sql,
+    "m3_phash_neardup" -> m3Sql)
 }

@@ -67,6 +67,33 @@ class MediaSpec extends SparkSpecBase {
     assert(thumb.out_w == 2 && thumb.out_h == 1)
   }
 
+  test("perceptual hash: non-negative, payload-determined, mean-threshold exact") {
+    implicit val s = spark
+    import s.implicits._
+    // Two identical payloads must collide; a constant plane (no sample
+    // strictly above its mean) must hash to 0; bit 63 is never set.
+    val flat = Array.fill[Byte](100)(42)
+    val ramp = Array.tabulate[Byte](100)(i => i.toByte)
+    val media = Seq(
+      MediaRow(1L, "k", ramp, MediaMeta("m", 10, 10)),
+      MediaRow(2L, "k", ramp.clone(), MediaMeta("m", 10, 10)),
+      MediaRow(3L, "k", flat, MediaMeta("m", 10, 10))).toDS()
+    val hs = MediaPipeline.perceptualHashes(media, FakeDecoder)
+      .collect().map(h => h.id -> h.phash).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(3L) == 0L)
+    hs.values.foreach { h => assert(h >= 0L) }
+    // ramp: sample x reads plane((x*100)/63); values above the sample
+    // mean set the high-index bits — recompute independently here.
+    val n = 63
+    val samples = Array.tabulate(n)(x => ramp((x * 100) / 63).toLong)
+    val mean = samples.sum.toDouble / n
+    val expect = samples.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v.toDouble > mean) acc | (1L << i) else acc
+    }
+    assert(hs(1L) == expect)
+  }
+
   test("streaming grouper: exact batch counts on a partition holding many shards") {
     implicit val s = spark
     import s.implicits._
