@@ -21,7 +21,8 @@ object SparkEntry {
     operators.MergeStream,
     operators.Multimodal,
     operators.Spatial,
-    operators.Skew)
+    operators.Skew,
+    operators.Sketch)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

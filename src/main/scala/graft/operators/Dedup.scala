@@ -315,6 +315,70 @@ object Dedup extends QueryPack {
        |ORDER BY lang, source, doc_a, doc_b""".stripMargin
   }
 
+  // -- d9: prefix edit distance on LSH candidates. Levenshtein is O(len²)
+  //    per pair and all-pairs is O(n²) — both unaffordable at corpus
+  //    scale. The standard production shape bounds both: candidate pairs
+  //    come from the SAME char-7-gram minhash bands as d6 (fan-out bound
+  //    by band buckets, independent of corpus size), and the DP runs on a
+  //    fixed 120-char prefix (cost bound per pair). The DP over ASCII is
+  //    engine-agnostic integer arithmetic, so the oracle is bit-exact.
+  private val d9Prefix = 120
+
+  private val d9EditDistance: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        substring(col("text"), 1, d9Prefix).as("pfx"),
+        TextKernels.charMinhashSigsUdf(bandK)(col("text")).as("csig"))
+      .filter(length(col("pfx")) >= bandK)
+      .persist()
+    val bandCols = (0 until nBands).map { i =>
+      expr(s"struct(CAST($i AS INT) AS band_id, " +
+           s"(element_at(csig, ${2 * i + 1})*131 + element_at(csig, ${2 * i + 2})) % $P AS bh)")
+    }
+    val banded = base
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+              col("band.bh").as("bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+      .filter(col("dist") <= d9Prefix / 2)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d9Sql = {
+    val sh7 = s"list_distinct(${TextPrims.hashEach(
+      TextPrims.charShingles("text", bandK, DuckD), DuckD)})"
+    val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      s"${TextPrims.minhashOne("sh7", a, b, DuckD)} AS sig$k"
+    }
+    val bandSelects = (0 until nBands).map { i =>
+      s"SELECT doc_id, $i AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh FROM sigs"
+    }
+    s"""WITH s AS (SELECT doc_id, substr(text, 1, $d9Prefix) AS pfx, $sh7 AS sh7 FROM documents),
+       |s2 AS (SELECT * FROM s WHERE len(pfx) >= $bandK AND len(sh7) > 0),
+       |sigs AS (SELECT doc_id, ${sigs.mkString(",\n       ")} FROM s2),
+       |banded AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(levenshtein(sa.pfx, sb.pfx) AS INT) AS dist
+       |FROM cand c
+       |JOIN s2 sa ON sa.doc_id = c.doc_a
+       |JOIN s2 sb ON sb.doc_id = c.doc_b
+       |WHERE levenshtein(sa.pfx, sb.pfx) <= ${d9Prefix / 2}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // -- d7: cross-corpus decontamination — the train-vs-eval flavor of d4
   //    (drop training docs that near-duplicate a held-out benchmark doc).
   //    Same banded-LSH candidate generation, but the band join is
@@ -386,6 +450,7 @@ object Dedup extends QueryPack {
       |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "d9_edit_distance"     -> d9EditDistance,
     "d1_exact_dedup_stats" -> d1ExactStats,
     "d2_prefix_dedup"      -> d2PrefixDedup,
     "d3_minhash_sig"       -> d3MinhashSig,
@@ -396,6 +461,7 @@ object Dedup extends QueryPack {
     "d8_stratified_sample" -> d8Stratified)
 
   def oracles: Map[String, String] = Map(
+    "d9_edit_distance"     -> d9Sql,
     "d1_exact_dedup_stats" -> d1Sql,
     "d2_prefix_dedup"      -> d2Sql,
     "d3_minhash_sig"       -> d3Sql,

@@ -108,15 +108,40 @@ object MergeStream extends QueryPack {
       |       count(*) AS n_events
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  // -- st3: hopping windows (batch face of EventStream.hoppingCounts).
+  //    The oracle replays Spark's window assignment: with window = 2 ×
+  //    slide, every event belongs to exactly its 5-minute bucket and the
+  //    one before it; time_bucket's 2000-01-01 origin is a whole multiple
+  //    of 5 minutes from the epoch, so the alignment is identical.
+  private val st3Hopping: Q = (s, dir) =>
+    EventStream.hoppingCounts(Tables.events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  private val st3Sql =
+    """WITH e AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS s0, event_type,
+      |         CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |x AS (
+      |  SELECT s0 AS window_start, event_type, v FROM e
+      |  UNION ALL
+      |  SELECT s0 - INTERVAL '5 minutes' AS window_start, event_type, v FROM e)
+      |SELECT window_start, event_type, count(*) AS n,
+      |       CAST(sum(v) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s5_merge_upsert"    -> s5MergeUpsert,
     "w5_asof_prior"      -> w5AsofPrior,
     "st1_tumbling_window" -> st1Tumbling,
-    "st2_session_window" -> st2Session)
+    "st2_session_window" -> st2Session,
+    "st3_hopping_window" -> st3Hopping)
 
   def oracles: Map[String, String] = Map(
     "s5_merge_upsert"    -> s5Sql,
     "w5_asof_prior"      -> w5Sql,
     "st1_tumbling_window" -> st1Sql,
-    "st2_session_window" -> st2Sql)
+    "st2_session_window" -> st2Sql,
+    "st3_hopping_window" -> st3Sql)
 }

@@ -374,10 +374,39 @@ object Relational extends QueryPack {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // -- g1: CUBE — all 4 grouping sets over (status, priority) from ONE
+  //    Expand + hash aggregate (same single-shuffle shape as a15's
+  //    ROLLUP; Expand multiplies rows 4× BEFORE the exchange but the
+  //    partial aggregate collapses them map-side, so the shuffle still
+  //    carries only |groups| rows per level). grouping_id() disambiguates
+  //    subtotal NULLs from data NULLs — emitted so the oracle compare is
+  //    level-aware, not name-collision-prone.
+  private val g1Cube: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        graft.Exact.dec2(col("o_totalprice")).as("p"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().as("g"),
+        count(lit(1)).as("n"),
+        sum(col("p")).cast("string").cast("double").as("total_price"))
+      .orderBy(col("g"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val g1Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS g,
+      |       count(*) AS n,
+      |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s1_scan_filter_project" -> s1ScanFilterProject,
     "q1_pricing_agg"         -> q1PricingAgg,
     "a15_rollup"             -> a15Rollup,
+    "g1_cube"                -> g1Cube,
     "j1_join_topk"           -> j1JoinTopk,
     "j1_semi_join"           -> j1SemiJoin,
     "j2_pair_selfjoin"       -> j2PairSelfJoin,
@@ -394,6 +423,7 @@ object Relational extends QueryPack {
     "s1_scan_filter_project" -> s1Sql,
     "q1_pricing_agg"         -> q1Sql,
     "a15_rollup"             -> a15Sql,
+    "g1_cube"                -> g1Sql,
     "j1_join_topk"           -> j1Sql,
     "j1_semi_join"           -> j1SemiSql,
     "j2_pair_selfjoin"       -> j2Sql,

@@ -602,7 +602,59 @@ object Statistical extends QueryPack {
        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
   }
 
+  // -- a17: grouped Pearson correlation + sample covariance from exact
+  //    decimal sufficient moments. Spark's built-in corr/covar_samp use
+  //    an incremental co-moment update whose float result depends on
+  //    partition order — fine statistically, useless for a bit-exact
+  //    gate and subtly non-reproducible across cluster sizes. Deriving
+  //    from (n, Σx, Σy, Σx², Σxy, Σy²) makes the aggregation a pure
+  //    commutative partial (map-side combine, one tiny shuffle) AND
+  //    run-to-run identical at any parallelism — the 100 TB-correct
+  //    shape for any second-moment statistic.
+  private val a17ExactCorr: Q = (s, dir) => {
+    val t = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      Exact.dec2(col("l_quantity")).as("x"),
+      Exact.dec2(col("l_extendedprice")).as("y"))
+    def m2(a: Column, b: Column, name: String) =
+      sum((a * b).cast(DecimalType(38, 4))).cast("string").cast("double").as(name)
+    val a = t.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("string").cast("double").as("sx"),
+      sum(col("y")).cast("string").cast("double").as("sy"),
+      m2(col("x"), col("x"), "sxx"),
+      m2(col("x"), col("y"), "sxy"),
+      m2(col("y"), col("y"), "syy"))
+    a.select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * (col("n") - 1)).cast("double")).as("covar_samp"))
+      .orderBy("l_returnflag")
+  }
+
+  private val a17Sql =
+    """WITH t AS (
+      |  SELECT l_returnflag,
+      |         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+      |         CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+      |         CAST(CAST(sum(CAST(x*x AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |         CAST(CAST(sum(CAST(x*y AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |         CAST(CAST(sum(CAST(y*y AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy
+      |  FROM t GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |       (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price,
+      |       (n*sxy - sx*sy) / CAST(n*(n-1) AS DOUBLE) AS covar_samp
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "a17_exact_corr"      -> a17ExactCorr,
     "a1_regression_slope" -> a1Regression,
     "a2_sigma_clip"       -> a2SigmaClip,
     "a4_bin_clip_mean"    -> a4BinClipMean,
@@ -614,6 +666,7 @@ object Statistical extends QueryPack {
     "a16_pair_product"    -> a16PairProduct)
 
   def oracles: Map[String, String] = Map(
+    "a17_exact_corr"      -> a17Sql,
     "a1_regression_slope" -> a1Sql,
     "a2_sigma_clip"       -> a2Sql,
     "a4_bin_clip_mean"    -> a4Sql,

@@ -26,6 +26,22 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Hopping (sliding) 10-minute windows every 5 minutes: each event
+    * lands in exactly window/slide = 2 windows. Spark expands the rows
+    * BEFORE the aggregate, so the shuffle carries 2× rows collapsed
+    * map-side to |windows|×|types| partials — state in streaming mode is
+    * bounded by the watermark horizon, not the stream length. Window
+    * starts are epoch-aligned 5-minute marks (whole seconds), so the
+    * start timestamp is representation-safe across engines. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(graft.Exact.dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
   /** Streaming exact dedup bounded by the watermark — the streaming face
     * of the d1 batch dedup: re-delivered events (same natural key) inside
     * the watermark horizon are dropped, and key state older than the

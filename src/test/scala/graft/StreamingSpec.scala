@@ -43,6 +43,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("streamed hopping-window counts equal the batch result") {
+    val batch = EventStream.hoppingCounts(Tables.events(spark, sfDir))
+      .orderBy("window_start", "event_type").collect().toSeq
+
+    val q = EventStream.hoppingCounts(
+        streamedEvents().withWatermark("ts", "1 hour"))
+      .writeStream
+      .format("memory")
+      .queryName("hopping_test")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    val streamed = spark.table("hopping_test")
+      .orderBy("window_start", "event_type").collect().toSeq
+    q.stop()
+
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+    assert(streamed == batch)
+    // every event lands in exactly window/slide = 2 windows
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(batch.map(_.getAs[Long]("n")).sum == 2 * nEvents)
+  }
+
   test("foreachBatch upsert sink is idempotent across redeliveries") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_upstream")
