@@ -402,11 +402,51 @@ object Relational extends QueryPack {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY g, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // -- j9: FULL OUTER join — the reconciliation shape (which nations have
+  //    BUILDING-segment customers but no high-balance suppliers, and vice
+  //    versa). Both sides pre-aggregate to |nations| rows BEFORE the
+  //    join, so the full-outer itself is dimension×dimension (cheap at
+  //    any scale); joining the raw fact tables full-outer would be the
+  //    mistake. NULL sides are kept (that's the point of the operator)
+  //    and a presence flag pins the match classes.
+  private val j9FullOuter: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") > 5000.0)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        col("n_cust"), col("n_supp"),
+        when(col("c_nationkey").isNull, "supp_only")
+          .when(col("s_nationkey").isNull, "cust_only")
+          .otherwise("both").as("presence"))
+      .orderBy("nationkey")
+  }
+
+  private val j9Sql =
+    """WITH c AS (
+      |  SELECT c_nationkey, count(*) AS n_cust FROM customer
+      |  WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey),
+      |s AS (
+      |  SELECT s_nationkey, count(*) AS n_supp FROM supplier
+      |  WHERE s_acctbal > 5000.0 GROUP BY s_nationkey)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      |       n_cust, n_supp,
+      |       CASE WHEN c_nationkey IS NULL THEN 'supp_only'
+      |            WHEN s_nationkey IS NULL THEN 'cust_only'
+      |            ELSE 'both' END AS presence
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s1_scan_filter_project" -> s1ScanFilterProject,
     "q1_pricing_agg"         -> q1PricingAgg,
     "a15_rollup"             -> a15Rollup,
     "g1_cube"                -> g1Cube,
+    "j9_full_outer"          -> j9FullOuter,
     "j1_join_topk"           -> j1JoinTopk,
     "j1_semi_join"           -> j1SemiJoin,
     "j2_pair_selfjoin"       -> j2PairSelfJoin,
@@ -424,6 +464,7 @@ object Relational extends QueryPack {
     "q1_pricing_agg"         -> q1Sql,
     "a15_rollup"             -> a15Sql,
     "g1_cube"                -> g1Sql,
+    "j9_full_outer"          -> j9Sql,
     "j1_join_topk"           -> j1Sql,
     "j1_semi_join"           -> j1SemiSql,
     "j2_pair_selfjoin"       -> j2Sql,

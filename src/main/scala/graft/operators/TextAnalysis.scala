@@ -277,7 +277,43 @@ object TextAnalysis extends QueryPack {
        |       CAST(sum_chars AS DOUBLE)/CAST(n_docs AS DOUBLE) AS mean_doc_chars
        |FROM a ORDER BY source""".stripMargin
 
+  // -- t8: top-5 word bigrams per language by document frequency (the
+  //    shingles are per-doc distinct, so count = docs containing the
+  //    bigram). Explode → count is one shuffle on (lang, bigram) with
+  //    map-side combine; the top-5 selection rides GroupedTopK, so only
+  //    k rows per language cross the final exchange — the corpus-scale
+  //    vocabulary-stats shape (the full bigram count table never sorts
+  //    globally). Ties break on the bigram string (ASCII corpus → binary
+  //    comparison agrees across engines).
+  private val t8TopkNgrams: Q = (s, dir) => {
+    val sh = TextPrims.wordShingles(TextPrims.tokens("text", SparkD), SparkD)
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), explode(expr(sh)).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n_docs"))
+    graft.plans.GroupedTopK.topK(counts, Seq("lang"), 5,
+        col("n_docs").desc, col("bigram").asc)
+      .orderBy(col("lang"), col("n_docs").desc, col("bigram"))
+  }
+
+  private val t8Sql = {
+    val sh = TextPrims.wordShingles(TextPrims.tokens("text", DuckD), DuckD)
+    s"""WITH b AS (
+       |  SELECT lang, unnest($sh) AS bigram FROM documents),
+       |c AS (
+       |  SELECT lang, bigram, count(*) AS n_docs
+       |  FROM b GROUP BY lang, bigram),
+       |r AS (
+       |  SELECT lang, bigram, n_docs,
+       |         row_number() OVER (PARTITION BY lang
+       |                            ORDER BY n_docs DESC, bigram) AS rk
+       |  FROM c)
+       |SELECT lang, bigram, n_docs FROM r WHERE rk <= 5
+       |ORDER BY lang, n_docs DESC, bigram""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "t8_topk_ngrams"  -> t8TopkNgrams,
     "t7_source_stats" -> tSourceStats,
     "t1_token_count"  -> tTokenCount,
     "t2_quality_score" -> tQualityScore,
@@ -287,6 +323,7 @@ object TextAnalysis extends QueryPack {
     "t6_chunking"     -> tChunking)
 
   def oracles: Map[String, String] = Map(
+    "t8_topk_ngrams"  -> t8Sql,
     "t7_source_stats" -> tSourceStatsSql,
     "t1_token_count"  -> tTokenSql,
     "t2_quality_score" -> tQualitySql,

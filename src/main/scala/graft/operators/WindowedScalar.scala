@@ -317,7 +317,91 @@ object WindowedScalar extends QueryPack {
       |GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  // -- w8: exact discrete percentiles (p50/p90/p99) per group. Exact
+  //    quantiles need the within-group sort — that cost is inherent — but
+  //    ONE shuffle+sort serves all three percentiles: row_number + count
+  //    over the same window, then a pivot-style conditional aggregate.
+  //    Rank targets use pure-integer ceil division ((p·n + q−1) div q) so
+  //    both engines pick the same element; (value, event_id) ordering
+  //    makes ties deterministic. Values cross as per-row doubles (no
+  //    aggregation → no accumulation drift).
+  private val w8Percentiles: Q = (s, dir) => {
+    val byVal = Window.partitionBy("event_type")
+      .orderBy(col("v"), col("event_id"))
+    val all = Window.partitionBy("event_type")
+    val t = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        graft.Exact.dec2(col("value")).cast("double").as("v"))
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(all))
+    t.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("p50"),
+        max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("v"))).as("p90"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("v"))).as("p99"))
+      .orderBy("event_type")
+  }
+
+  private val w8Sql =
+    """WITH t AS (
+      |  SELECT event_type, event_id,
+      |         CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, max(n) AS n,
+      |       max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50,
+      |       max(CASE WHEN rn = (n * 9 + 9) // 10 THEN v END) AS p90,
+      |       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS p99
+      |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- f2: conversion funnel — per signup cohort (day of first signup),
+  //    how many users signed up and how many later purchased. Two narrow
+  //    conditional aggregates per user (one shuffle on user_id), then a
+  //    cohort rollup (second shuffle of |users| rows) — no self-join of
+  //    the event log against itself, which is the naive funnel shape that
+  //    dies at scale. Times are epoch-millis BIGINT; the cohort key is an
+  //    epoch DAY NUMBER (integer division), never a DATE/timestamp.
+  private val f2Funnel: Q = (s, dir) => {
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ms"))).as("signup_ms"),
+        max(when(col("event_type") === "purchase", col("ms"))).as("last_purchase_ms"))
+      .filter(col("signup_ms").isNotNull)
+    perUser
+      .withColumn("cohort_day", expr("signup_ms div 86400000"))
+      .withColumn("converted",
+        when(col("last_purchase_ms") > col("signup_ms"), 1L).otherwise(0L))
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_signups"),
+        sum(col("converted")).as("n_converted"),
+        (sum(col("converted")).cast("double") /
+          count(lit(1)).cast("double")).as("conv_rate"))
+      .orderBy("cohort_day")
+  }
+
+  private val f2Sql =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS signup_ms,
+      |         max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS last_purchase_ms
+      |  FROM events GROUP BY user_id),
+      |f AS (
+      |  SELECT signup_ms // 86400000 AS cohort_day,
+      |         CASE WHEN last_purchase_ms > signup_ms THEN 1 ELSE 0 END AS converted
+      |  FROM pu WHERE signup_ms IS NOT NULL)
+      |SELECT cohort_day, count(*) AS n_signups,
+      |       CAST(sum(converted) AS BIGINT) AS n_converted,
+      |       CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
+      |FROM f GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "w8_percentiles"     -> w8Percentiles,
+    "f2_funnel"          -> f2Funnel,
     "w3_latest_group"    -> w3LatestMonth,
     "w4_grouped_topk"    -> w4GroupedTopK,
     "w6_running_total"   -> w6RunningTotal,
@@ -332,6 +416,8 @@ object WindowedScalar extends QueryPack {
     "p7_blocklist"       -> p7Blocklist)
 
   def oracles: Map[String, String] = Map(
+    "w8_percentiles"     -> w8Sql,
+    "f2_funnel"          -> f2Sql,
     "w3_latest_group"    -> w3Sql,
     "w4_grouped_topk"    -> w4Sql,
     "w6_running_total"   -> w6Sql,
