@@ -515,7 +515,37 @@ object Similarity extends QueryPack {
       |       CAST(len(list_filter(codes, x -> x > 0)) AS BIGINT) AS n_nonzero
       |FROM c ORDER BY vec_id""".stripMargin
 
+  // -- v9: per-vector scalar statistics — the embedding-hygiene scan
+  //    (zero vectors, NaN/degenerate norms, range outliers) every vector
+  //    store runs before indexing. Pure per-row array folds inside
+  //    codegen, no shuffle. Bit-exactness: both engines fold LEFT-TO-
+  //    RIGHT over the same float→double casts (Spark `aggregate` from a
+  //    0.0 seed; DuckDB `list_reduce` seeded by the first element — the
+  //    leading 0.0+x is exact, so the op sequences are identical), and
+  //    min/max are comparisons, not arithmetic.
+  private val v9VectorStats: Q = (s, dir) => {
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+             "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+          .as("norm2"),
+        array_min(col("embedding")).cast("double").as("amin"),
+        array_max(col("embedding")).cast("double").as("amax"))
+      .orderBy("vec_id")
+  }
+
+  private val v9Sql =
+    """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+      |       list_reduce(list_transform(embedding,
+      |                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |                   (acc, x) -> acc + x) AS norm2,
+      |       CAST(list_min(embedding) AS DOUBLE) AS amin,
+      |       CAST(list_max(embedding) AS DOUBLE) AS amax
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "v9_vector_stats"   -> v9VectorStats,
     "v1_knn_brute_topk" -> v1BruteTopk,
     "v2_lsh_buckets"    -> v2LshBuckets,
     "v3_lsh_ann_topk"   -> v3LshTopk,
@@ -526,6 +556,7 @@ object Similarity extends QueryPack {
     "v8_ivf_sampled"    -> v8IvfSampled)
 
   def oracles: Map[String, String] = Map(
+    "v9_vector_stats"   -> v9Sql,
     "v1_knn_brute_topk" -> v1Sql,
     "v2_lsh_buckets"    -> v2Sql,
     "v3_lsh_ann_topk"   -> v3Sql,

@@ -399,7 +399,35 @@ object WindowedScalar extends QueryPack {
       |       CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
       |FROM f GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
 
+  // -- f4: JSON extraction — the semi-structured payload column every
+  //    event pipeline carries. Path extraction is a per-row codegen'd
+  //    scalar (no UDF, no shuffle); the rollup then groups on the parsed
+  //    value. Integer outputs only: JSON numbers re-emitted as text could
+  //    differ in formatting across engines, parsed BIGINTs cannot.
+  private val f4JsonExtract: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), expr("k % 10").as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type", "k_mod")
+  }
+
+  private val f4Sql =
+    """WITH t AS (
+      |  SELECT event_type,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, k % 10 AS k_mod, count(*) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       min(k) AS min_k, max(k) AS max_k
+      |FROM t WHERE k IS NOT NULL
+      |GROUP BY event_type, k % 10
+      |ORDER BY event_type, k_mod""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "f4_json_extract"    -> f4JsonExtract,
     "w8_percentiles"     -> w8Percentiles,
     "f2_funnel"          -> f2Funnel,
     "w3_latest_group"    -> w3LatestMonth,
@@ -416,6 +444,7 @@ object WindowedScalar extends QueryPack {
     "p7_blocklist"       -> p7Blocklist)
 
   def oracles: Map[String, String] = Map(
+    "f4_json_extract"    -> f4Sql,
     "w8_percentiles"     -> w8Sql,
     "f2_funnel"          -> f2Sql,
     "w3_latest_group"    -> w3Sql,

@@ -73,6 +73,29 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("v9 vector stats is scan-only; k1/t8 run their selection on GroupedTopK") {
+    val df = SparkEntry.queries("v9_vector_stats")(spark, sfDir)
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val plan = org.apache.spark.sql.graftshim.ColumnBridge
+      .ofRows(spark, noSort).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"v9 grew a shuffle:\n$plan")
+    for (name <- Seq("k1_kmv_distinct", "t8_topk_ngrams")) {
+      val p = executedPlan(name)
+      assert(p.contains("GroupedTopK"), s"$name lost its GroupedTopK:\n$p")
+    }
+  }
+
+  test("w8 percentiles: all three ranks share ONE within-group sort exchange") {
+    val p = executedPlan("w8_percentiles")
+    val nExchanges = "(?<!AQEShuffleRead coalesced\n)Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(nExchanges <= 2, s"w8 re-sorts per percentile:\n$p")
+    assert("Window ".r.findAllIn(p).length <= 2, s"extra window passes:\n$p")
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
