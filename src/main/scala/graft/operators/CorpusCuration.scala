@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   * the whole pipeline are the dedup groupBy, the two band joins, and the
   * near-dup anti-joins — everything else is narrow.
   *
-  * Near-dedup canonicalization is the standard greedy rule: a doc is
-  * dropped if it appears as the GREATER id of any matched pair (keeps
-  * the smallest id of each duplicate cluster; no driver-side union-find
-  * — at 100 TB connected components would be an iterative join, and the
-  * greedy rule differs only on chains A~B~C where A≁C, which MinHash at
-  * a sane threshold makes rare).
+  * Near-dedup canonicalization offers two rules:
+  *   - [[nearDedupStage]] (default): the standard greedy rule — drop a
+  *     doc if it appears as the GREATER id of any matched pair. One
+  *     anti-join; differs from the exact rule only on chains A~B~C
+  *     where A≁C, which MinHash at a sane threshold makes rare.
+  *   - [[nearDedupStageExact]]: connected components over the pair
+  *     graph ([[Graph.connectedComponents]], d10) — keeps exactly one
+  *     doc per TRANSITIVE duplicate cluster, at the cost of the
+  *     iterative label-propagation joins. Still no driver-side
+  *     union-find.
   */
 object CorpusCuration {
 
@@ -84,6 +88,19 @@ object CorpusCuration {
   def nearDedupStage(docs: DataFrame, cfg: Config): DataFrame = {
     val losers = Dedup.nearDupPairs(docs, cfg.jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** d10 as a filter: keep the smallest doc_id of every transitive
+    * near-dup cluster — exact on the chains the greedy rule misjudges.
+    * Non-canonical cluster members (id ≠ component label) are the drop
+    * set; docs in no pair are untouched. */
+  def nearDedupStageExact(docs: DataFrame, cfg: Config): DataFrame = {
+    val pairs = Dedup.nearDupPairs(docs, cfg.jaccardThreshold)
+      .select("doc_a", "doc_b")
+    val losers = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

@@ -185,14 +185,16 @@ object Dedup extends QueryPack {
   private val d4LshPairs: Q = (s, dir) =>
     nearDupPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
 
-  private val d4Sql = {
+  /** The d4 CTE chain (shingles → signatures → bands → candidates →
+    * exact Jaccard), shared by the d4 and d10 oracles. */
+  private val d4Ctes = {
     val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
       s"${TextPrims.minhashOne("hs", a, b, DuckD)} AS sig$k"
     }
     val bandSelects = (0 until nBands).map { i =>
       s"SELECT doc_id, sh, $i AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh FROM sigs"
     }
-    s"""WITH h AS (
+    s"""h AS (
        |  SELECT doc_id,
        |         list_distinct(${shingleHashes(DuckD)}) AS hs
        |  FROM documents),
@@ -209,13 +211,56 @@ object Dedup extends QueryPack {
        |         len(sa.sh) AS na, len(sb.sh) AS nb
        |  FROM cand c
        |  JOIN sigs sa ON sa.doc_id = c.doc_a
-       |  JOIN sigs sb ON sb.doc_id = c.doc_b)
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b)""".stripMargin
+  }
+
+  private val d4Sql =
+    s"""WITH $d4Ctes
        |SELECT doc_a, doc_b,
        |       CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) AS jac
        |FROM j
        |WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) >= $jacThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -- d10: transitive near-dup clusters — connected components over the
+  //    d4 pair graph, labeling every involved doc with the smallest
+  //    doc_id in its component. This is what near-dedup actually needs
+  //    at corpus scale: pair output alone can't collapse a chain
+  //    A~B~C where A≁C (the greedy drop-the-greater-id rule keeps or
+  //    drops the wrong docs on such chains — see CorpusCuration). The
+  //    Spark side is Graph.connectedComponents (iterative min-label
+  //    propagation + path halving, no driver-side union-find); the
+  //    oracle replays the closure as a recursive CTE.
+  private val d10DupClusters: Q = (s, dir) => {
+    val pairs = nearDupPairs(Tables.documents(s, dir))
+      .select("doc_a", "doc_b")
+    val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
   }
+
+  private val d10Sql =
+    s"""WITH RECURSIVE $d4Ctes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM j
+       |  WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) >= $jacThreshold),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |  FROM reach GROUP BY a)
+       |SELECT doc_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
 
   // -- d5: SimHash — 16-bit majority-vote fingerprint over token hashes
   //    (frequency-sensitive, order-insensitive); near-identical docs land
@@ -458,10 +503,12 @@ object Dedup extends QueryPack {
     "d5_simhash"           -> d5Simhash,
     "d6_char_jaccard"      -> d6CharJaccard,
     "d7_decontaminate"     -> d7Decontam,
-    "d8_stratified_sample" -> d8Stratified)
+    "d8_stratified_sample" -> d8Stratified,
+    "d10_dup_clusters"     -> d10DupClusters)
 
   def oracles: Map[String, String] = Map(
     "d9_edit_distance"     -> d9Sql,
+    "d10_dup_clusters"     -> d10Sql,
     "d1_exact_dedup_stats" -> d1Sql,
     "d2_prefix_dedup"      -> d2Sql,
     "d3_minhash_sig"       -> d3Sql,

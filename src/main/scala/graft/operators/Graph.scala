@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph primitives over edge DataFrames.
+  *
+  * The near-dup pipeline needs one: connected components over the
+  * LSH-candidate pair graph (d4's output), so that transitive duplicate
+  * chains A~B~C collapse into ONE cluster even when A≁C directly —
+  * the case the greedy drop-the-greater-id rule gets wrong
+  * ([[CorpusCuration]]'s documented approximation).
+  *
+  * Scale shape: label propagation as a loop of (join + min-aggregate),
+  * i.e. the CC-MR / large-star family of MapReduce CC algorithms — no
+  * driver-side union-find, no adjacency collected anywhere. Each round
+  * shuffles the edge table once (hash on vertex id); a path-halving
+  * pointer jump (labels joined to themselves) compresses chains so
+  * convergence takes O(log diameter) rounds, not O(diameter). Near-dup
+  * clusters are shallow (a handful of hops even at corpus scale), so
+  * rounds stay single-digit at any data size; the per-round cost is the
+  * edge-table join, which partitions by vertex id and never fans out
+  * beyond degree. The only driver-side values are the per-round changed
+  * counts (one Long each) that decide convergence.
+  */
+object Graph {
+
+  /** Connected components of the undirected graph given by `edges`:
+    * one row per distinct vertex, labeled with the SMALLEST vertex id in
+    * its component (deterministic, so oracle-comparable).
+    *
+    * @param edges    two-column edge list (undirected; direction ignored)
+    * @param src      source-id column name
+    * @param dst      dest-id column name
+    * @param maxIters safety bound; convergence is typically ≤ 5 rounds
+    *                 for near-dup graphs (diameter-shallow). Throws if
+    *                 hit — a truncated labeling is a WRONG answer, never
+    *                 a fallback.
+    * @return DataFrame(id, component)
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIters: Int = 25): DataFrame = {
+    // Symmetrize once; the loop re-reads this table every round.
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Each round's labels are localCheckpoint'ed, not just persisted: the
+    // loop builds plans on top of the previous round's result, and without
+    // lineage truncation the logical plan grows by one join-aggregate per
+    // round until analysis itself overflows. Checkpointing keeps every
+    // round's plan a constant two joins over materialized inputs. (Local
+    // checkpoints live in executor storage; a production job that must
+    // survive executor loss sets a checkpoint dir and uses reliable
+    // checkpoints — same loop, different sink.)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0) {
+      iter += 1
+      if (iter > maxIters)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds")
+
+      // Hop: candidate label = min over {self} ∪ neighbor labels.
+      val nbrMin = sym
+        .join(labels.select(col("id").as("a"), col("component")), "a")
+        .groupBy(col("b").as("id"))
+        .agg(min(col("component")).as("nbr"))
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+
+      // Path halving: component := component(component). Labels are ids,
+      // so the pointer table IS the label table — one self-join
+      // compresses two hops of any chain into one, giving the O(log)
+      // round bound.
+      val next = hopped.as("l")
+        .join(hopped.select(col("id").as("component"),
+          col("component").as("parent")).as("p"), Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("parent"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("component").as("old")), "id")
+        .filter(col("component") =!= col("old"))
+        .count()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusCuration, Dedup}
+import graft.operators.{CorpusCuration, Dedup, Graph}
 import org.apache.spark.sql.functions._
 
 class CorpusCurationSpec extends SparkSpecBase {
@@ -42,6 +42,31 @@ class CorpusCurationSpec extends SparkSpecBase {
     val orphan = chunks.join(survivors.select("doc_id"), Seq("doc_id"),
       "left_anti")
     assert(orphan.count() == 0)
+  }
+
+  test("exact near-dedup keeps exactly one doc per transitive cluster") {
+    val cfg = CorpusCuration.Config()
+    val base = CorpusCuration.exactDedupStage(
+      CorpusCuration.qualityStage(train, cfg))
+    val greedy = CorpusCuration.nearDedupStage(base, cfg)
+    val exact = CorpusCuration.nearDedupStageExact(base, cfg)
+
+    // Any greater-of-pair doc (greedy's drop set) is non-canonical in its
+    // component, so exact's survivors are a subset of greedy's.
+    assert(exact.join(greedy.select("doc_id"), Seq("doc_id"), "left_anti")
+      .count() == 0)
+
+    // Each transitive cluster retains exactly its canonical member.
+    val comps = Graph.connectedComponents(
+      Dedup.nearDupPairs(base, cfg.jaccardThreshold).select("doc_a", "doc_b"),
+      "doc_a", "doc_b")
+    val perCluster = comps
+      .join(exact.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .groupBy("component").agg(count(lit(1)).as("n"))
+    assert(perCluster.filter(col("n") =!= 1).count() == 0)
+
+    // And no near-dup pair survives the exact stage either.
+    assert(Dedup.nearDupPairs(exact, cfg.jaccardThreshold).count() == 0)
   }
 
   test("curation is deterministic across runs") {

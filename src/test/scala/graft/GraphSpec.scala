@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpecBase {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain A~B~C collapses into one component (the greedy-rule gap)") {
+    // Pair-level dedup alone cannot see that 1 and 3 are transitive dups.
+    assert(cc(Seq((1L, 2L), (2L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("separate components keep separate labels; cycles converge") {
+    val got = cc(Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L), // a triangle
+      (20L, 21L),                         // a pair
+      (30L, 31L), (32L, 31L), (33L, 32L), (34L, 33L))) // a 5-chain
+    assert(got == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L))
+  }
+
+  test("long path converges within the round bound (path halving)") {
+    // A 64-node path has diameter 63; plain one-hop propagation would
+    // need ~63 rounds and trip maxIters=25 — halving must compress it.
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("direction and duplicate edges are irrelevant; singletons absent") {
+    val got = cc(Seq((5L, 4L), (4L, 5L), (5L, 4L)))
+    assert(got == Map(4L -> 4L, 5L -> 4L))
+  }
+}
