@@ -131,17 +131,56 @@ object MergeStream extends QueryPack {
       |FROM x GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  // -- st4: the interval join (batch face of EventStream.attributeClicks
+  //    — the click-attribution stream-stream join; StreamingSpec drives
+  //    the same plan as two watermarked streams). Here: each 'view'
+  //    matched to the same user's clicks within the next 30 minutes.
+  //    Timestamps are truncated to millis on BOTH engines before the
+  //    range predicate (w5's trick): the raw column is nanos in DuckDB
+  //    but micros in Spark, and a boundary comparison on mixed precision
+  //    could disagree on sub-microsecond neighbors.
+  private val st4Interval: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    def ms(c: org.apache.spark.sql.Column) = timestamp_millis(unix_millis(c))
+    val imps = e.filter(col("event_type") === "view").select(
+      col("event_id").as("imp_event"), col("user_id").as("imp_id"),
+      ms(col("ts")).as("imp_ts"))
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("event_id").as("click_event"), col("user_id").as("click_imp_id"),
+      ms(col("ts")).as("click_ts"))
+    EventStream.attributeClicks(imps, clicks, "10 minutes", "30 minutes")
+      .select("imp_event", "click_event", "imp_ts", "click_ts")
+      .orderBy("imp_event", "click_event")
+  }
+
+  private val st4Sql =
+    """WITH i AS (
+      |  SELECT event_id AS imp_event, user_id AS imp_id,
+      |         make_timestamp(epoch_ms(ts)*1000) AS imp_ts
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT event_id AS click_event, user_id AS cuser,
+      |         make_timestamp(epoch_ms(ts)*1000) AS click_ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT imp_event, click_event, imp_ts, click_ts
+      |FROM i JOIN c ON imp_id = cuser
+      | AND click_ts >= imp_ts
+      | AND click_ts <= imp_ts + INTERVAL '30 minutes'
+      |ORDER BY imp_event, click_event""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s5_merge_upsert"    -> s5MergeUpsert,
     "w5_asof_prior"      -> w5AsofPrior,
     "st1_tumbling_window" -> st1Tumbling,
     "st2_session_window" -> st2Session,
-    "st3_hopping_window" -> st3Hopping)
+    "st3_hopping_window" -> st3Hopping,
+    "st4_interval_join"  -> st4Interval)
 
   def oracles: Map[String, String] = Map(
     "s5_merge_upsert"    -> s5Sql,
     "w5_asof_prior"      -> w5Sql,
     "st1_tumbling_window" -> st1Sql,
     "st2_session_window" -> st2Sql,
-    "st3_hopping_window" -> st3Sql)
+    "st3_hopping_window" -> st3Sql,
+    "st4_interval_join"  -> st4Sql)
 }
