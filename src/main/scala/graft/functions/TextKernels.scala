@@ -59,6 +59,18 @@ object TextKernels {
     out
   }
 
+  /** Distinct word-2gram shingle STRINGS ("tok1_tok2", first-occurrence
+    * order) — the string face of [[wordShingleHashes]], for vocabulary
+    * queries (t8) where the bigram itself is the output. */
+  def wordBigrams(text: String): Array[String] = {
+    val t = tokensOf(text)
+    if (t.length < 2) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < t.length - 1) { seen.add(t(i) + "_" + t(i + 1)); i += 1 }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** Distinct char-kgram shingle hashes (sorted, for fast intersection). */
   def charShingleHashes(text: String, k: Int): Array[Long] = {
     if (text.length < k) return Array.empty
@@ -160,6 +172,7 @@ object TextKernels {
   def charMinhashSigsUdf(k: Int): UserDefinedFunction =
     udf((t: String) => charMinhashSigs(t, k))
   val wordShingleHashesUdf: UserDefinedFunction = udf((t: String) => wordShingleHashes(t))
+  val wordBigramsUdf: UserDefinedFunction = udf((t: String) => wordBigrams(t))
   val charShingle3Udf: UserDefinedFunction = udf((t: String) => charShingleHashes(t, 3))
   val simhash16Udf: UserDefinedFunction = udf((t: String) => simhash16(t))
   // Array[Long] signatures hit Spark's primitive fast path

@@ -232,8 +232,12 @@ object Dedup extends QueryPack {
   //    propagation + path halving, no driver-side union-find); the
   //    oracle replays the closure as a recursive CTE.
   private val d10DupClusters: Q = (s, dir) => {
+    // Persisted: connectedComponents symmetrizes the edge list with a
+    // two-branch union, and each branch would otherwise re-run the whole
+    // LSH band join + Jaccard pipeline.
     val pairs = nearDupPairs(Tables.documents(s, dir))
       .select("doc_a", "doc_b")
+      .persist()
     val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "component")
@@ -384,11 +388,17 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
               col("band.bh").as("bh"))
+    // The candidate table is persisted for the same reason d4 persists
+    // its signature table: the final orderBy's range-partitioner SAMPLE
+    // pass re-executes the child plan, and without the persist that
+    // means running the band self-join + 627k-pair Levenshtein twice
+    // (measured 56 s → 8 s at sf0.1 from this one line).
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .persist()
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")

@@ -66,15 +66,19 @@ object Graph {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIters rounds")
 
-      // Hop: candidate label = min over {self} ∪ neighbor labels.
+      // Hop: candidate label = min over {self} ∪ neighbor labels. The
+      // previous label rides along as `old` so convergence is read off
+      // the checkpointed result below — no extra join per round.
       val nbrMin = sym
         .join(labels.select(col("id").as("a"), col("component")), "a")
         .groupBy(col("b").as("id"))
         .agg(min(col("component")).as("nbr"))
-      val hopped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr"), col("component")))
+      val hopped = labels.select(col("id"), col("component").as("old"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old")))
             .as("component"))
+        .persist() // both halving legs below read it
 
       // Path halving: component := component(component). Labels are ids,
       // so the pointer table IS the label table — one self-join
@@ -83,16 +87,15 @@ object Graph {
       val next = hopped.as("l")
         .join(hopped.select(col("id").as("component"),
           col("component").as("parent")).as("p"), Seq("component"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("parent"), col("component")))
+        .select(col("id"), col("l.old"),
+          least(col("l.component"), coalesce(col("parent"), col("l.component")))
             .as("component"))
+        .withColumn("_chg", col("component") =!= col("old"))
         .localCheckpoint()
 
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("component").as("old")), "id")
-        .filter(col("component") =!= col("old"))
-        .count()
-      labels = next
+      changed = next.filter(col("_chg")).count()
+      hopped.unpersist()
+      labels = next.select("id", "component")
     }
     sym.unpersist()
     labels

@@ -286,9 +286,12 @@ object TextAnalysis extends QueryPack {
   //    globally). Ties break on the bigram string (ASCII corpus → binary
   //    comparison agrees across engines).
   private val t8TopkNgrams: Q = (s, dir) => {
-    val sh = TextPrims.wordShingles(TextPrims.tokens("text", SparkD), SparkD)
+    // Compiled kernel, not the HOF fragment: the split→sequence→concat→
+    // distinct chain is interpreted per element and dominated the query.
     val counts = Tables.documents(s, dir)
-      .select(col("lang"), explode(expr(sh)).as("bigram"))
+      .select(col("lang"),
+        explode(graft.functions.TextKernels.wordBigramsUdf(col("text")))
+          .as("bigram"))
       .groupBy("lang", "bigram")
       .agg(count(lit(1)).as("n_docs"))
     graft.plans.GroupedTopK.topK(counts, Seq("lang"), 5,
