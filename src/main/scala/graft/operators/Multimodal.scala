@@ -62,7 +62,10 @@ object Multimodal extends QueryPack {
   //    never O(n²). With a real decoder the same plan is image aHash
   //    dedup; the stub makes it byte-profile dedup, which the oracle
   //    recomputes from the source text.
-  private val m3PhashNearDup: Q = (s, dir) => {
+  /** The m3 pair pipeline up to the Hamming filter — shared by the pair
+    * query (m3) and the cluster query (m4). */
+  private def phashPairs(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
     implicit val sp = s
     val media = MediaPipeline.toMedia(Tables.documents(s, dir))
     // persisted: both sides of the band self-join read the hash table.
@@ -86,11 +89,29 @@ object Multimodal extends QueryPack {
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
       .filter(col("hamming") <= 12)
       .select("id_a", "id_b", "hamming")
-      .orderBy("id_a", "id_b")
   }
 
-  private val m3Sql =
-    """WITH sm AS (
+  private val m3PhashNearDup: Q = (s, dir) =>
+    phashPairs(s, dir).orderBy("id_a", "id_b")
+
+  // -- m4: media duplicate CLUSTERS — the d10 move on the image
+  //    modality: connected components over the m3 pair graph, so a
+  //    re-encoded image that matches two other variants collapses the
+  //    whole set into one cluster with one canonical representative.
+  private val m4PhashClusters: Q = (s, dir) => {
+    val pairs = phashPairs(s, dir).select("id_a", "id_b").persist()
+    val comp = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("media_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("media_id")
+  }
+
+  /** The m3 CTE chain (sampled bytes → aHash → bands → candidates),
+    * shared by the m3 and m4 oracles. */
+  private val m3Ctes =
+    """sm AS (
       |  SELECT doc_id, list_transform(range(0, 63), x ->
       |           CAST(ascii(substr(text, CAST((x * length(text)) // 63 + 1 AS INT), 1)) AS BIGINT)) AS smp
       |  FROM documents),
@@ -111,18 +132,42 @@ object Multimodal extends QueryPack {
       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
       |         a.phash AS pa, c.phash AS pb
       |  FROM bands a JOIN bands c
-      |    ON a.band_id = c.band_id AND a.bv = c.bv AND a.doc_id < c.doc_id)
-      |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
-      |FROM cand WHERE bit_count(xor(pa, pb)) <= 12
-      |ORDER BY id_a, id_b""".stripMargin
+      |    ON a.band_id = c.band_id AND a.bv = c.bv AND a.doc_id < c.doc_id)""".stripMargin
+
+  private val m3Sql =
+    s"""WITH $m3Ctes
+       |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= 12
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val m4Sql =
+    s"""WITH RECURSIVE $m3Ctes,
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand WHERE bit_count(xor(pa, pb)) <= 12),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (
+       |  SELECT a AS media_id, LEAST(a, MIN(b)) AS cluster_id
+       |  FROM reach GROUP BY a)
+       |SELECT media_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp ORDER BY media_id""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
     "m2_media_batch_stats" -> m2BatchStats,
-    "m3_phash_neardup" -> m3PhashNearDup)
+    "m3_phash_neardup" -> m3PhashNearDup,
+    "m4_phash_clusters" -> m4PhashClusters)
 
   def oracles: Map[String, String] = Map(
     "m1_media_features" -> m1Sql,
     "m2_media_batch_stats" -> m2Sql,
-    "m3_phash_neardup" -> m3Sql)
+    "m3_phash_neardup" -> m3Sql,
+    "m4_phash_clusters" -> m4Sql)
 }

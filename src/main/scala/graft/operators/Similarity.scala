@@ -544,8 +544,125 @@ object Similarity extends QueryPack {
       |       CAST(list_max(embedding) AS DOUBLE) AS amax
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // -- v10: ANN recall@3 on the sampled query set — the quality metric a
+  //    production vector pipeline publishes next to its index build.
+  //    Exact top-3 (v1 machinery) and sampled-IVF nprobe=2 top-3 (v8
+  //    machinery) for the 5 sample queries, intersected per query:
+  //    recall = |ivf ∩ exact| / 3. Everything is the same deterministic
+  //    arithmetic as v1/v8, so even the QUALITY metric is oracle-exact.
+  //    Scale shape: the exact side is brute-force over the corpus, priced
+  //    per SAMPLED query (5 here, fixed at any corpus size) — exactly how
+  //    recall is audited at 100 TB, never all-pairs.
+  private val v10AnnRecall: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("norm", DotProduct.norm(col("embedding")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("norm").as("qnorm"))
+    // exact top-3 per sampled query (brute force, query side broadcast)
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("norm").as("cnorm"))
+    val exactScored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .select("query_id", "neighbor_id", "cos")
+    val exact = graft.plans.GroupedTopK.topK(exactScored, Seq("query_id"), 3,
+        col("cos").desc, col("neighbor_id").asc)
+      .select("query_id", "neighbor_id")
+
+    // sampled-IVF top-3 for the same queries (v8's index: train on the
+    // vec_id%m sample, one inverted list per corpus vector, nprobe=2)
+    val m = ivfSampleMod(e.count())
+    val sample = Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(m)) === 0)
+    val k = ivfK(sample.count())
+    val centroids = graft.functions.KMeans.fit(sample, k, iters = 2)
+    val lists = graft.functions.KMeans.assign(e, centroids).persist()
+    val probes = graft.functions.KMeans
+      .assignTopN(e.filter(col("vec_id") < 5), centroids, 2)
+    val a = probes.select(col("cell"), col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("norm").as("qnorm"))
+    val b = lists.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("norm").as("cnorm"))
+    val ivfScored = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .select("query_id", "neighbor_id", "cos")
+    val ivf = graft.plans.GroupedTopK.topK(ivfScored, Seq("query_id"), 3,
+        col("cos").desc, col("neighbor_id").asc)
+      .select(col("query_id"), col("neighbor_id").as("ivf_neighbor"))
+
+    exact.join(ivf,
+        exact("query_id") === ivf("query_id") &&
+        exact("neighbor_id") === ivf("ivf_neighbor"), "left")
+      .drop(ivf("query_id"))
+      .groupBy("query_id")
+      .agg(count(col("ivf_neighbor")).as("n_match"))
+      .withColumn("recall", col("n_match").cast("double") / 3.0)
+      .orderBy("query_id")
+  }
+
+  private val v10Sql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, embedding, sqrt(${dotD("embedding", "embedding")}) AS norm
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm
+       |      FROM n WHERE vec_id < 5),
+       |bp AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         ${dotD("q.qe", "c.embedding")} / (q.qnorm * c.norm) AS cos
+       |  FROM q JOIN n c ON c.vec_id <> q.query_id),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM bp) t WHERE rank <= 3),
+       |smp AS (
+       |  SELECT vec_id, embedding FROM e
+       |  WHERE vec_id % $ivfSampleModSql = 0),
+       |seed AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cell, embedding FROM (
+       |    SELECT vec_id, embedding,
+       |           row_number() OVER (ORDER BY vec_id) AS rn FROM smp) s
+       |  WHERE rn <= ${ivfKSqlFor("smp")}),
+       |cents0 AS (
+       |  SELECT cell, embedding AS centroid,
+       |         ${dotD("embedding", "embedding")} AS cnorm2 FROM seed),
+       |${assignSql("cents0", "a1", from = "smp")},
+       |${updateSql("a1", "m1", "cents1", from = "smp")},
+       |${assignSql("cents1", "a2", from = "smp")},
+       |${updateSql("a2", "m2", "cents2", from = "smp")},
+       |${assignSql("cents2", "lists", from = "e", probe = 1)},
+       |qv AS (SELECT vec_id, embedding FROM e WHERE vec_id < 5),
+       |${assignSql("cents2", "probes", from = "qv", probe = 2)},
+       |n2 AS (
+       |  SELECT l.cell, e2.vec_id, e2.embedding,
+       |         sqrt(${dotD("e2.embedding", "e2.embedding")}) AS norm
+       |  FROM lists l JOIN e e2 USING (vec_id)),
+       |q2 AS (
+       |  SELECT p.cell, e2.vec_id, e2.embedding,
+       |         sqrt(${dotD("e2.embedding", "e2.embedding")}) AS norm
+       |  FROM probes p JOIN e e2 USING (vec_id)),
+       |ip AS (
+       |  SELECT q3.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ${dotD("q3.embedding", "b.embedding")} / (q3.norm * b.norm) AS cos
+       |  FROM q2 q3 JOIN n2 b ON q3.cell = b.cell AND q3.vec_id <> b.vec_id),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id AS ivf_neighbor FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM ip) t WHERE rank <= 3)
+       |SELECT x.query_id, count(i.ivf_neighbor) AS n_match,
+       |       CAST(count(i.ivf_neighbor) AS DOUBLE) / 3.0 AS recall
+       |FROM exact x LEFT JOIN ivf i
+       |  ON i.query_id = x.query_id AND i.ivf_neighbor = x.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "v9_vector_stats"   -> v9VectorStats,
+    "v10_ann_recall"    -> v10AnnRecall,
     "v1_knn_brute_topk" -> v1BruteTopk,
     "v2_lsh_buckets"    -> v2LshBuckets,
     "v3_lsh_ann_topk"   -> v3LshTopk,
@@ -557,6 +674,7 @@ object Similarity extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "v9_vector_stats"   -> v9Sql,
+    "v10_ann_recall"    -> v10Sql,
     "v1_knn_brute_topk" -> v1Sql,
     "v2_lsh_buckets"    -> v2Sql,
     "v3_lsh_ann_topk"   -> v3Sql,
