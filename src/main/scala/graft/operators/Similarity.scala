@@ -442,7 +442,10 @@ object Similarity extends QueryPack {
   // -- v5: embedding near-duplicate pairs — cosine ≥ 0.3 on banded-LSH
   //    candidates (the embedding-space analog of d4's text LSH; same
   //    adaptive band machinery as v3).
-  private val v5NearDup: Q = (s, dir) => {
+  /** The v5 pair pipeline up to the cosine filter — shared by the pair
+    * query (v5) and the cluster query (v11). */
+  private def embedNearDupPairs(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("sig", VectorKernels.bucketUdf(sigPlanes, dims)(col("embedding")))
     val side = Tables.embeddings(s, dir)
@@ -457,7 +460,26 @@ object Similarity extends QueryPack {
       .withColumn("cos", DotProduct.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.3)
       .select("vec_a", "vec_b", "cos")
-      .orderBy("vec_a", "vec_b")
+  }
+
+  private val v5NearDup: Q = (s, dir) =>
+    embedNearDupPairs(s, dir).orderBy("vec_a", "vec_b")
+
+  // -- v11: embedding duplicate CLUSTERS — the d10/m4 move on the vector
+  //    modality (the SemDeDup shape): connected components over the v5
+  //    cosine pair graph, so a document whose embedding sits near two
+  //    paraphrases collapses the whole set into one cluster with one
+  //    smallest-id representative. Same Graph operator, same scale
+  //    argument: pair discovery is the banded LSH join (never O(n²)),
+  //    and CC is O(log diameter) rounds of an edge-table shuffle.
+  private val v11EmbedClusters: Q = (s, dir) => {
+    val pairs = embedNearDupPairs(s, dir).select("vec_a", "vec_b").persist()
+    val comp = Graph.connectedComponents(pairs, "vec_a", "vec_b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("vec_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("vec_id")
   }
 
   private val v5Sql =
@@ -470,6 +492,30 @@ object Similarity extends QueryPack {
        |WHERE c.id_a < c.id_b
        |  AND ${dotD("sa.embedding", "sb.embedding")} / (sa.norm * sb.norm) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  private val v11Sql =
+    s"""${bandedCandSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT c.id_a AS a, c.id_b AS b
+       |  FROM cand c
+       |  JOIN s sa ON sa.vec_id = c.id_a
+       |  JOIN s sb ON sb.vec_id = c.id_b
+       |  WHERE c.id_a < c.id_b
+       |    AND ${dotD("sa.embedding", "sb.embedding")} / (sa.norm * sb.norm) >= 0.3),
+       |edges AS (
+       |  SELECT a, b FROM pairs
+       |  UNION ALL
+       |  SELECT b AS a, a AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+       |comp AS (
+       |  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+       |  FROM reach GROUP BY a)
+       |SELECT vec_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp ORDER BY vec_id""".stripMargin
 
   // -- v7: int8 scalar quantization — per-vector min/max affine codes,
   //    the storage-compression step before ANN serving (4× smaller than
@@ -670,7 +716,8 @@ object Similarity extends QueryPack {
     "v5_embed_neardup"  -> v5NearDup,
     "v6_ivf_topk"       -> v6IvfTopk,
     "v7_quantize"       -> v7Quantize,
-    "v8_ivf_sampled"    -> v8IvfSampled)
+    "v8_ivf_sampled"    -> v8IvfSampled,
+    "v11_embed_clusters" -> v11EmbedClusters)
 
   def oracles: Map[String, String] = Map(
     "v9_vector_stats"   -> v9Sql,
@@ -682,5 +729,6 @@ object Similarity extends QueryPack {
     "v5_embed_neardup"  -> v5Sql,
     "v6_ivf_topk"       -> v6Sql,
     "v8_ivf_sampled"    -> v8Sql,
-    "v7_quantize"       -> v7Sql)
+    "v7_quantize"       -> v7Sql,
+    "v11_embed_clusters" -> v11Sql)
 }
