@@ -64,9 +64,12 @@ object Similarity extends QueryPack {
 
   /** DuckDB-side dot(a, b) — explicit left-to-right fold to mirror Spark's
     * aggregate() order exactly. */
-  private def dotD(a: String, b: String): String =
+  private def dotD(a: String, b: String): String = dotDN(a, b, dims)
+
+  /** Sub-dimension variant for the PQ subspace arithmetic (v12). */
+  private def dotDN(a: String, b: String, nd: Int): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-    s"list_transform(range(1, ${dims + 1}), i -> " +
+    s"list_transform(range(1, ${nd + 1}), i -> " +
     s"CAST($a[CAST(i AS INT)] AS DOUBLE)*CAST($b[CAST(i AS INT)] AS DOUBLE))), " +
     "(acc, v) -> acc + v)"
 
@@ -301,28 +304,28 @@ object Similarity extends QueryPack {
     * (top-`probe`) over `cents`, ties by cell. Mirrors
     * KMeans.assign/assignTopN (float-cast centroids, ‖c‖²−2·e·c). */
   private def assignSql(cents: String, out: String, from: String = "e",
-                        probe: Int = 1): String =
+                        probe: Int = 1, nd: Int = dims): String =
     s"""$out AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |             c.cnorm2
-       |             - 2.0 * ${dotD("e.embedding", "c.centroid")}, c.cell) AS rn
+       |             - 2.0 * ${dotDN("e.embedding", "c.centroid", nd)}, c.cell) AS rn
        |    FROM $from e, $cents c) s WHERE rn <= $probe)""".stripMargin
 
   /** One Lloyd update CTE pair over corpus CTE `from`: per-(cell, dim)
     * means of the members, re-packed to a float centroid array. Mirrors
     * KMeans.fit's update. */
   private def updateSql(asg: String, outMeans: String, outCents: String,
-                        from: String = "e"): String =
+                        from: String = "e", nd: Int = dims): String =
     s"""$outMeans AS (
        |  SELECT a.cell, CAST(u.i - 1 AS INT) AS pos,
        |         avg(CAST(m.embedding[u.i] AS DOUBLE)) AS mean_v
        |  FROM $asg a JOIN $from m USING (vec_id),
-       |       (SELECT unnest(range(1, ${dims + 1})) AS i) u
+       |       (SELECT unnest(range(1, ${nd + 1})) AS i) u
        |  GROUP BY a.cell, u.i),
        |$outCents AS (
-       |  SELECT cell, centroid, ${dotD("centroid", "centroid")} AS cnorm2
+       |  SELECT cell, centroid, ${dotDN("centroid", "centroid", nd)} AS cnorm2
        |  FROM (
        |    SELECT cell, list(CAST(mean_v AS FLOAT) ORDER BY pos) AS centroid
        |    FROM $outMeans GROUP BY cell) t)""".stripMargin
@@ -516,6 +519,85 @@ object Similarity extends QueryPack {
        |SELECT vec_id, cluster_id,
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp ORDER BY vec_id""".stripMargin
+
+  // -- v12: product quantization — the storage-compression step that,
+  //    stacked on IVF (v8), is the production ANN index shape (IVF-PQ):
+  //    the 64-dim vector splits into 4 subspaces of 16 dims; each
+  //    subspace gets its own k=8 codebook (same deterministic Lloyd
+  //    training as v6/v8, on the sliced vectors); a vector's code is its
+  //    4 per-subspace nearest-centroid ids (4×3 bits ≪ 64×32 bits), and
+  //    `err` is the exact per-subspace squared reconstruction error
+  //    ‖e‖² − 2·e·c + ‖c‖². Output is LONG format (vec_id, subspace,
+  //    code, err) — the layout the codes would be stored in, no 4-way
+  //    self-join to widen. Scale shape: training is 4 bounded Lloyd
+  //    loops (sample-able exactly as v8); encoding is one broadcast
+  //    argmin scan per subspace over sliced vectors — the corpus is
+  //    never shuffled, and the union of the 4 encode scans is
+  //    partition-local.
+  private val pqM = 4
+  private val pqSubDim = dims / pqM
+  private val pqK = 8
+
+  private val v12PqCodes: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val subs = (0 until pqM).map { j =>
+      val sub = e.select(col("vec_id"),
+        slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))
+      val cents = graft.functions.KMeans.fit(sub, pqK, iters = 2)
+      // float-cast centroid arrays, exactly as KMeans.assign scores them
+      val cArr = cents.groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
+          .as("pv"))
+        .select(col("cell"),
+          expr("transform(pv, x -> CAST(x.mean_v AS FLOAT))").as("centroid"))
+      graft.functions.KMeans.assign(sub, cents)
+        .join(broadcast(cArr), "cell")
+        .select(col("vec_id"), lit(j).as("subspace"),
+          col("cell").cast("int").as("code"),
+          (DotProduct.dot(col("embedding"), col("embedding"))
+            - lit(2.0) * DotProduct.dot(col("embedding"), col("centroid"))
+            + DotProduct.dot(col("centroid"), col("centroid"))).as("err"))
+    }
+    subs.reduce(_ union _).orderBy("vec_id", "subspace")
+  }
+
+  /** One subspace's unrolled training + encode CTE chain (mirrors the
+    * v12 Spark pipeline: seed = k lowest vec_ids, 2 Lloyd rounds, final
+    * assign + exact reconstruction error). */
+  private def pqSubspaceSql(j: Int): String = {
+    val ej = s"pe$j"
+    val lo = j * pqSubDim + 1
+    val hi = (j + 1) * pqSubDim
+    s"""$ej AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM e),
+       |seed$j AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cell, embedding FROM (
+       |    SELECT vec_id, embedding,
+       |           row_number() OVER (ORDER BY vec_id) AS rn FROM $ej) s
+       |  WHERE rn <= $pqK),
+       |pc0_$j AS (
+       |  SELECT cell, embedding AS centroid,
+       |         ${dotDN("embedding", "embedding", pqSubDim)} AS cnorm2
+       |  FROM seed$j),
+       |${assignSql(s"pc0_$j", s"pa1_$j", from = ej, nd = pqSubDim)},
+       |${updateSql(s"pa1_$j", s"pm1_$j", s"pc1_$j", from = ej, nd = pqSubDim)},
+       |${assignSql(s"pc1_$j", s"pa2_$j", from = ej, nd = pqSubDim)},
+       |${updateSql(s"pa2_$j", s"pm2_$j", s"pc2_$j", from = ej, nd = pqSubDim)},
+       |${assignSql(s"pc2_$j", s"pa3_$j", from = ej, nd = pqSubDim)},
+       |pr$j AS (
+       |  SELECT a.vec_id, CAST($j AS INT) AS subspace,
+       |         CAST(a.cell AS INT) AS code,
+       |         ${dotDN("m.embedding", "m.embedding", pqSubDim)}
+       |         - 2.0 * ${dotDN("m.embedding", "c.centroid", pqSubDim)}
+       |         + c.cnorm2 AS err
+       |  FROM pa3_$j a JOIN $ej m USING (vec_id)
+       |  JOIN pc2_$j c ON c.cell = a.cell)""".stripMargin
+  }
+
+  private val v12Sql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |${(0 until pqM).map(pqSubspaceSql).mkString(",\n")}
+       |${(0 until pqM).map(j => s"SELECT * FROM pr$j").mkString("\nUNION ALL\n")}
+       |ORDER BY vec_id, subspace""".stripMargin
 
   // -- v7: int8 scalar quantization — per-vector min/max affine codes,
   //    the storage-compression step before ANN serving (4× smaller than
@@ -717,7 +799,8 @@ object Similarity extends QueryPack {
     "v6_ivf_topk"       -> v6IvfTopk,
     "v7_quantize"       -> v7Quantize,
     "v8_ivf_sampled"    -> v8IvfSampled,
-    "v11_embed_clusters" -> v11EmbedClusters)
+    "v11_embed_clusters" -> v11EmbedClusters,
+    "v12_pq_codes"      -> v12PqCodes)
 
   def oracles: Map[String, String] = Map(
     "v9_vector_stats"   -> v9Sql,
@@ -730,5 +813,6 @@ object Similarity extends QueryPack {
     "v6_ivf_topk"       -> v6Sql,
     "v8_ivf_sampled"    -> v8Sql,
     "v7_quantize"       -> v7Sql,
-    "v11_embed_clusters" -> v11Sql)
+    "v11_embed_clusters" -> v11Sql,
+    "v12_pq_codes"      -> v12Sql)
 }
