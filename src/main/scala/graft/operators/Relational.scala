@@ -402,6 +402,38 @@ object Relational extends QueryPack {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY g, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // -- g2: explicit GROUPING SETS — the combination ROLLUP/CUBE can't
+  //    express: the two single-column marginals plus the grand total,
+  //    but NOT the (flag, status) cross — a dashboard that wants both
+  //    axes' subtotals without paying for the full cross-product level.
+  //    Same single Expand + one-shuffle plan as a15/g1: Expand emits 3
+  //    rows per input (one per set), and the map-side partial aggregate
+  //    collapses them before the exchange, so the shuffle carries
+  //    |flags| + |statuses| + 1 rows, not 3×|lineitem|.
+  private val g2GroupingSets: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        graft.Exact.dec2(col("l_extendedprice")).as("p"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("g"),
+        count(lit(1)).as("n"),
+        sum(col("p")).cast("string").cast("double").as("revenue"))
+      .orderBy(col("g"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  private val g2Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS g,
+      |       count(*) AS n,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // -- j9: FULL OUTER join — the reconciliation shape (which nations have
   //    BUILDING-segment customers but no high-balance suppliers, and vice
   //    versa). Both sides pre-aggregate to |nations| rows BEFORE the
@@ -446,6 +478,7 @@ object Relational extends QueryPack {
     "q1_pricing_agg"         -> q1PricingAgg,
     "a15_rollup"             -> a15Rollup,
     "g1_cube"                -> g1Cube,
+    "g2_grouping_sets"       -> g2GroupingSets,
     "j9_full_outer"          -> j9FullOuter,
     "j1_join_topk"           -> j1JoinTopk,
     "j1_semi_join"           -> j1SemiJoin,
@@ -464,6 +497,7 @@ object Relational extends QueryPack {
     "q1_pricing_agg"         -> q1Sql,
     "a15_rollup"             -> a15Sql,
     "g1_cube"                -> g1Sql,
+    "g2_grouping_sets"       -> g2Sql,
     "j9_full_outer"          -> j9Sql,
     "j1_join_topk"           -> j1Sql,
     "j1_semi_join"           -> j1SemiSql,
