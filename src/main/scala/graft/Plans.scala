@@ -68,7 +68,17 @@ object Plans {
     "d10_dup_clusters" ->
       "Connected components: the printed plan is the FINAL round's (two joins + min-aggregate over checkpointed labels); lineage is truncated per round so plan depth is constant regardless of rounds.",
     "st4_interval_join" ->
-      "Interval join: equi-join on the id with the time-range as join-level filter; in streaming both sides' state is watermark-bounded.")
+      "Interval join: equi-join on the id with the time-range as join-level filter; in streaming both sides' state is watermark-bounded.",
+    "m4_phash_clusters" ->
+      "Image dup clusters: banded Hamming pairs feed the same checkpointed CC loop as d10 — pair discovery never O(n²), plan depth constant.",
+    "v10_ann_recall" ->
+      "Recall audit: brute-force side is bounded by the broadcast 5-query sample; IVF side reuses v8's probe join; both select through GroupedTopK.",
+    "v11_embed_clusters" ->
+      "Embedding dup clusters (SemDeDup): v5's banded cosine pairs into the CC loop; the only corpus-sized shuffles are the band join and the per-round edge join.",
+    "v12_pq_codes" ->
+      "PQ encode: per-subspace broadcast argmin over SLICED vectors — the corpus is scanned, never shuffled; the 4 encode outputs union partition-locally.",
+    "g2_grouping_sets" ->
+      "Explicit grouping sets: one Expand (3 sets, no cross level) into partial+final HashAggregate — marginals without the cube's cross-product cost.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -544,19 +544,30 @@ object Similarity extends QueryPack {
       val sub = e.select(col("vec_id"),
         slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))
       val cents = graft.functions.KMeans.fit(sub, pqK, iters = 2)
-      // float-cast centroid arrays, exactly as KMeans.assign scores them
+      // Inline the argmin instead of KMeans.assign: scoring err BEFORE
+      // the top-k means the reduce exchange carries (vec_id, cell,
+      // score, err) — 4 scalars — instead of the embedding and centroid
+      // arrays a join-back-after-assign would drag across. The argmin
+      // still orders by the assign score (‖c‖²−2·e·c, ties by cell) so
+      // the chosen cell is bit-identical to KMeans.assign / the oracle;
+      // err is summed in the oracle's order (ee − 2ec + cc).
       val cArr = cents.groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
           .as("pv"))
         .select(col("cell"),
           expr("transform(pv, x -> CAST(x.mean_v AS FLOAT))").as("centroid"))
-      graft.functions.KMeans.assign(sub, cents)
-        .join(broadcast(cArr), "cell")
+        .withColumn("cnorm2", DotProduct.dot(col("centroid"), col("centroid")))
+      val scored = sub
+        .withColumn("ee", DotProduct.dot(col("embedding"), col("embedding")))
+        .crossJoin(broadcast(cArr))
+        .withColumn("ec", DotProduct.dot(col("embedding"), col("centroid")))
+        .select(col("vec_id"), col("cell"),
+          (col("cnorm2") - lit(2.0) * col("ec")).as("score"),
+          (col("ee") - lit(2.0) * col("ec") + col("cnorm2")).as("err"))
+      graft.plans.GroupedTopK.topK(scored, Seq("vec_id"), 1,
+          col("score").asc, col("cell").asc)
         .select(col("vec_id"), lit(j).as("subspace"),
-          col("cell").cast("int").as("code"),
-          (DotProduct.dot(col("embedding"), col("embedding"))
-            - lit(2.0) * DotProduct.dot(col("embedding"), col("centroid"))
-            + DotProduct.dot(col("centroid"), col("centroid"))).as("err"))
+          col("cell").cast("int").as("code"), col("err"))
     }
     subs.reduce(_ union _).orderBy("vec_id", "subspace")
   }
