@@ -76,9 +76,77 @@ object Sketch extends QueryPack {
        |FROM ex JOIN kth ON ex.event_type = kth.event_type
        |ORDER BY ex.event_type""".stripMargin
 
+  // -- k2: heavy hitters via count-min sketch — the frequency twin of
+  //    k1's cardinality sketch. d=3 hash rows × w=64 buckets of pure
+  //    counts: every event increments d cells (map-side partial, the
+  //    shuffle carries ≤ d·w = 192 cells, not events); a key's estimate
+  //    is the min over its d cells — biased high only, never low, so the
+  //    true top-k is always contained in the sketch's candidates. The
+  //    fixed md5-derived buckets make the estimate a deterministic value,
+  //    so the oracle check is exact (same rule as k1); the true count
+  //    rides along to double as an accuracy report. Scale shape: the
+  //    sketch is O(d·w) state merged associatively — the same counters a
+  //    1000-executor cluster would partial-aggregate — and the per-key
+  //    probe is a broadcast join of the 192-cell table.
+  private val cmsD = 3
+  private val cmsW = 64
+
+  private def cmsBucketCol(i: Int) =
+    pmod(conv(substring(md5(
+        concat(lit(s"$i:"), col("user_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(cmsW.toLong))
+
+  private def cmsBucketSql(i: Int): String =
+    s"""(list_sum(list_transform(range(0, 15), j ->
+       |  CAST(strpos('0123456789abcdef',
+       |       substr(md5('$i:' || CAST(user_id AS VARCHAR)), CAST(j AS INT) + 1, 1)) - 1 AS BIGINT)
+       |    * (CAST(1 AS BIGINT) << CAST(4 * (14 - j) AS INT)))) % $cmsW)""".stripMargin
+
+  private val k2CmsHeavy: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select("user_id")
+    val cells = (0 until cmsD).map(i =>
+      struct(lit(i).as("row"), cmsBucketCol(i).as("bucket")))
+    // the sketch: one partial-aggregated shuffle of ≤ d·w cells
+    val counters = ev
+      .select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // per-key probe: distinct keys × their d cells, min over the row hits
+    val keyCells = ev.distinct()
+      .select(col("user_id"), explode(array(cells: _*)).as("c"))
+      .select(col("user_id"), col("c.row").as("row"), col("c.bucket").as("bucket"))
+    val est = keyCells.join(broadcast(counters), Seq("row", "bucket"))
+      .groupBy("user_id").agg(min(col("cnt")).as("est"))
+    val truth = ev.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+    est.join(truth, "user_id")
+      .orderBy(col("est").desc, col("user_id").asc)
+      .limit(10)
+      .select("user_id", "n_true", "est")
+  }
+
+  private val k2Sql =
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |cells AS (
+       |  ${(0 until cmsD).map(i =>
+             s"SELECT user_id, $i AS hrow, ${cmsBucketSql(i)} AS bucket FROM ev")
+             .mkString("\n  UNION ALL\n  ")}),
+       |counters AS (
+       |  SELECT hrow, bucket, count(*) AS cnt FROM cells GROUP BY hrow, bucket),
+       |kc AS (SELECT DISTINCT user_id, hrow, bucket FROM cells),
+       |est AS (
+       |  SELECT kc.user_id, min(c.cnt) AS est
+       |  FROM kc JOIN counters c ON kc.hrow = c.hrow AND kc.bucket = c.bucket
+       |  GROUP BY kc.user_id),
+       |truth AS (SELECT user_id, count(*) AS n_true FROM ev GROUP BY user_id)
+       |SELECT e.user_id, t.n_true, e.est
+       |FROM est e JOIN truth t ON e.user_id = t.user_id
+       |ORDER BY e.est DESC, e.user_id LIMIT 10""".stripMargin
+
   def queries: Map[String, Q] = Map(
-    "k1_kmv_distinct" -> k1KmvDistinct)
+    "k1_kmv_distinct" -> k1KmvDistinct,
+    "k2_cms_heavy"    -> k2CmsHeavy)
 
   def oracles: Map[String, String] = Map(
-    "k1_kmv_distinct" -> k1Sql)
+    "k1_kmv_distinct" -> k1Sql,
+    "k2_cms_heavy"    -> k2Sql)
 }
