@@ -315,7 +315,45 @@ object TextAnalysis extends QueryPack {
        |ORDER BY lang, n_docs DESC, bigram""".stripMargin
   }
 
+  // -- t9: sequence packing — the step between chunking (t6) and
+  //    batching: documents are concatenated in a deterministic order
+  //    within each lang shard and split every `packLen` tokens, so each
+  //    doc lands at (seq_id, offset) in the packed stream. The running
+  //    token total is ONE window pass per shard — packing is inherently
+  //    sequential per stream, so the shard key IS the parallelism unit
+  //    (exactly how packing shards at 100 TB: per-source/per-shard
+  //    streams packed independently, one sort each, no global order).
+  private val packLen = 256
+
+  private val tSeqPack: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    Tables.documents(s, dir)
+      .withColumn("n_tok", expr(s"size(${TextPrims.tokens("text", SparkD)})"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        expr(s"(cum_tok - n_tok) DIV $packLen").as("seq_id"),
+        ((col("cum_tok") - col("n_tok")) % packLen).as("offset"))
+      .orderBy("doc_id")
+  }
+
+  private val tSeqPackSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, len(${TextPrims.tokens("text", DuckD)}) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tok,
+       |         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+       |  FROM b)
+       |SELECT doc_id, lang, n_tok,
+       |       CAST((cum_tok - n_tok) // $packLen AS BIGINT) AS seq_id,
+       |       CAST((cum_tok - n_tok) % $packLen AS BIGINT) AS offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t9_seq_pack"     -> tSeqPack,
     "t8_topk_ngrams"  -> t8TopkNgrams,
     "t7_source_stats" -> tSourceStats,
     "t1_token_count"  -> tTokenCount,
@@ -326,6 +364,7 @@ object TextAnalysis extends QueryPack {
     "t6_chunking"     -> tChunking)
 
   def oracles: Map[String, String] = Map(
+    "t9_seq_pack"     -> tSeqPackSql,
     "t8_topk_ngrams"  -> t8Sql,
     "t7_source_stats" -> tSourceStatsSql,
     "t1_token_count"  -> tTokenSql,
