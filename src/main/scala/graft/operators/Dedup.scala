@@ -504,7 +504,64 @@ object Dedup extends QueryPack {
       |WHERE (lang = 'en' AND u < 10) OR (lang <> 'en' AND u < 50)
       |ORDER BY doc_id""".stripMargin
 
+  // -- d11: token-budget mixture sampling — d8's deterministic hash
+  //    filter with the RATE derived in-plan: given a global token budget
+  //    split equally across sources, each source's keep-rate is
+  //    min(1, share / its token total). This is how a training mixture
+  //    is actually drawn at 100 TB: per-source totals are one
+  //    partial-aggregated shuffle of |sources| rows, the rate table
+  //    broadcasts back, and the sample itself stays a pure filter — no
+  //    reservoir, no second shuffle, reproducible under re-runs. The
+  //    output is the per-source audit (totals, rate, kept counts).
+  private val budgetTokens = 8000.0
+
+  private val d11BudgetSample: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("n_tok", expr(s"size(${TextPrims.tokens("text", SparkD)})"))
+    val totals = d.groupBy("source").agg(sum(col("n_tok")).as("tot_tokens"))
+    val nSrc = totals.groupBy().agg(count(lit(1)).as("n_sources"))
+    val rates = totals.crossJoin(broadcast(nSrc))
+      .withColumn("rate", least(lit(1.0),
+        lit(budgetTokens) / col("n_sources").cast("double")
+          / col("tot_tokens").cast("double")))
+    val u = (col("doc_id") * lit(2654435761L)) % lit(1000003L)
+    val kept = d.withColumn("u", u)
+      .join(broadcast(rates.select("source", "rate")), "source")
+      .filter(col("u").cast("double") < col("rate") * lit(1000003.0))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+    rates.join(kept, "source")
+      .select("source", "tot_tokens", "rate", "n_kept", "kept_tokens")
+      .orderBy("source")
+  }
+
+  private val d11Sql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    s"""WITH d AS (
+       |  SELECT doc_id, source, len($toks) AS n_tok FROM documents),
+       |tot AS (
+       |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot_tokens
+       |  FROM d GROUP BY source),
+       |ns AS (SELECT COUNT(*) AS n_sources FROM tot),
+       |rates AS (
+       |  SELECT source, tot_tokens,
+       |         least(1.0, $budgetTokens / CAST(n_sources AS DOUBLE)
+       |                      / CAST(tot_tokens AS DOUBLE)) AS rate
+       |  FROM tot, ns),
+       |kept AS (
+       |  SELECT d.source, COUNT(*) AS n_kept,
+       |         CAST(SUM(d.n_tok) AS BIGINT) AS kept_tokens
+       |  FROM d JOIN rates r USING (source)
+       |  WHERE CAST((d.doc_id * 2654435761) % 1000003 AS DOUBLE)
+       |        < r.rate * 1000003.0
+       |  GROUP BY d.source)
+       |SELECT r.source, r.tot_tokens, r.rate, k.n_kept, k.kept_tokens
+       |FROM rates r JOIN kept k USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "d11_budget_sample"    -> d11BudgetSample,
     "d9_edit_distance"     -> d9EditDistance,
     "d1_exact_dedup_stats" -> d1ExactStats,
     "d2_prefix_dedup"      -> d2PrefixDedup,
@@ -517,6 +574,7 @@ object Dedup extends QueryPack {
     "d10_dup_clusters"     -> d10DupClusters)
 
   def oracles: Map[String, String] = Map(
+    "d11_budget_sample"    -> d11Sql,
     "d9_edit_distance"     -> d9Sql,
     "d10_dup_clusters"     -> d10Sql,
     "d1_exact_dedup_stats" -> d1Sql,
