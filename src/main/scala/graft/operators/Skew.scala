@@ -128,11 +128,111 @@ object Skew extends QueryPack {
        |FROM t JOIN dim ON t.k = dim.k
        |GROUP BY t.k ORDER BY t.k""".stripMargin
 
+  // -- x3: Bloom-filter semi-join pruning — the OTHER shuffle reducer: a
+  //    semi-join whose build side is too big to broadcast as a set but
+  //    whose BITS fit anywhere. The build keys fold into mWords 63-bit
+  //    words (63, not 64 — DuckDB's `<<` refuses 1<<63, same edge the
+  //    63-bit aHash dodges) via bit_or aggregation; the word table
+  //    broadcasts; each probe row tests k=2 md5-derived bit positions
+  //    and is dropped BEFORE any exchange unless both hit. At 100 TB
+  //    this is the filter you push into the fact-table scan so the
+  //    shuffle only carries plausible matches; Spark's own runtime
+  //    bloom (spark.sql.optimizer.runtime.bloomFilter) does this
+  //    opaquely — this query is the engine-visible, oracle-checkable
+  //    form. mWords scales with the build count (CASE chain both
+  //    engines evaluate); output is the audit: probe rows, bloom
+  //    survivors, true matches, false positives.
+  private def bloomWords(n: Long): Int =
+    if (n <= 5000) 1024 else if (n <= 50000) 8192 else 65536
+
+  private val bloomWordsSql =
+    """(SELECT CASE WHEN count(*) <= 5000 THEN 1024
+      |  WHEN count(*) <= 50000 THEN 8192 ELSE 65536 END FROM bld)""".stripMargin
+
+  private def h15(i: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  private def h15Sql(i: Int, key: String): String =
+    s"""list_sum(list_transform(range(0, 15), j ->
+       |  CAST(strpos('0123456789abcdef',
+       |       substr(md5('$i:' || CAST($key AS VARCHAR)), CAST(j AS INT) + 1, 1)) - 1 AS BIGINT)
+       |    * (CAST(1 AS BIGINT) << CAST(4 * (14 - j) AS INT))))""".stripMargin
+
+  private val x3BloomPrune: Q = (s, dir) => {
+    val bld = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k")).distinct()
+    // one metadata-cheap count sizes the filter, like the LSH bit-width
+    val mBits = bloomWords(bld.count()) * 63L
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("p0", h15(0, col("k")) % mBits)
+      .withColumn("p1", h15(1, col("k")) % mBits)
+    val words = positions(bld)
+      .select(explode(array(col("p0"), col("p1"))).as("p"))
+      .select(expr("CAST(p DIV 63 AS INT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("bits"))
+    val probe = positions(
+      Tables.lineitem(s, dir).select(col("l_orderkey").as("k")))
+      .withColumn("w0", expr("CAST(p0 DIV 63 AS INT)"))
+      .withColumn("m0", expr("shiftleft(CAST(1 AS BIGINT), CAST(p0 % 63 AS INT))"))
+      .withColumn("w1", expr("CAST(p1 DIV 63 AS INT)"))
+      .withColumn("m1", expr("shiftleft(CAST(1 AS BIGINT), CAST(p1 % 63 AS INT))"))
+    val b0 = words.select(col("w").as("w0"), col("bits").as("bits0"))
+    val b1 = words.select(col("w").as("w1"), col("bits").as("bits1"))
+    val cand = probe
+      .join(broadcast(b0), Seq("w0"), "left")
+      .join(broadcast(b1), Seq("w1"), "left")
+      .filter((coalesce(col("bits0"), lit(0L)).bitwiseAND(col("m0")) =!= 0) &&
+              (coalesce(col("bits1"), lit(0L)).bitwiseAND(col("m1")) =!= 0))
+      .select("k").persist()
+    val nProbe = Tables.lineitem(s, dir).select(count(lit(1)).as("n_probe"))
+    val nCand = cand.select(count(lit(1)).as("n_candidates"))
+    val nTrue = cand.join(bld, Seq("k"), "left_semi")
+      .select(count(lit(1)).as("n_matched"))
+    nProbe.crossJoin(nCand).crossJoin(nTrue)
+      .select(col("n_probe"), col("n_candidates"), col("n_matched"),
+        (col("n_candidates") - col("n_matched")).as("n_false_pos"))
+  }
+
+  private val x3Sql =
+    s"""WITH bld AS (
+       |  SELECT DISTINCT o_orderkey AS k FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'),
+       |mb AS (SELECT $bloomWordsSql * 63 AS mbits),
+       |bp AS (
+       |  SELECT k, ${h15Sql(0, "k")} % mbits AS p FROM bld, mb
+       |  UNION ALL
+       |  SELECT k, ${h15Sql(1, "k")} % mbits AS p FROM bld, mb),
+       |words AS (
+       |  SELECT CAST(p // 63 AS INT) AS w,
+       |         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+       |  FROM bp GROUP BY 1),
+       |pr AS (
+       |  SELECT l_orderkey AS k,
+       |         ${h15Sql(0, "l_orderkey")} % mbits AS p0,
+       |         ${h15Sql(1, "l_orderkey")} % mbits AS p1
+       |  FROM lineitem, mb),
+       |cand AS (
+       |  SELECT pr.k FROM pr
+       |  LEFT JOIN words w0 ON w0.w = CAST(pr.p0 // 63 AS INT)
+       |  LEFT JOIN words w1 ON w1.w = CAST(pr.p1 // 63 AS INT)
+       |  WHERE (COALESCE(w0.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p0 % 63 AS INT))) <> 0
+       |    AND (COALESCE(w1.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p1 % 63 AS INT))) <> 0)
+       |SELECT (SELECT count(*) FROM lineitem) AS n_probe,
+       |       (SELECT count(*) FROM cand) AS n_candidates,
+       |       (SELECT count(*) FROM cand WHERE k IN (SELECT k FROM bld)) AS n_matched,
+       |       (SELECT count(*) FROM cand) -
+       |       (SELECT count(*) FROM cand WHERE k IN (SELECT k FROM bld)) AS n_false_pos""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "x1_skew_salted_agg"  -> x1SaltedAgg,
-    "x2_skew_salted_join" -> x2SaltedJoin)
+    "x2_skew_salted_join" -> x2SaltedJoin,
+    "x3_bloom_prune"      -> x3BloomPrune)
 
   def oracles: Map[String, String] = Map(
     "x1_skew_salted_agg"  -> x1Sql,
-    "x2_skew_salted_join" -> x2Sql)
+    "x2_skew_salted_join" -> x2Sql,
+    "x3_bloom_prune"      -> x3Sql)
 }
