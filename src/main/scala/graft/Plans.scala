@@ -78,7 +78,15 @@ object Plans {
     "v12_pq_codes" ->
       "PQ encode: per-subspace broadcast argmin over SLICED vectors — the corpus is scanned, never shuffled; the 4 encode outputs union partition-locally.",
     "g2_grouping_sets" ->
-      "Explicit grouping sets: one Expand (3 sets, no cross level) into partial+final HashAggregate — marginals without the cube's cross-product cost.")
+      "Explicit grouping sets: one Expand (3 sets, no cross level) into partial+final HashAggregate — marginals without the cube's cross-product cost.",
+    "k2_cms_heavy" ->
+      "Count-min sketch: the counter shuffle carries ≤ d·w = 192 cells (map-side partial); the per-key probe is a broadcast join of the cell table.",
+    "t9_seq_pack" ->
+      "Sequence packing: ONE window pass per lang shard (running token total); shards pack independently — no global order anywhere.",
+    "d11_budget_sample" ->
+      "Budget mixture: |sources|-row totals aggregate, rate table broadcast back, sample is a pure filter — no reservoir, no second shuffle.",
+    "x3_bloom_prune" ->
+      "Bloom pruning: probe rows drop at the scan stage via two broadcast word-table lookups — only plausible matches would ever reach a shuffle.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -40,6 +40,15 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("CMS estimates never underestimate (one-sided bias)") {
+    val out = SparkEntry.queries("k2_cms_heavy")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (t, e) = (r.getAs[Long]("n_true"), r.getAs[Long]("est"))
+      assert(e >= t, s"user ${r.get(0)}: est $e < true $t — CMS can't under-count")
+    }
+  }
+
   test("a17 exact-moment correlation agrees with Spark's built-in corr") {
     val out = SparkEntry.queries("a17_exact_corr")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getAs[Double]("corr_qty_price")).toMap

@@ -36,6 +36,23 @@ class SkewSpec extends SparkSpecBase {
     assert(partialGroups > 8, s"hot key landed on only $partialGroups salts")
   }
 
+  test("bloom pruning has no false negatives") {
+    // every true semi-join match must survive the filter: n_matched from
+    // the query equals the exact semi-join count computed directly.
+    val row = SparkEntry.queries("x3_bloom_prune")(spark, sfDir).collect()(0)
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li
+      .join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .count()
+    assert(row.getAs[Long]("n_matched") == exact)
+    assert(row.getAs[Long]("n_candidates") ==
+      row.getAs[Long]("n_matched") + row.getAs[Long]("n_false_pos"))
+    assert(row.getAs[Long]("n_candidates") <= row.getAs[Long]("n_probe"))
+  }
+
   test("salted join equals the plain inner join") {
     import spark.implicits._
     val small = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
