@@ -426,7 +426,102 @@ object WindowedScalar extends QueryPack {
       |GROUP BY event_type, k % 10
       |ORDER BY event_type, k_mod""".stripMargin
 
+  // -- w9: calendar-spine gap fill — the warehouse densification step: a
+  //    per-user daily activity series over the FULL corpus date range,
+  //    with missing days forward-filled from the last active day. The
+  //    spine is dimension-sized (|users| × |days|): day list and bounds
+  //    come from one 1-row aggregate, users broadcast-cross the exploded
+  //    days, and the fill is last(ignoreNulls) over one window pass per
+  //    user — a single shuffle on user_id regardless of corpus size.
+  //    Value sums route through DECIMAL(18,2) like every float aggregate
+  //    (st1 precedent) so the fill is bit-stable cross-engine.
+  private val w9GapFill: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("day_sum"))
+    val days = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val grid = ev.select("user_id").distinct().crossJoin(broadcast(days))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_sum"), ignoreNulls = true).over(w).as("filled_sum"))
+      .orderBy("user_id", "day")
+  }
+
+  private val w9Sql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+      |daily AS (
+      |  SELECT user_id, day, count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_sum
+      |  FROM ev GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |           CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM b),
+      |grid AS (SELECT u.user_id, d.day
+      |         FROM (SELECT DISTINCT user_id FROM ev) u, days d)
+      |SELECT g.user_id, g.day,
+      |       COALESCE(dl.n_events, 0) AS n_events,
+      |       last_value(dl.day_sum IGNORE NULLS) OVER (
+      |         PARTITION BY g.user_id ORDER BY g.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+      |FROM grid g LEFT JOIN daily dl
+      |  ON dl.user_id = g.user_id AND dl.day = g.day
+      |ORDER BY g.user_id, g.day""".stripMargin
+
+  // -- w10: weekly cohort retention — the product-analytics matrix: each
+  //    user's cohort is their first-seen ISO week; retention at week N is
+  //    the fraction of the cohort active N weeks later. Everything
+  //    reduces to the distinct (user, week) activity table — one
+  //    exchange — then |users|-sized aggregates; the matrix itself is
+  //    |cohorts| × |weeks|, dimension-sized at any corpus scale.
+  private val w10Retention: Q = (s, dir) => {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), trunc(to_date(col("ts")), "week").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cw"))
+    val sizes = cohort.groupBy("cw")
+      .agg(countDistinct(col("user_id")).as("n_cohort"))
+    val act = uw.join(cohort, "user_id")
+      .withColumn("week_n", expr("CAST(datediff(wk, cw) DIV 7 AS INT)"))
+      .groupBy("cw", "week_n")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    act.join(sizes, "cw")
+      .select(col("cw").as("cohort_week"), col("week_n"),
+        col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  private val w10Sql =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id),
+      |sizes AS (SELECT cw, count(DISTINCT user_id) AS n_cohort
+      |          FROM cohort GROUP BY cw),
+      |act AS (
+      |  SELECT c.cw, CAST(datediff('day', c.cw, u.wk) // 7 AS INT) AS week_n,
+      |         count(DISTINCT u.user_id) AS n_active
+      |  FROM uw u JOIN cohort c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT a.cw AS cohort_week, a.week_n, a.n_active, s.n_cohort,
+      |       CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+      |FROM act a JOIN sizes s USING (cw)
+      |ORDER BY cohort_week, week_n""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "w10_retention"      -> w10Retention,
+    "w9_gap_fill"        -> w9GapFill,
     "f4_json_extract"    -> f4JsonExtract,
     "w8_percentiles"     -> w8Percentiles,
     "f2_funnel"          -> f2Funnel,
@@ -444,6 +539,8 @@ object WindowedScalar extends QueryPack {
     "p7_blocklist"       -> p7Blocklist)
 
   def oracles: Map[String, String] = Map(
+    "w10_retention"      -> w10Sql,
+    "w9_gap_fill"        -> w9Sql,
     "f4_json_extract"    -> f4Sql,
     "w8_percentiles"     -> w8Sql,
     "f2_funnel"          -> f2Sql,
