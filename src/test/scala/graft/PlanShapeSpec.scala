@@ -96,6 +96,35 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("Window ".r.findAllIn(p).length <= 2, s"extra window passes:\n$p")
   }
 
+  test("round-5 scale shapes: t9 one exchange, k2 partial agg, x3 broadcast probe") {
+    // t9 packing: the running total must cost ONE hash exchange (the
+    // per-shard window); a second would mean the spine re-shuffles.
+    val t9 = SparkEntry.queries("t9_seq_pack")(spark, sfDir)
+    val t9NoSort = t9.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val t9Plan = org.apache.spark.sql.graftshim.ColumnBridge
+      .ofRows(spark, t9NoSort).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(t9Plan).length == 1,
+      s"t9 grew a second shuffle:\n$t9Plan")
+
+    // k2 CMS: the counter shuffle must be map-side combined — the cells
+    // partial-aggregate before the exchange.
+    val k2Plan = executedPlan("k2_cms_heavy")
+    assert(k2Plan.contains("partial_count"), s"k2 lost map-side combine:\n$k2Plan")
+
+    // x3 bloom: both word lookups broadcast (never a shuffled join on
+    // the probe), and the probe scan reads ONLY the join key.
+    val x3Plan = executedPlan("x3_bloom_prune")
+    assert("BroadcastHashJoin".r.findAllIn(x3Plan).length >= 2,
+      s"x3 word lookup stopped broadcasting:\n$x3Plan")
+    val probeScan = x3Plan.linesIterator
+      .filter(_.contains("lineitem.parquet")).mkString
+    assert(probeScan.contains("struct<l_orderkey:bigint>"),
+      s"x3 probe scan reads more than the key:\n$probeScan")
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
