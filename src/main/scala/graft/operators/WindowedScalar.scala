@@ -519,7 +519,50 @@ object WindowedScalar extends QueryPack {
       |FROM act a JOIN sizes s USING (cw)
       |ORDER BY cohort_week, week_n""".stripMargin
 
+  // -- w11: SCD Type-2 history build — the set-based form of
+  //    slowly-changing-dimension maintenance: instead of row-at-a-time
+  //    MERGE closing/opening version rows (the OLTP shape), the whole
+  //    history rebuilds from the event log in one pass: change-point
+  //    compression (keep rows where the attribute differs from its
+  //    predecessor) then valid_to = next change's valid_from. Two window
+  //    functions over ONE shuffle on the dimension key; the output is
+  //    |change points|, not |events|. This is how a 100 TB dimension
+  //    history is (re)built — the per-key sort is local to the key's
+  //    partition, nothing global.
+  private val w11Scd2: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(
+        Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+      .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "valid_from", "priority")
+  }
+
+  private val w11Sql =
+    """WITH ch AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |         lag(o_orderpriority) OVER w AS prev
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |cp AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      |  FROM ch WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey, o_orderpriority AS priority,
+      |       o_orderdate AS valid_from,
+      |       lead(o_orderdate) OVER w2 AS valid_to,
+      |       lead(o_orderdate) OVER w2 IS NULL AS is_current
+      |FROM cp
+      |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, valid_from, priority""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "w11_scd2_history"   -> w11Scd2,
     "w10_retention"      -> w10Retention,
     "w9_gap_fill"        -> w9GapFill,
     "f4_json_extract"    -> f4JsonExtract,
@@ -539,6 +582,7 @@ object WindowedScalar extends QueryPack {
     "p7_blocklist"       -> p7Blocklist)
 
   def oracles: Map[String, String] = Map(
+    "w11_scd2_history"   -> w11Sql,
     "w10_retention"      -> w10Sql,
     "w9_gap_fill"        -> w9Sql,
     "f4_json_extract"    -> f4Sql,
