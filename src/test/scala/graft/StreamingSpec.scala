@@ -304,6 +304,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(fin(3L) == ((1L, 7.0, 50L)))
   }
 
+  test("restart from checkpoint is exactly-once: old batches not recounted") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_restart")
+    val landing = root.resolve("landing")
+    Files.createDirectories(landing)
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("event_id", "event_type").coalesce(1).write.mode("overwrite")
+        .parquet(landing.resolve(name).toString)
+
+    drop("b1", (1L to 10L).map(i => (i, if (i % 2 == 0) "click" else "view")))
+    val schema = spark.read.parquet(landing.resolve("b1").toString).schema
+    def startQ() = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(landing.toString)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("overwrite").parquet(out)
+      }
+      .start()
+
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    val first = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == Map("click" -> 5L, "view" -> 5L))
+
+    // a NEW query instance resumes from the checkpoint: committed source
+    // offsets mean b1 is not re-read, but its counts persist in state —
+    // double-counting OR state loss would both break the totals.
+    drop("b2", Seq((11L, "click", 0), (12L, "click", 0))
+      .map { case (i, t, _) => (i, t) })
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    val resumed = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(resumed == Map("click" -> 7L, "view" -> 5L),
+      s"restart broke exactly-once: $resumed")
+  }
+
   test("watermark evicts state in append mode (late data dropped)") {
     val q = EventStream.tumblingCounts(
         streamedEvents().withWatermark("ts", "1 hour"))
