@@ -434,6 +434,32 @@ object Relational extends QueryPack {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY g, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // -- g3: native UNPIVOT (melt) — wide → long without the union-of-
+  //    selects workaround: one narrow Expand per row (3 outputs), no
+  //    shuffle until the output sort. The inverse face of a10's pivot;
+  //    both directions are now first-class. Values share one DOUBLE
+  //    type as unpivot requires; ids stay columns.
+  private val g3Unpivot: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("o_custkey_d"),
+        year(col("o_orderdate")).cast("double").as("o_year"))
+      .unpivot(
+        Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_custkey_d"), col("o_year")),
+        "measure", "value")
+      .orderBy("o_orderkey", "measure")
+  }
+
+  private val g3Sql =
+    """SELECT o_orderkey, measure, value FROM (
+      |  SELECT o_orderkey, o_totalprice,
+      |         CAST(o_custkey AS DOUBLE) AS o_custkey_d,
+      |         CAST(year(o_orderdate) AS DOUBLE) AS o_year
+      |  FROM orders)
+      |UNPIVOT (value FOR measure IN (o_totalprice, o_custkey_d, o_year))
+      |ORDER BY o_orderkey, measure""".stripMargin
+
   // -- j9: FULL OUTER join — the reconciliation shape (which nations have
   //    BUILDING-segment customers but no high-balance suppliers, and vice
   //    versa). Both sides pre-aggregate to |nations| rows BEFORE the
@@ -479,6 +505,7 @@ object Relational extends QueryPack {
     "a15_rollup"             -> a15Rollup,
     "g1_cube"                -> g1Cube,
     "g2_grouping_sets"       -> g2GroupingSets,
+    "g3_unpivot"             -> g3Unpivot,
     "j9_full_outer"          -> j9FullOuter,
     "j1_join_topk"           -> j1JoinTopk,
     "j1_semi_join"           -> j1SemiJoin,
@@ -498,6 +525,7 @@ object Relational extends QueryPack {
     "a15_rollup"             -> a15Sql,
     "g1_cube"                -> g1Sql,
     "g2_grouping_sets"       -> g2Sql,
+    "g3_unpivot"             -> g3Sql,
     "j9_full_outer"          -> j9Sql,
     "j1_join_topk"           -> j1Sql,
     "j1_semi_join"           -> j1SemiSql,
