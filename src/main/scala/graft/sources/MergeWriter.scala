@@ -20,9 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object MergeWriter {
 
-  /** Pure merge: `target` rows not matched on `keys`, plus all `updates`. */
+  /** Pure merge: `target` rows not matched on `keys`, plus all `updates`.
+    * Schemas may differ additively (a batch that gains or drops a
+    * non-key column): the union aligns by name and null-backfills either
+    * side — the parquet-level form of additive schema evolution. An
+    * update still replaces its matched row WHOLESALE, so a column the
+    * update batch doesn't carry reads null on updated rows (the winner
+    * rule, not a partial column patch). */
   def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
-    target.join(updates, keys, "left_anti").unionByName(updates)
+    target.join(updates, keys, "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
 
   /** If a previous upsert crashed mid-swap, put the table back: a
     * complete tmp (its _SUCCESS marker exists) wins — it holds the merged

@@ -44,6 +44,28 @@ class MergeWriterSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("additive schema evolution: new columns backfill null, wholesale rule holds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((1, "x"), (2, "y")).toDF("k", "s"), Seq("k"))
+    // a later batch gains column q: untouched rows read null
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((2, "Y", 9.0), (3, "z", 7.0)).toDF("k", "s", "q"), Seq("k"))
+    val got = spark.read.parquet(dir).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq((1, "x", None), (2, "Y", Some(9.0)), (3, "z", Some(7.0))))
+    // a still-later batch WITHOUT q: its rows replace wholesale (q null),
+    // rows it doesn't touch keep their q
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((3, "Z")).toDF("k", "s"), Seq("k"))
+    val after = spark.read.parquet(dir).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(after == Seq((1, "x", None), (2, "Y", Some(9.0)), (3, "Z", None)))
+  }
+
   test("recover promotes a complete tmp after a mid-swap crash") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_rec1").toString + "/t"
