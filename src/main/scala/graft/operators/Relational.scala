@@ -467,6 +467,61 @@ object Relational extends QueryPack {
   //    any scale); joining the raw fact tables full-outer would be the
   //    mistake. NULL sides are kept (that's the point of the operator)
   //    and a presence flag pins the match classes.
+  // -- dq1: data-quality constraint report — the Deequ/great-expectations
+  //    shape every production pipeline runs before publishing a table:
+  //    uniqueness, completeness, and referential-integrity metrics as
+  //    data. Each table's metrics come from ONE partial-aggregated scan
+  //    (count + conditional sums + countDistinct together); the FK
+  //    orphan check is an anti-join that AQE sizes. Long (check, metric)
+  //    output so new checks append rows, not columns.
+  private val dq1Report: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val om = o.agg(
+      count(lit(1)).as("orders_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+        .as("orders_null_custkey"),
+      (count(lit(1)) - countDistinct(col("o_orderkey")))
+        .as("orders_dup_orderkey"))
+    val lm = l.agg(
+      count(lit(1)).as("lineitem_rows"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+        .as("lineitem_null_qty"))
+    val orphans = l.join(o.select("o_orderkey"),
+        l("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("lineitem_orphans"))
+    om.crossJoin(lm).crossJoin(orphans)
+      .selectExpr("""stack(6,
+        'orders_rows', orders_rows,
+        'orders_null_custkey', orders_null_custkey,
+        'orders_dup_orderkey', orders_dup_orderkey,
+        'lineitem_rows', lineitem_rows,
+        'lineitem_null_qty', lineitem_null_qty,
+        'lineitem_orphans', lineitem_orphans) AS (check_name, metric)""")
+      .orderBy("check_name")
+  }
+
+  private val dq1Sql =
+    """SELECT 'orders_rows' AS check_name,
+      |       (SELECT count(*) FROM orders) AS metric
+      |UNION ALL
+      |SELECT 'orders_null_custkey',
+      |       (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+      |UNION ALL
+      |SELECT 'orders_dup_orderkey',
+      |       (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+      |UNION ALL
+      |SELECT 'lineitem_rows', (SELECT count(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'lineitem_null_qty',
+      |       (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL)
+      |UNION ALL
+      |SELECT 'lineitem_orphans',
+      |       (SELECT count(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                          WHERE o.o_orderkey = l.l_orderkey))
+      |ORDER BY check_name""".stripMargin
+
   private val j9FullOuter: Q = (s, dir) => {
     val c = Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -506,6 +561,7 @@ object Relational extends QueryPack {
     "g1_cube"                -> g1Cube,
     "g2_grouping_sets"       -> g2GroupingSets,
     "g3_unpivot"             -> g3Unpivot,
+    "dq1_constraint_report"  -> dq1Report,
     "j9_full_outer"          -> j9FullOuter,
     "j1_join_topk"           -> j1JoinTopk,
     "j1_semi_join"           -> j1SemiJoin,
@@ -526,6 +582,7 @@ object Relational extends QueryPack {
     "g1_cube"                -> g1Sql,
     "g2_grouping_sets"       -> g2Sql,
     "g3_unpivot"             -> g3Sql,
+    "dq1_constraint_report"  -> dq1Sql,
     "j9_full_outer"          -> j9Sql,
     "j1_join_topk"           -> j1Sql,
     "j1_semi_join"           -> j1SemiSql,
