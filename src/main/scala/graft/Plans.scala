@@ -86,7 +86,13 @@ object Plans {
     "d11_budget_sample" ->
       "Budget mixture: |sources|-row totals aggregate, rate table broadcast back, sample is a pure filter — no reservoir, no second shuffle.",
     "x3_bloom_prune" ->
-      "Bloom pruning: probe rows drop at the scan stage via two broadcast word-table lookups — only plausible matches would ever reach a shuffle.")
+      "Bloom pruning: probe rows drop at the scan stage via two broadcast word-table lookups — only plausible matches would ever reach a shuffle.",
+    "w9_gap_fill" ->
+      "Gap fill: spine bounds from a 1-row aggregate, day list broadcast-crossed with users, forward fill in one window pass per user.",
+    "w11_scd2_history" ->
+      "SCD2: change-point filter + lead() share ONE exchange on the dimension key — the history rebuilds without a self-join.",
+    "dq1_constraint_report" ->
+      "DQ report: each table's metrics from ONE partial-aggregated scan (count/conditional-sum/distinct together); orphans via anti-join.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
