@@ -96,6 +96,19 @@ object Sketch extends QueryPack {
         concat(lit(s"$i:"), col("user_id").cast("string"))), 1, 15), 16, 10)
       .cast("long"), lit(cmsW.toLong))
 
+  /** The sketch-update side of k2, reusable under `readStream`: every
+    * event explodes to its d cells and the counters aggregate — in a
+    * stream this is a standard stateful aggregation whose state is
+    * bounded by d·w CELLS, not by keys seen (the whole point of
+    * sketching a 100 TB stream). */
+  def cmsCounters(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cells = (0 until cmsD).map(i =>
+      struct(lit(i).as("row"), cmsBucketCol(i).as("bucket")))
+    ev.select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   private def cmsBucketSql(i: Int): String =
     s"""(list_sum(list_transform(range(0, 15), j ->
        |  CAST(strpos('0123456789abcdef',
@@ -107,10 +120,7 @@ object Sketch extends QueryPack {
     val cells = (0 until cmsD).map(i =>
       struct(lit(i).as("row"), cmsBucketCol(i).as("bucket")))
     // the sketch: one partial-aggregated shuffle of ≤ d·w cells
-    val counters = ev
-      .select(explode(array(cells: _*)).as("c"))
-      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    val counters = cmsCounters(ev)
     // per-key probe: distinct keys × their d cells, min over the row hits
     val keyCells = ev.distinct()
       .select(col("user_id"), explode(array(cells: _*)).as("c"))

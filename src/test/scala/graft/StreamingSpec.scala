@@ -346,6 +346,29 @@ class StreamingSpec extends SparkSpecBase {
       s"restart broke exactly-once: $resumed")
   }
 
+  test("CMS counter table streamed across micro-batches equals the batch sketch") {
+    // the sketch-update aggregation is streaming-native: its state is
+    // d·w cells regardless of how many keys the stream has seen.
+    val batch = graft.operators.Sketch.cmsCounters(
+        Tables.events(spark, sfDir).select("user_id"))
+      .orderBy("row", "bucket").collect().toSeq
+
+    val q = graft.operators.Sketch.cmsCounters(
+        streamedEvents().select("user_id"))
+      .writeStream
+      .format("memory")
+      .queryName("cms_test")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    val streamed = spark.table("cms_test")
+      .orderBy("row", "bucket").collect().toSeq
+    q.stop()
+
+    assert(streamed == batch)
+    assert(batch.size <= 3 * 64) // state bounded by cells, not keys
+  }
+
   test("watermark evicts state in append mode (late data dropped)") {
     val q = EventStream.tumblingCounts(
         streamedEvents().withWatermark("ts", "1 hour"))
