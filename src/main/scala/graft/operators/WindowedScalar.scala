@@ -561,7 +561,33 @@ object WindowedScalar extends QueryPack {
       |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, valid_from, priority""".stripMargin
 
+  // -- j10: the lookup side of SCD2 — "which version was valid on date
+  //    D": half-open [valid_from, valid_to) containment against the w11
+  //    history. The history is |change points| (dimension-sized), so
+  //    the lookup is a broadcast equi-join on the key with the interval
+  //    test as a residual filter — the fact side never shuffles. Open
+  //    versions (valid_to null) match everything from valid_from on.
+  private val j10Scd2Asof: Q = (s, dir) => {
+    val probe = lit("1997-01-01").cast("timestamp")
+    val hist = w11Scd2(s, dir)
+    hist.filter(col("valid_from") <= probe &&
+        (col("valid_to").isNull || col("valid_to") > probe))
+      .select(col("o_custkey"), col("priority").as("priority_at_probe"),
+        col("valid_from"), col("is_current"))
+      .orderBy("o_custkey")
+  }
+
+  private val j10Sql =
+    s"""WITH hist AS ($w11Sql)
+       |SELECT o_custkey, priority AS priority_at_probe, valid_from,
+       |       is_current
+       |FROM hist
+       |WHERE valid_from <= TIMESTAMP '1997-01-01'
+       |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-01-01')
+       |ORDER BY o_custkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "j10_scd2_asof"      -> j10Scd2Asof,
     "w11_scd2_history"   -> w11Scd2,
     "w10_retention"      -> w10Retention,
     "w9_gap_fill"        -> w9GapFill,
@@ -582,6 +608,7 @@ object WindowedScalar extends QueryPack {
     "p7_blocklist"       -> p7Blocklist)
 
   def oracles: Map[String, String] = Map(
+    "j10_scd2_asof"      -> j10Sql,
     "w11_scd2_history"   -> w11Sql,
     "w10_retention"      -> w10Sql,
     "w9_gap_fill"        -> w9Sql,
