@@ -530,8 +530,13 @@ object Dedup extends QueryPack {
       .filter(col("u").cast("double") < col("rate") * lit(1000003.0))
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
-    rates.join(kept, "source")
-      .select("source", "tot_tokens", "rate", "n_kept", "kept_tokens")
+    // LEFT join + coalesce-to-0: a source whose hash filter keeps zero
+    // docs must still show in the audit (rate, 0, 0) — an inner join
+    // would silently drop it and under-report the mixture.
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("tot_tokens"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
       .orderBy("source")
   }
 
@@ -555,8 +560,10 @@ object Dedup extends QueryPack {
        |  WHERE CAST((d.doc_id * 2654435761) % 1000003 AS DOUBLE)
        |        < r.rate * 1000003.0
        |  GROUP BY d.source)
-       |SELECT r.source, r.tot_tokens, r.rate, k.n_kept, k.kept_tokens
-       |FROM rates r JOIN kept k USING (source)
+       |SELECT r.source, r.tot_tokens, r.rate,
+       |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+       |FROM rates r LEFT JOIN kept k USING (source)
        |ORDER BY source""".stripMargin
   }
 

@@ -95,9 +95,29 @@ object Graph {
 
       changed = next.filter(col("_chg")).count()
       hopped.unpersist()
+      // `next` is materialized (and lineage-truncated) by the count above,
+      // so the previous round's checkpointed labels are dead — release
+      // their executor storage now, or repeated CC queries in one session
+      // accumulate one round's worth of blocks per iteration. Dataset
+      // .unpersist() can't do this (localCheckpoint storage is RDD-level,
+      // invisible to the CacheManager), hence [[release]].
+      release(labels)
       labels = next.select("id", "component")
     }
     sym.unpersist()
     labels
   }
+
+  /** Free the executor storage behind any localCheckpoint leaves in `df`'s
+    * plan. The labels returned by [[connectedComponents]] are backed by a
+    * checkpointed RDD whose blocks survive both `Dataset.unpersist()` and
+    * `spark.catalog.clearCache()` (those only see CacheManager entries) —
+    * callers should invoke this once the result has been consumed.
+    * Safe on any DataFrame: non-checkpoint leaves are ignored. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

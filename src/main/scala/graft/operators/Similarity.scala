@@ -535,6 +535,9 @@ object Similarity extends QueryPack {
   //    never shuffled, and the union of the 4 encode scans is
   //    partition-local.
   private val pqM = 4
+  // Integer division would silently drop the trailing dims % pqM
+  // dimensions from every PQ subspace — fail loudly instead.
+  require(dims % pqM == 0, s"dims=$dims must be divisible by pqM=$pqM")
   private val pqSubDim = dims / pqM
   private val pqK = 8
 

@@ -538,10 +538,15 @@ object WindowedScalar extends QueryPack {
       .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
       .withColumn("valid_to", lead(col("o_orderdate"), 1).over(
         Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+      // o_orderkey tiebreak BEFORE the projection drops it: same-day
+      // change points with an A,B,A priority pattern tie on all of
+      // (custkey, valid_from, priority), which would leave cross-engine
+      // row order unpinned. Sort-then-project keeps the ordering (the
+      // projection is narrow, no exchange after the sort).
+      .orderBy("o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey")
       .select(col("o_custkey"), col("o_orderpriority").as("priority"),
         col("o_orderdate").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy("o_custkey", "valid_from", "priority")
   }
 
   private val w11Sql =
@@ -559,7 +564,7 @@ object WindowedScalar extends QueryPack {
       |       lead(o_orderdate) OVER w2 IS NULL AS is_current
       |FROM cp
       |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |ORDER BY o_custkey, valid_from, priority""".stripMargin
+      |ORDER BY o_custkey, valid_from, priority, o_orderkey""".stripMargin
 
   // -- j10: the lookup side of SCD2 — "which version was valid on date
   //    D": half-open [valid_from, valid_to) containment against the w11
@@ -574,7 +579,10 @@ object WindowedScalar extends QueryPack {
         (col("valid_to").isNull || col("valid_to") > probe))
       .select(col("o_custkey"), col("priority").as("priority_at_probe"),
         col("valid_from"), col("is_current"))
-      .orderBy("o_custkey")
+      // disjoint half-open intervals make (o_custkey) unique here in
+      // practice, but the deterministic-order contract shouldn't depend
+      // on that proof — pin the full key.
+      .orderBy("o_custkey", "valid_from", "priority_at_probe")
   }
 
   private val j10Sql =
@@ -584,7 +592,7 @@ object WindowedScalar extends QueryPack {
        |FROM hist
        |WHERE valid_from <= TIMESTAMP '1997-01-01'
        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-01-01')
-       |ORDER BY o_custkey""".stripMargin
+       |ORDER BY o_custkey, valid_from, priority_at_probe""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "j10_scd2_asof"      -> j10Scd2Asof,
