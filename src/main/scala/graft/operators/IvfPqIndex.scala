@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{DotProduct, KMeans}
+import graft.sources.MergeWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The build-once/probe-many face of the IVF-PQ index (the production ANN
+  * serving shape that v6/v8/v12's self-contained oracle queries obscure:
+  * those retrain k-means inside every execution because an oracle query
+  * must be a pure function of the input tables; a serving system builds
+  * the index ONCE and amortizes it over every search).
+  *
+  * Build (mirrors v8's coarse quantizer + v12's product quantizer, same
+  * deterministic arithmetic so the DuckDB oracle can replay it):
+  *   - coarse centroids: k-means (k ∝ √n, 2 Lloyd rounds, first-k seed)
+  *     trained on the deterministic vec_id-mod sample — k·dims rows;
+  *   - inverted lists: every corpus vector's nearest cell — n (id, cell)
+  *     pairs, the only corpus-sized table;
+  *   - PQ codebooks: per-subspace k=8 codebooks over the sliced vectors —
+  *     pqM·pqK·subDim rows;
+  *   - PQ codes: each vector's per-subspace nearest-codeword id — n·pqM
+  *     (id, subspace, code) triples, the compressed corpus (3 bits per
+  *     subspace vs 16 floats).
+  * All four persist as parquet through [[MergeWriter.upsertParquet]] —
+  * the engine's crash-safe upsert sink, which is also the refresh path: a
+  * new corpus snapshot merges by natural key instead of rewriting.
+  *
+  * Probe never touches the corpus embeddings: the query set assigns to
+  * its nprobe nearest coarse cells (broadcast centroid argmin), the
+  * inverted lists supply the candidate ids (shuffle on the cell id), and
+  * ranking is asymmetric distance (ADC): for each candidate, sum over
+  * subspaces of ‖q_j − codeword(code_j)‖² looked up from the broadcast
+  * codebooks — the scan reads 4 small ints per candidate, not 64 floats.
+  * At 100 TB that is the entire point: search I/O is the codes table
+  * (~16 bytes/vector), two orders of magnitude under the raw vectors.
+  *
+  * The index directory is keyed by a fingerprint of the source parquet
+  * (path, length, mtime), so a regenerated corpus rebuilds instead of
+  * serving a stale index; a missing success marker means a partial build
+  * and also rebuilds from scratch.
+  */
+object IvfPqIndex {
+
+  import Similarity.{dims, ivfK, ivfSampleMod, pqM, pqSubDim, pqK}
+
+  /** Deterministic per-corpus index location under java.io.tmpdir. */
+  def indexDir(dir: String): String = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    val tag = s"${f.getAbsolutePath}:${f.length}:${f.lastModified}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_$md"
+  }
+
+  private def marker(path: String) = new java.io.File(path, "_INDEX_SUCCESS")
+
+  /** Build the index for `dir`'s embeddings table unless a complete one
+    * already exists; returns its location. */
+  def ensure(spark: SparkSession, dir: String): String = {
+    val path = indexDir(dir)
+    if (!marker(path).exists()) build(spark, dir, path)
+    path
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Train + encode + persist. Package-private so specs can force a
+    * rebuild; normal callers go through [[ensure]]. */
+  private[operators] def build(spark: SparkSession, dir: String,
+                               path: String): Unit = {
+    val root = new java.io.File(path)
+    // no marker = unknown partial state from a crashed build: start clean
+    if (root.exists()) rmTree(root)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+
+    // Coarse quantizer: v8's shape — train on the deterministic sample
+    // (k-means never needs the full corpus), assign EVERY vector once.
+    val m = ivfSampleMod(e.count())
+    val sample = e.filter(pmod(col("vec_id"), lit(m)) === 0)
+    val k = ivfK(sample.count())
+    val coarse = KMeans.fit(sample, k, iters = 2)
+    MergeWriter.upsertParquet(spark, s"$path/coarse_centroids",
+      coarse.select(col("cell").cast("int").as("cell"), col("pos"),
+        col("mean_v")),
+      Seq("cell", "pos"))
+    MergeWriter.upsertParquet(spark, s"$path/lists",
+      KMeans.assign(e, coarse).select(col("vec_id"),
+        col("cell").cast("int").as("cell")),
+      Seq("vec_id"))
+    coarse.unpersist()
+
+    // Product quantizer: v12's shape — an independent k=pqK codebook per
+    // subspace over the sliced vectors, then each vector's argmin code.
+    val subs = (0 until pqM).map { j =>
+      val sub = e.select(col("vec_id"),
+        slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))
+      val cb = KMeans.fit(sub, pqK, iters = 2)
+      val codes = KMeans.assign(sub, cb)
+        .select(col("vec_id"), lit(j).as("subspace"),
+          col("cell").cast("int").as("code"))
+      (cb, codes)
+    }
+    MergeWriter.upsertParquet(spark, s"$path/pq_codebooks",
+      subs.zipWithIndex.map { case ((cb, _), j) =>
+        cb.select(lit(j).as("subspace"), col("cell").cast("int").as("code"),
+          col("pos"), col("mean_v"))
+      }.reduce(_ unionByName _),
+      Seq("subspace", "code", "pos"))
+    MergeWriter.upsertParquet(spark, s"$path/pq_codes",
+      subs.map(_._2).reduce(_ union _), Seq("vec_id", "subspace"))
+    subs.foreach(_._1.unpersist())
+    marker(path).createNewFile(): Unit
+  }
+
+  /** ADC top-k search against a persisted index. `queries` needs
+    * (vec_id, embedding); returns (query_id, rank, neighbor_id, adc)
+    * with rank 1..topk by ascending asymmetric distance, ties by id —
+    * bit-identical to the oracle's replay of the same arithmetic. */
+  def probe(spark: SparkSession, indexPath: String, queries: DataFrame,
+            nprobe: Int = 2, topk: Int = 3): DataFrame = {
+    val coarse = spark.read.parquet(s"$indexPath/coarse_centroids")
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    val codebooks = spark.read.parquet(s"$indexPath/pq_codebooks")
+    val codes = spark.read.parquet(s"$indexPath/pq_codes")
+
+    // candidate set: the query's nprobe nearest cells' inverted lists
+    // (cells are disjoint, so candidates need no dedup)
+    val probes = KMeans.assignTopN(queries, coarse, nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = probes
+      .join(lists.select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+
+    // query subvectors with their exact squared norms (qq is the constant
+    // term of ‖q_j − c‖² = qq − 2·q_j·c + ‖c‖²)
+    val qsub = (0 until pqM).map { j =>
+      queries.select(col("vec_id").as("query_id"),
+        lit(j).as("subspace"),
+        slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("qe"))
+    }.reduce(_ union _)
+      .withColumn("qq", DotProduct.dot(col("qe"), col("qe")))
+
+    // codebooks re-packed to float arrays exactly as KMeans.assign does
+    // (CAST FLOAT, pos order) so reconstruction matches training
+    val cbArr = codebooks.groupBy("subspace", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
+        .as("pv"))
+      .select(col("subspace"), col("code"),
+        expr("transform(pv, x -> CAST(x.mean_v AS FLOAT))").as("centroid"))
+      .withColumn("cnorm2", DotProduct.dot(col("centroid"), col("centroid")))
+
+    // per-(candidate, subspace) ADC terms; qsub and cbArr are
+    // dimension-sized broadcasts, so the only shuffle is codes⋈cand on
+    // the neighbor id
+    val terms = cand
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("subspace"),
+        col("code")), "neighbor_id")
+      .join(broadcast(qsub), Seq("query_id", "subspace"))
+      .join(broadcast(cbArr), Seq("subspace", "code"))
+      .select(col("query_id"), col("neighbor_id"), col("subspace"),
+        (col("qq") - lit(2.0) * DotProduct.dot(col("qe"), col("centroid"))
+          + col("cnorm2")).as("term"))
+
+    // fixed-order subspace sum (t0 + t1 + t2 + t3, left-assoc): a plain
+    // sum() would add in partition order and drift last-ulp vs the oracle
+    val tCols = (0 until pqM).map(j =>
+      max(when(col("subspace") === j, col("term"))).as(s"t$j"))
+    val adc = terms.groupBy("query_id", "neighbor_id")
+      .agg(tCols.head, tCols.tail: _*)
+      .select(col("query_id"), col("neighbor_id"),
+        (0 until pqM).map(j => col(s"t$j")).reduce(_ + _).as("adc"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    graft.plans.GroupedTopK.topK(adc, Seq("query_id"), topk,
+        col("adc").asc, col("neighbor_id").asc)
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "neighbor_id", "adc")
+  }
+}

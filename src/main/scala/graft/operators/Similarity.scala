@@ -33,7 +33,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity extends QueryPack {
 
-  private val dims = 64
+  // dims/ivfK/ivfSampleMod/pq* are shared with IvfPqIndex (the persisted
+  // build-once/probe-many face of the same arithmetic) — the oracle here
+  // and the builder there must agree on every parameter.
+  private[operators] val dims = 64
   private val nPlanes = 4 // 16 buckets (v2 histogram only)
 
   // Banded multi-table parameters for v3/v5: nBands tables, each keyed by
@@ -260,7 +263,7 @@ object Similarity extends QueryPack {
   //    exact training: 2 unrolled Lloyd iterations (per-dim means are
   //    exact — float mantissas leave ~29 headroom bits in a double sum —
   //    and every dot product is the same left-to-right fold both sides).
-  private def ivfK(n: Long): Int =
+  private[operators] def ivfK(n: Long): Int =
     if (n <= 64) 8 else if (n <= 256) 16 else if (n <= 1024) 32
     else if (n <= 4096) 64 else 128
 
@@ -371,7 +374,7 @@ object Similarity extends QueryPack {
   //    no dedup stage. Costs: Lloyd O(sample·k·dims), assignment
   //    O(n·k·dims), search O(n·nprobe·list·dims); only the assignment
   //    and search scans touch the corpus.
-  private def ivfSampleMod(n: Long): Int = if (n <= 1024) 1 else 4
+  private[operators] def ivfSampleMod(n: Long): Int = if (n <= 1024) 1 else 4
 
   private val ivfSampleModSql =
     "(SELECT CASE WHEN count(*) <= 1024 THEN 1 ELSE 4 END FROM e)"
@@ -534,12 +537,12 @@ object Similarity extends QueryPack {
   //    argmin scan per subspace over sliced vectors — the corpus is
   //    never shuffled, and the union of the 4 encode scans is
   //    partition-local.
-  private val pqM = 4
+  private[operators] val pqM = 4
   // Integer division would silently drop the trailing dims % pqM
   // dimensions from every PQ subspace — fail loudly instead.
   require(dims % pqM == 0, s"dims=$dims must be divisible by pqM=$pqM")
-  private val pqSubDim = dims / pqM
-  private val pqK = 8
+  private[operators] val pqSubDim = dims / pqM
+  private[operators] val pqK = 8
 
   private val v12PqCodes: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
@@ -802,7 +805,84 @@ object Similarity extends QueryPack {
        |  ON i.query_id = x.query_id AND i.ivf_neighbor = x.neighbor_id
        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
 
+  // -- v13: IVF-PQ probe against the PERSISTED index — the
+  //    build-once/probe-many serving shape. The index ([[IvfPqIndex]]:
+  //    v8's sampled-training coarse quantizer + v12's per-subspace
+  //    codebooks/codes, stored as parquet via the MergeWriter sink) is
+  //    built on first touch and reused by every later execution, so this
+  //    query's steady-state cost is the PROBE alone: broadcast coarse
+  //    argmin for the 5 sampled queries (nprobe=2), inverted-list
+  //    candidate lookup, and ADC ranking that reads 4 small ints per
+  //    candidate instead of 64 floats — the corpus embeddings are never
+  //    scanned. The oracle replays build+probe from the base table (an
+  //    oracle must be a pure function of the inputs), which pins that the
+  //    persisted index is bit-identical to freshly-trained state.
+  private val v13IvfPqProbe: Q = (s, dir) => {
+    val idx = IvfPqIndex.ensure(s, dir)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+      .select("vec_id", "embedding")
+    IvfPqIndex.probe(s, idx, q, nprobe = 2, topk = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  private val v13Sql = {
+    val adcTerms = (0 until pqM).map { j =>
+      s"""adcj$j AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         ${dotDN("q.embedding", "q.embedding", pqSubDim)}
+         |         - 2.0 * ${dotDN("q.embedding", "cb.centroid", pqSubDim)}
+         |         + cb.cnorm2 AS t
+         |  FROM candv c
+         |  JOIN pe$j q ON q.vec_id = c.query_id
+         |  JOIN pa3_$j a ON a.vec_id = c.neighbor_id
+         |  JOIN pc2_$j cb ON cb.cell = a.cell)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |smp AS (
+       |  SELECT vec_id, embedding FROM e
+       |  WHERE vec_id % $ivfSampleModSql = 0),
+       |seed AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cell, embedding FROM (
+       |    SELECT vec_id, embedding,
+       |           row_number() OVER (ORDER BY vec_id) AS rn FROM smp) s
+       |  WHERE rn <= ${ivfKSqlFor("smp")}),
+       |cents0 AS (
+       |  SELECT cell, embedding AS centroid,
+       |         ${dotD("embedding", "embedding")} AS cnorm2 FROM seed),
+       |${assignSql("cents0", "a1", from = "smp")},
+       |${updateSql("a1", "m1", "cents1", from = "smp")},
+       |${assignSql("cents1", "a2", from = "smp")},
+       |${updateSql("a2", "m2", "cents2", from = "smp")},
+       |${assignSql("cents2", "lists", from = "e", probe = 1)},
+       |qv AS (SELECT vec_id, embedding FROM e WHERE vec_id < 5),
+       |${assignSql("cents2", "qprobe", from = "qv", probe = 2)},
+       |candv AS (
+       |  SELECT q.vec_id AS query_id, l.vec_id AS neighbor_id
+       |  FROM qprobe q JOIN lists l
+       |    ON l.cell = q.cell AND l.vec_id <> q.vec_id),
+       |${(0 until pqM).map(pqSubspaceSql).mkString(",\n")},
+       |${adcTerms.mkString(",\n")},
+       |adc AS (
+       |  SELECT s0.query_id, s0.neighbor_id,
+       |         s0.t + s1.t + s2.t + s3.t AS adc
+       |  FROM adcj0 s0
+       |  JOIN adcj1 s1 ON s1.query_id = s0.query_id
+       |               AND s1.neighbor_id = s0.neighbor_id
+       |  JOIN adcj2 s2 ON s2.query_id = s0.query_id
+       |               AND s2.neighbor_id = s0.neighbor_id
+       |  JOIN adcj3 s3 ON s3.query_id = s0.query_id
+       |               AND s3.neighbor_id = s0.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, neighbor_id, adc
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "v13_ivf_pq_probe"  -> v13IvfPqProbe,
     "v9_vector_stats"   -> v9VectorStats,
     "v10_ann_recall"    -> v10AnnRecall,
     "v1_knn_brute_topk" -> v1BruteTopk,
@@ -817,6 +897,7 @@ object Similarity extends QueryPack {
     "v12_pq_codes"      -> v12PqCodes)
 
   def oracles: Map[String, String] = Map(
+    "v13_ivf_pq_probe"  -> v13Sql,
     "v9_vector_stats"   -> v9Sql,
     "v10_ann_recall"    -> v10Sql,
     "v1_knn_brute_topk" -> v1Sql,
