@@ -653,7 +653,122 @@ object Statistical extends QueryPack {
       |       (n*sxy - sx*sy) / CAST(n*(n-1) AS DOUBLE) AS covar_samp
       |FROM a ORDER BY l_returnflag""".stripMargin
 
+  // -- a3: pixel-level aperture photometry over the reference's OWN
+  //    dual-engine test fixture — the synthetic Gaussian star of
+  //    photom_tests_modeldata.py:85-112 (50×50 image, amplitude 100,
+  //    center (26,26), σ=3), evaluated at pixel centers and carried as a
+  //    long-format (x, y, value) table. This closes the A3/A13 loop at
+  //    the pixel level: the reference's meanclip_bkgrd + photutils
+  //    aperture sums (run_image_extraction.py:502-568,
+  //    database_reset.py:189-195) run here as (1) a 3-pass 4σ meanclip
+  //    (the a2 kernel) over the sky annulus r ∈ (10, 20] — the
+  //    photutils call's annulus=10, dannulus=10 — and (2) per-aperture
+  //    flux sums with center-inclusion membership (d² ≤ r², integer
+  //    arithmetic), with totbkgrd = n_pix·background exactly as the
+  //    phot table's flux/mnbkgrd/totbkgrd triple.
+  //
+  //    Bit-stability: pixel values are the Gaussian quantized to
+  //    DECIMAL(18,2), generated ONCE in Scala (StrictMath.exp) and
+  //    shipped as the same literal lookup table to both engines — exp's
+  //    last ulp is libm-dependent, so neither engine recomputes it. The
+  //    LUT is keyed by the integer squared radius (≤ ~400 distinct
+  //    values), the grid cross-joins against it, and every aggregate is
+  //    an exact decimal sum. Scale shape: a real run groups every stage
+  //    by imagename (here the literal 'teststar'), so backgrounds and
+  //    aperture sums partition by image — millions of images, no global
+  //    state; the LUT/aperture/background tables all broadcast.
+  private val starLut: Seq[(Int, String)] = {
+    val d2s = (for { dx <- -26 to 23; dy <- -26 to 23 }
+      yield dx * dx + dy * dy).distinct.sorted
+    d2s.map { d2 =>
+      val v = BigDecimal(100.0 * StrictMath.exp(-d2 / 18.0))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      (d2, v.toString)
+    }
+  }
+
+  private val apRadii = Seq(2, 3, 5, 7, 10, 12)
+
+  private val a3PixelMeanclip: Q = (s, dir) => {
+    import s.implicits._
+    val lut = broadcast(starLut.toDF("d2", "vs"))
+    val xs = s.range(0, 50).select(col("id").cast("int").as("x"))
+    val ys = s.range(0, 50).select(col("id").cast("int").as("y"))
+    val px = xs.crossJoin(ys)
+      .withColumn("d2",
+        (col("x") - lit(26)) * (col("x") - lit(26)) +
+        (col("y") - lit(26)) * (col("y") - lit(26)))
+      .join(lut, "d2")
+      .select(lit("teststar").as("img"), col("d2"),
+        col("vs").cast(DecimalType(18, 2)).as("vdec"),
+        col("vs").cast(DecimalType(18, 2)).cast("double").as("vd"))
+    // sky annulus meanclip — same pass kernel and pass count as a2
+    var ann = px.filter(col("d2") > 100 && col("d2") <= 400)
+    for (_ <- 1 to 3) ann = clipPass(ann, Seq("img"), 4.0)
+    val bkg = ann.groupBy("img")
+      .agg(count(lit(1)).as("n_sky"),
+        sum(col("vdec")).as("_s"),
+        sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).as("_ss"))
+      .withColumn("mn_bkgrd", col("_s").cast("double") / col("n_sky").cast("double"))
+      .withColumn("bkgrd_std",
+        sqrt(col("_ss").cast("string").cast("double") / col("n_sky").cast("double") -
+             col("mn_bkgrd") * col("mn_bkgrd")))
+      .select("img", "n_sky", "mn_bkgrd", "bkgrd_std")
+    val apt = broadcast(apRadii.map(r => (r, r * r)).toDF("aperture", "r2"))
+    val apsum = px.join(apt, col("d2") <= col("r2"))
+      .groupBy("img", "aperture")
+      .agg(count(lit(1)).as("n_pix"), sum(col("vdec")).as("_f"))
+    apsum.join(broadcast(bkg), "img")
+      .select(col("aperture"), col("n_pix"),
+        col("_f").cast("double").as("flux_tot"),
+        col("mn_bkgrd"), col("bkgrd_std"), col("n_sky"),
+        (col("mn_bkgrd") * col("n_pix").cast("double")).as("tot_bkgrd"),
+        (col("_f").cast("double") -
+          col("mn_bkgrd") * col("n_pix").cast("double")).as("net_flux"))
+      .orderBy("aperture")
+  }
+
+  private val a3Sql = {
+    val lutVals = starLut
+      .map { case (d2, v) => s"($d2, '$v')" }.mkString(",\n  ")
+    val aptVals = apRadii.map(r => s"($r, ${r * r})").mkString(", ")
+    s"""WITH lut(d2, vs) AS (VALUES
+       |  $lutVals),
+       |px AS (
+       |  SELECT 'teststar' AS img, g.d2,
+       |         CAST(l.vs AS DECIMAL(18,2)) AS vdec,
+       |         CAST(CAST(l.vs AS DECIMAL(18,2)) AS DOUBLE) AS vd
+       |  FROM (
+       |    SELECT (gx.x - 26)*(gx.x - 26) + (gy.y - 26)*(gy.y - 26) AS d2
+       |    FROM (SELECT unnest(range(0, 50)) AS x) gx,
+       |         (SELECT unnest(range(0, 50)) AS y) gy) g
+       |  JOIN lut l USING (d2)),
+       |ann0 AS (SELECT * FROM px WHERE d2 > 100 AND d2 <= 400),
+       |${clipPassSql("ann0", "img", "4.0", "bs1", "ann1")},
+       |${clipPassSql("ann1", "img", "4.0", "bs2", "ann2")},
+       |${clipPassSql("ann2", "img", "4.0", "bs3", "ann3")},
+       |bkg AS (
+       |  SELECT img, count(*) AS n_sky,
+       |         CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mn_bkgrd,
+       |         sqrt(CAST(CAST(sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+       |              - (CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))
+       |               *(CAST(sum(vdec) AS DOUBLE)/CAST(count(*) AS DOUBLE))) AS bkgrd_std
+       |  FROM ann3 GROUP BY img),
+       |apt(aperture, r2) AS (VALUES $aptVals),
+       |apsum AS (
+       |  SELECT p.img, a.aperture, count(*) AS n_pix, sum(p.vdec) AS f
+       |  FROM px p JOIN apt a ON p.d2 <= a.r2
+       |  GROUP BY p.img, a.aperture)
+       |SELECT s.aperture, s.n_pix, CAST(s.f AS DOUBLE) AS flux_tot,
+       |       b.mn_bkgrd, b.bkgrd_std, b.n_sky,
+       |       b.mn_bkgrd * CAST(s.n_pix AS DOUBLE) AS tot_bkgrd,
+       |       CAST(s.f AS DOUBLE) - b.mn_bkgrd * CAST(s.n_pix AS DOUBLE) AS net_flux
+       |FROM apsum s JOIN bkg b USING (img)
+       |ORDER BY aperture""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "a3_pixel_meanclip"   -> a3PixelMeanclip,
     "a17_exact_corr"      -> a17ExactCorr,
     "a1_regression_slope" -> a1Regression,
     "a2_sigma_clip"       -> a2SigmaClip,
@@ -666,6 +781,7 @@ object Statistical extends QueryPack {
     "a16_pair_product"    -> a16PairProduct)
 
   def oracles: Map[String, String] = Map(
+    "a3_pixel_meanclip"   -> a3Sql,
     "a17_exact_corr"      -> a17Sql,
     "a1_regression_slope" -> a1Sql,
     "a2_sigma_clip"       -> a2Sql,
