@@ -373,8 +373,24 @@ object Dedup extends QueryPack {
   //    engine-agnostic integer arithmetic, so the oracle is bit-exact.
   private val d9Prefix = 120
 
-  private val d9EditDistance: Q = (s, dir) => {
-    val base = Tables.documents(s, dir)
+  /** The d9 pipeline over any (doc_id, text) table — split out so the
+    * flood-guard property is spec-testable on a planted duplicate class.
+    *
+    * Exact-dup precondition, ENFORCED: a class of c byte-identical
+    * documents shares every band key, flooding one bucket into O(c²)
+    * Levenshtein pairs (1k dups = 499,500 zero-distance DPs). Banding
+    * can't help — identical texts agree on every signature — so the
+    * guard is d1's move: collapse each exact class to its smallest
+    * doc_id BEFORE banding (one md5-keyed aggregate, the same shuffle
+    * d1 pays). Pairs inside an exact class carry no information
+    * (dist = 0 by definition); cross-class pairs survive via the
+    * representative. */
+  private[graft] def editDistancePairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val reps = docs.groupBy(md5(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .drop("_h")
+    val base = docs.join(reps, Seq("doc_id"))
       .select(col("doc_id"),
         substring(col("text"), 1, d9Prefix).as("pfx"),
         TextKernels.charMinhashSigsUdf(bandK)(col("text")).as("csig"))
@@ -408,6 +424,9 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val d9EditDistance: Q = (s, dir) =>
+    editDistancePairs(Tables.documents(s, dir))
+
   private val d9Sql = {
     val sh7 = s"list_distinct(${TextPrims.hashEach(
       TextPrims.charShingles("text", bandK, DuckD), DuckD)})"
@@ -417,7 +436,11 @@ object Dedup extends QueryPack {
     val bandSelects = (0 until nBands).map { i =>
       s"SELECT doc_id, $i AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh FROM sigs"
     }
-    s"""WITH s AS (SELECT doc_id, substr(text, 1, $d9Prefix) AS pfx, $sh7 AS sh7 FROM documents),
+    s"""WITH reps AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |s AS (
+       |  SELECT d.doc_id, substr(d.text, 1, $d9Prefix) AS pfx, $sh7 AS sh7
+       |  FROM documents d JOIN reps USING (doc_id)),
        |s2 AS (SELECT * FROM s WHERE len(pfx) >= $bandK AND len(sh7) > 0),
        |sigs AS (SELECT doc_id, ${sigs.mkString(",\n       ")} FROM s2),
        |banded AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),

@@ -1,0 +1,33 @@
+package graft
+
+/** d9's exact-duplicate flood guard: a class of c byte-identical
+  * documents shares every band key, so without the pre-banding collapse
+  * it floods one bucket into C(c,2) zero-distance Levenshtein pairs —
+  * C(1000,2) = 499,500 for the class planted here. The guard keeps only
+  * each class's smallest doc_id, so the class contributes NO
+  * within-class pairs while genuine near-duplicates still surface. */
+class DedupGuardSpec extends SparkSpecBase {
+
+  test("d9 collapses a 1k exact-duplicate class before banding") {
+    import spark.implicits._
+    val dupText =
+      "the same duplicated document body repeated verbatim across the corpus " * 3
+    val distinct = Seq(
+      (100001L, "a modestly different document body with some edits applied here"),
+      (100002L, "a modestly different documnt body with some edits applied here"))
+    val docs = ((0L until 1000L).map(i => (i, dupText)) ++ distinct)
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.editDistancePairs(docs).collect()
+    // bounded: nothing within the exact class (one representative), only
+    // cross-document near-dup pairs remain
+    assert(pairs.length < 10, s"candidate flood: ${pairs.length} pairs")
+    val nonReps = (1L until 1000L).toSet
+    pairs.foreach { r =>
+      assert(!nonReps.contains(r.getLong(0)) && !nonReps.contains(r.getLong(1)),
+        s"pair touches a collapsed duplicate: $r")
+    }
+    // the planted near-dup (one-typo) pair still surfaces
+    assert(pairs.exists(r =>
+      r.getLong(0) == 100001L && r.getLong(1) == 100002L))
+  }
+}
