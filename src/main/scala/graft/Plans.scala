@@ -50,7 +50,7 @@ object Plans {
     "st3_hopping_window" ->
       "Hopping windows: Expand×2 then partial aggregate — shuffle carries window×type partials, not events.",
     "d9_edit_distance" ->
-      "Levenshtein bounded twice: band join limits PAIRS, 120-char prefix limits per-pair DP; same candidate machinery as d6.",
+      "Levenshtein bounded thrice: exact-dup classes collapse to one representative pre-banding, band join limits PAIRS, 120-char prefix limits per-pair DP.",
     "k1_kmv_distinct" ->
       "KMV sketch: GroupedTopK partial→exchange→final keeps k rows per group in flight — the distributed sketch-union shape.",
     "w8_percentiles" ->
@@ -92,7 +92,11 @@ object Plans {
     "w11_scd2_history" ->
       "SCD2: change-point filter + lead() share ONE exchange on the dimension key — the history rebuilds without a self-join.",
     "dq1_constraint_report" ->
-      "DQ report: each table's metrics from ONE partial-aggregated scan (count/conditional-sum/distinct together); orphans via anti-join.")
+      "DQ report: each table's metrics from ONE partial-aggregated scan (count/conditional-sum/distinct together); orphans via anti-join.",
+    "a3_pixel_meanclip" ->
+      "Pixel photometry: the LUT/aperture/background tables all broadcast; clip stats join back per image key — per-image partitioning is the scale unit.",
+    "v13_ivf_pq_probe" ->
+      "IVF-PQ probe: coarse centroids/codebooks broadcast, candidates from the inverted-list equi-join, ADC reads the CODES table — no corpus-embedding scan in the probe path.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
