@@ -69,10 +69,10 @@ object IvfPqIndex {
     f.delete(): Unit
   }
 
-  /** Train + encode + persist. Package-private so specs can force a
-    * rebuild; normal callers go through [[ensure]]. */
-  private[operators] def build(spark: SparkSession, dir: String,
-                               path: String): Unit = {
+  /** Train + encode + persist. Package-private so specs can build into a
+    * scratch location; normal callers go through [[ensure]]. */
+  private[graft] def build(spark: SparkSession, dir: String,
+                           path: String): Unit = {
     val root = new java.io.File(path)
     // no marker = unknown partial state from a crashed build: start clean
     if (root.exists()) rmTree(root)
@@ -115,6 +115,35 @@ object IvfPqIndex {
       subs.map(_._2).reduce(_ union _), Seq("vec_id", "subspace"))
     subs.foreach(_._1.unpersist())
     marker(path).createNewFile(): Unit
+  }
+
+  /** Incremental ingest: encode `vectors` (vec_id, embedding) with the
+    * EXISTING coarse centroids and PQ codebooks — no retraining — and
+    * upsert their inverted-list and code rows by natural key. This is
+    * the refresh path the MergeWriter sink exists for: day-to-day corpus
+    * growth appends through the quantizers (two broadcast argmin scans
+    * over the new batch only), while a codebook retrain is a rebuild.
+    * Re-appending an id is an idempotent upsert, matching the
+    * reference's re-ingestion semantics. */
+  def append(spark: SparkSession, indexPath: String,
+             vectors: DataFrame): Unit = {
+    require(marker(indexPath).exists(), s"no complete index at $indexPath")
+    val coarse = spark.read.parquet(s"$indexPath/coarse_centroids")
+    MergeWriter.upsertParquet(spark, s"$indexPath/lists",
+      KMeans.assign(vectors, coarse).select(col("vec_id"),
+        col("cell").cast("int").as("cell")),
+      Seq("vec_id"))
+    val codebooks = spark.read.parquet(s"$indexPath/pq_codebooks")
+    val codes = (0 until pqM).map { j =>
+      val sub = vectors.select(col("vec_id"),
+        slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))
+      val cb = codebooks.filter(col("subspace") === j)
+        .select(col("code").as("cell"), col("pos"), col("mean_v"))
+      KMeans.assign(sub, cb).select(col("vec_id"), lit(j).as("subspace"),
+        col("cell").cast("int").as("code"))
+    }.reduce(_ union _)
+    MergeWriter.upsertParquet(spark, s"$indexPath/pq_codes", codes,
+      Seq("vec_id", "subspace"))
   }
 
   /** ADC top-k search against a persisted index. `queries` needs

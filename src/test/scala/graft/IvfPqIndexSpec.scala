@@ -39,4 +39,36 @@ class IvfPqIndexSpec extends SparkSpecBase {
     assert(!plan.contains("embeddings.parquet"), plan.take(2000))
     assert(probeDf.orderBy("query_id", "rank").collect().sameElements(r1))
   }
+
+  test("append encodes with existing quantizers and upserts by key") {
+    import org.apache.spark.sql.functions._
+    // scratch copy: appending into the fingerprint-keyed dir would
+    // poison v13's oracle for later runs in this JVM
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_append")
+      .toString + "/idx"
+    IvfPqIndex.build(spark, sfDir, tmp)
+    val lists0 = spark.read.parquet(s"$tmp/lists").count()
+    val codes0 = spark.read.parquet(s"$tmp/pq_codes").count()
+
+    // one clone of an existing vector under a new id (must encode to the
+    // donor's cell and codes) + a re-append of the donor itself (upsert
+    // idempotence: no row growth for it)
+    val donor = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 7).select("vec_id", "embedding")
+    val clone = donor.select(lit(900001L).as("vec_id"), col("embedding"))
+    IvfPqIndex.append(spark, tmp, clone.unionByName(donor))
+
+    val lists1 = spark.read.parquet(s"$tmp/lists")
+    val codes1 = spark.read.parquet(s"$tmp/pq_codes")
+    assert(lists1.count() == lists0 + 1)
+    assert(codes1.count() == codes0 + 4) // pqM code rows for the clone only
+    val cellOf = lists1.filter(col("vec_id").isin(7L, 900001L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf(900001L) == cellOf(7L))
+    val codeOf = codes1.filter(col("vec_id").isin(7L, 900001L))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    (0 until 4).foreach { j =>
+      assert(codeOf((900001L, j)) == codeOf((7L, j)), s"subspace $j")
+    }
+  }
 }
