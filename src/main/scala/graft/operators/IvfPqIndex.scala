@@ -146,6 +146,19 @@ object IvfPqIndex {
       Seq("vec_id", "subspace"))
   }
 
+  /** Streaming maintenance: every micro-batch of (vec_id, embedding)
+    * rows flows through [[append]] — the continuous-ingest face of the
+    * same index. Exactly-once under redelivery holds because append is
+    * an upsert by natural key: re-encoding the same ids with the same
+    * frozen quantizers writes identical rows. */
+  def maintain(vectors: DataFrame, indexPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) append(batch.sparkSession, indexPath, batch)
+      }
+      .start()
+
   /** ADC top-k search against a persisted index. `queries` needs
     * (vec_id, embedding); returns (query_id, rank, neighbor_id, adc)
     * with rank 1..topk by ascending asymmetric distance, ties by id —

@@ -71,4 +71,38 @@ class IvfPqIndexSpec extends SparkSpecBase {
       assert(codeOf((900001L, j)) == codeOf((7L, j)), s"subspace $j")
     }
   }
+
+  test("streaming maintenance appends each micro-batch exactly once") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_stream")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val idx = root.toString + "/idx"
+    IvfPqIndex.build(spark, sfDir, idx)
+    val lists0 = spark.read.parquet(s"$idx/lists").count()
+
+    val donors = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 3)
+      .select("vec_id", "embedding")
+    def drop(name: String, idOffset: Long): Unit =
+      donors.select((col("vec_id") + idOffset).as("vec_id"), col("embedding"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(landing.resolve(name).toString)
+
+    drop("b1", 800000L)
+    val schema = spark.read.parquet(landing.resolve("b1").toString).schema
+    val q = IvfPqIndex.maintain(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(landing.toString), idx)
+    q.processAllAvailable()
+    assert(spark.read.parquet(s"$idx/lists").count() == lists0 + 3)
+
+    drop("b2", 800000L) // redelivery of the same ids: upsert, no growth
+    q.processAllAvailable()
+    drop("b3", 810000L) // genuinely new ids
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$idx/lists").count() == lists0 + 6)
+    // codes stay in lockstep: pqM rows per indexed vector
+    assert(spark.read.parquet(s"$idx/pq_codes").count() == (lists0 + 6) * 4)
+  }
 }
