@@ -159,6 +159,36 @@ object IvfPqIndex {
       }
       .start()
 
+  /** ADC probe + exact rerank — the full IVF-PQ serving pipeline: the
+    * quantized index shortlists `candK` candidates per query (cheap,
+    * corpus-free), then ONLY those ids join back to the original vectors
+    * for exact cosine ordering. At scale the rerank is a point-lookup
+    * join of a dimension-sized candidate set against the corpus — the
+    * quantization error never reaches the final ranking, and the corpus
+    * scan is bounded by candK·|queries| rows, not n. */
+  def probeRefined(spark: SparkSession, indexPath: String,
+                   queries: DataFrame, corpus: DataFrame,
+                   candK: Int = 10, topk: Int = 3): DataFrame = {
+    val cand = probe(spark, indexPath, queries, nprobe = 2, topk = candK)
+      .select(col("query_id"), col("neighbor_id"))
+    val side = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("norm", DotProduct.norm(col("embedding")))
+    val scored = cand
+      .join(side.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("norm").as("qnorm")), "query_id")
+      .join(side.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("norm").as("cnorm")), "neighbor_id")
+      .withColumn("cos",
+        DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .select("query_id", "neighbor_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    graft.plans.GroupedTopK.topK(scored, Seq("query_id"), topk,
+        col("cos").desc, col("neighbor_id").asc)
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** ADC top-k search against a persisted index. `queries` needs
     * (vec_id, embedding); returns (query_id, rank, neighbor_id, adc)
     * with rank 1..topk by ascending asymmetric distance, ties by id —

@@ -825,7 +825,11 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  private val v13Sql = {
+  /** Shared oracle prefix for v13/v14: the full IVF-PQ build replay
+    * (v8's sampled coarse training + v12's subspace codebooks) plus the
+    * candidate walk and per-subspace ADC terms, ending at the `adc`
+    * table. */
+  private val v13Prefix = {
     val adcTerms = (0 until pqM).map { j =>
       s"""adcj$j AS (
          |  SELECT c.query_id, c.neighbor_id,
@@ -871,7 +875,11 @@ object Similarity extends QueryPack {
        |  JOIN adcj2 s2 ON s2.query_id = s0.query_id
        |               AND s2.neighbor_id = s0.neighbor_id
        |  JOIN adcj3 s3 ON s3.query_id = s0.query_id
-       |               AND s3.neighbor_id = s0.neighbor_id),
+       |               AND s3.neighbor_id = s0.neighbor_id)""".stripMargin
+  }
+
+  private val v13Sql =
+    s"""$v13Prefix,
        |r AS (
        |  SELECT query_id, neighbor_id, adc,
        |         row_number() OVER (PARTITION BY query_id
@@ -879,9 +887,48 @@ object Similarity extends QueryPack {
        |  FROM adc)
        |SELECT query_id, rank, neighbor_id, adc
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // -- v14: the COMPOSED IVF-PQ serving pipeline — ADC shortlist (v13's
+  //    probe, top-10 per query) + exact rerank: only the shortlisted ids
+  //    join back to the original vectors for true cosine ordering, so
+  //    quantization error never reaches the final ranking while the
+  //    exact math touches candK·|queries| rows instead of the corpus.
+  private val v14IvfPqRefined: Q = (s, dir) => {
+    val idx = IvfPqIndex.ensure(s, dir)
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+    IvfPqIndex.probeRefined(s, idx, q, e, candK = 10, topk = 3)
+      .orderBy("query_id", "rank")
   }
 
+  private val v14Sql =
+    s"""$v13Prefix,
+       |radc AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY adc, neighbor_id) AS rn
+       |    FROM adc) t WHERE rn <= 10),
+       |nrm AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotD("embedding", "embedding")}) AS norm
+       |  FROM e),
+       |rr AS (
+       |  SELECT r.query_id, r.neighbor_id,
+       |         ${dotD("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos
+       |  FROM radc r
+       |  JOIN nrm q ON q.vec_id = r.query_id
+       |  JOIN nrm c ON c.vec_id = r.neighbor_id),
+       |rk AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, rank, neighbor_id, cos
+       |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "v14_ivf_pq_refined" -> v14IvfPqRefined,
     "v13_ivf_pq_probe"  -> v13IvfPqProbe,
     "v9_vector_stats"   -> v9VectorStats,
     "v10_ann_recall"    -> v10AnnRecall,
@@ -897,6 +944,7 @@ object Similarity extends QueryPack {
     "v12_pq_codes"      -> v12PqCodes)
 
   def oracles: Map[String, String] = Map(
+    "v14_ivf_pq_refined" -> v14Sql,
     "v13_ivf_pq_probe"  -> v13Sql,
     "v9_vector_stats"   -> v9Sql,
     "v10_ann_recall"    -> v10Sql,
