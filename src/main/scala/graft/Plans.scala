@@ -96,7 +96,9 @@ object Plans {
     "a3_pixel_meanclip" ->
       "Pixel photometry: the LUT/aperture/background tables all broadcast; clip stats join back per image key — per-image partitioning is the scale unit.",
     "v13_ivf_pq_probe" ->
-      "IVF-PQ probe: coarse centroids/codebooks broadcast, candidates from the inverted-list equi-join, ADC reads the CODES table — no corpus-embedding scan in the probe path.")
+      "IVF-PQ probe: coarse centroids/codebooks broadcast, candidates from the inverted-list equi-join, ADC reads the CODES table — no corpus-embedding scan in the probe path.",
+    "v14_ivf_pq_refined" ->
+      "ADC shortlist + exact rerank: the corpus join is bounded by candK·|queries| shortlisted ids — quantization never reaches the final ranking, the corpus is touched only for point lookups.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
