@@ -36,32 +36,125 @@ import org.apache.spark.sql.functions._
   * At 100 TB that is the entire point: search I/O is the codes table
   * (~16 bytes/vector), two orders of magnitude under the raw vectors.
   *
-  * The index directory is keyed by a fingerprint of the source parquet
-  * (path, length, mtime), so a regenerated corpus rebuilds instead of
-  * serving a stale index; a missing success marker means a partial build
-  * and also rebuilds from scratch.
+  * The index directory is keyed by a CONTENT fingerprint of the source
+  * parquet — each data file's name, length, and parquet footer bytes
+  * (the footer carries the row-group stats, so any data change moves
+  * it) — never mtime alone: a regenerated corpus with identical length
+  * and a same-second timestamp must still rebuild, not serve stale.
+  * A missing success marker means a partial build and rebuilds from
+  * scratch. Builds are concurrency-safe: a per-path JVM monitor plus a
+  * cross-process file lock serialize writers, the index is assembled in
+  * a sibling scratch directory and promoted with one atomic rename, so
+  * a reader can never observe a half-built index, and superseded
+  * fingerprints of the same source are swept on promote.
   */
 object IvfPqIndex {
 
   import Similarity.{dims, ivfK, ivfSampleMod, pqM, pqSubDim, pqK}
 
-  /** Deterministic per-corpus index location under java.io.tmpdir. */
-  def indexDir(dir: String): String = {
-    val f = new java.io.File(dir, "embeddings.parquet")
-    val tag = s"${f.getAbsolutePath}:${f.length}:${f.lastModified}"
+  /** Deterministic per-corpus index location under java.io.tmpdir,
+    * keyed by [[fingerprint]] so the directory name IS the cache key. */
+  def indexDir(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${fingerprint(sourceFile(dir))}"
+
+  private def sourceFile(dir: String) =
+    new java.io.File(dir, "embeddings.parquet")
+
+  /** md5 over every data file's (name, length, footer tail). Reading the
+    * last 64 KiB instead of the whole file keeps this O(#files) at any
+    * corpus size — the parquet footer's row-group statistics change
+    * whenever the data does, which is the property a content key needs. */
+  private def fingerprint(src: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_$md"
+    md.update(src.getAbsolutePath.getBytes("UTF-8"))
+    val files =
+      if (src.isDirectory)
+        src.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
+          .sortBy(_.getName)
+      else Array(src)
+    files.foreach { f =>
+      md.update(s"${f.getName}:${f.length}:".getBytes("UTF-8"))
+      val in = new java.io.RandomAccessFile(f, "r")
+      try {
+        val n = math.min(f.length, 65536L)
+        in.seek(f.length - n)
+        val buf = new Array[Byte](n.toInt)
+        in.readFully(buf)
+        md.update(buf)
+      } finally in.close()
+    }
+    md.digest.map("%02x".format(_)).mkString
   }
 
   private def marker(path: String) = new java.io.File(path, "_INDEX_SUCCESS")
+  /** Records which corpus a fingerprint dir serves, so promote can GC
+    * this source's superseded fingerprints without touching others'. */
+  private def sourceTag(path: String) = new java.io.File(path, "_SOURCE")
+
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Build the index for `dir`'s embeddings table unless a complete one
-    * already exists; returns its location. */
-  def ensure(spark: SparkSession, dir: String): String = {
-    val path = indexDir(dir)
-    if (!marker(path).exists()) build(spark, dir, path)
+    * already exists; returns its location. Safe to call from concurrent
+    * sessions: exactly one builds, the rest wait and read the promoted
+    * result. */
+  def ensure(spark: SparkSession, dir: String): String =
+    ensureAt(spark, dir, indexDir(dir))
+
+  /** [[ensure]] with an explicit target (spec seam). */
+  private[graft] def ensureAt(spark: SparkSession, dir: String,
+                              path: String): String = {
+    if (marker(path).exists()) return path
+    val mon = monitors.computeIfAbsent(path, _ => new Object)
+    // the monitor serializes threads of THIS JVM (FileLock is
+    // per-process: overlapping lock() calls in one JVM throw instead of
+    // queueing); the file lock serializes against other processes.
+    mon.synchronized {
+      if (!marker(path).exists()) {
+        val lockFile = new java.io.File(path + ".lock")
+        val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lk = ch.lock()
+        try {
+          if (!marker(path).exists()) { // the other process may have built
+            val scratch = path + ".build"
+            rmTree(new java.io.File(scratch)) // leftover of a crashed build
+            build(spark, dir, scratch)
+            java.nio.file.Files.writeString(
+              new java.io.File(scratch, "_SOURCE").toPath,
+              sourceFile(dir).getAbsolutePath)
+            rmTree(new java.io.File(path)) // stale partial (pre-lock crash)
+            // single atomic rename = the promote: readers see nothing or
+            // a complete, marker-bearing index
+            if (!new java.io.File(scratch).renameTo(new java.io.File(path)))
+              sys.error(s"could not promote $scratch to $path")
+            gcSuperseded(path)
+          }
+        } finally { lk.release(); ch.close() }
+      }
+    }
     path
+  }
+
+  /** Sweep sibling graft_ivfpq_* dirs that serve the SAME source file
+    * under a superseded fingerprint — without this, every corpus
+    * regeneration leaks an index dir for the life of the tmpdir. */
+  private def gcSuperseded(current: String): Unit = {
+    val cur = new java.io.File(current)
+    val src = try java.nio.file.Files.readString(sourceTag(current).toPath)
+      catch { case _: java.io.IOException => return }
+    Option(cur.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_ivfpq_") &&
+        f.getName != cur.getName)
+      .filter { f =>
+        try java.nio.file.Files.readString(sourceTag(f.getPath).toPath) == src
+        catch { case _: java.io.IOException => false }
+      }
+      .foreach { f =>
+        rmTree(f)
+        new java.io.File(f.getPath + ".lock").delete(): Unit
+      }
   }
 
   private def rmTree(f: java.io.File): Unit = {
@@ -165,19 +258,34 @@ object IvfPqIndex {
     * for exact cosine ordering. At scale the rerank is a point-lookup
     * join of a dimension-sized candidate set against the corpus — the
     * quantization error never reaches the final ranking, and the corpus
-    * scan is bounded by candK·|queries| rows, not n. */
+    * scan is bounded by candK·|queries| rows, not n.
+    *
+    * `queries` is the serving input — (vec_id, embedding) rows that need
+    * NOT exist in the corpus: the rerank's query side reads the
+    * embeddings straight from this frame, so external vectors (a user
+    * query, a fresh batch) search without ever being ingested. Set
+    * `excludeSelf` only when the queries are a corpus subset sharing its
+    * id space (the v13/v14 oracle shape) and each query's own row should
+    * not count as its neighbor. */
   def probeRefined(spark: SparkSession, indexPath: String,
                    queries: DataFrame, corpus: DataFrame,
-                   candK: Int = 10, topk: Int = 3): DataFrame = {
-    val cand = probe(spark, indexPath, queries, nprobe = 2, topk = candK)
+                   candK: Int = 10, topk: Int = 3,
+                   excludeSelf: Boolean = true): DataFrame = {
+    val cand = probe(spark, indexPath, queries, nprobe = 2, topk = candK,
+        excludeSelf = excludeSelf)
       .select(col("query_id"), col("neighbor_id"))
-    val side = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("norm", DotProduct.norm(col("embedding")))
+    val qside = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qnorm", DotProduct.norm(col("qe")))
+    val nside = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .withColumn("cnorm", DotProduct.norm(col("ce")))
+    // qside is |queries|-sized → broadcast; the nside join's probe side
+    // (cand) is candK·|queries| rows, so the corpus is touched as point
+    // lookups, never scanned into a shuffle.
     val scored = cand
-      .join(side.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe"), col("norm").as("qnorm")), "query_id")
-      .join(side.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ce"), col("norm").as("cnorm")), "neighbor_id")
+      .join(broadcast(qside), "query_id")
+      .join(nside, "neighbor_id")
       .withColumn("cos",
         DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
       .select("query_id", "neighbor_id", "cos")
@@ -190,11 +298,19 @@ object IvfPqIndex {
   }
 
   /** ADC top-k search against a persisted index. `queries` needs
-    * (vec_id, embedding); returns (query_id, rank, neighbor_id, adc)
-    * with rank 1..topk by ascending asymmetric distance, ties by id —
-    * bit-identical to the oracle's replay of the same arithmetic. */
+    * (vec_id, embedding) and may be entirely external to the corpus;
+    * returns (query_id, rank, neighbor_id, adc) with rank 1..topk by
+    * ascending asymmetric distance, ties by id — bit-identical to the
+    * oracle's replay of the same arithmetic.
+    *
+    * `excludeSelf` drops candidates whose id EQUALS the query id. That
+    * only means "not myself" when queries share the corpus id space (a
+    * corpus-subset probe like v13); for external queries leave it false —
+    * an external id that collides with a corpus vec_id would otherwise
+    * silently lose that legitimate neighbor. */
   def probe(spark: SparkSession, indexPath: String, queries: DataFrame,
-            nprobe: Int = 2, topk: Int = 3): DataFrame = {
+            nprobe: Int = 2, topk: Int = 3,
+            excludeSelf: Boolean = true): DataFrame = {
     val coarse = spark.read.parquet(s"$indexPath/coarse_centroids")
     val lists = spark.read.parquet(s"$indexPath/lists")
     val codebooks = spark.read.parquet(s"$indexPath/pq_codebooks")
@@ -204,10 +320,12 @@ object IvfPqIndex {
     // (cells are disjoint, so candidates need no dedup)
     val probes = KMeans.assignTopN(queries, coarse, nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
-    val cand = probes
+    val withLists = probes
       .join(lists.select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
+    val cand =
+      (if (excludeSelf) withLists.filter(col("query_id") =!= col("neighbor_id"))
+       else withLists)
+        .select("query_id", "neighbor_id")
 
     // query subvectors with their exact squared norms (qq is the constant
     // term of ‖q_j − c‖² = qq − 2·q_j·c + ‖c‖²)

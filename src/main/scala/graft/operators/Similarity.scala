@@ -927,7 +927,89 @@ object Similarity extends QueryPack {
        |SELECT query_id, rank, neighbor_id, cos
        |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // -- v15: recall@3 of the COMPOSED IVF-PQ serving path (v14's ADC
+  //    shortlist + exact rerank) vs brute-force truth — the audit v10
+  //    gives the sampled-IVF index, applied to the path production
+  //    actually serves. Without this, quantization loss plus nprobe=2
+  //    could silently degrade the shortlist and nothing would go red:
+  //    v13/v14 are self-consistent oracles, not quality gates. Priced
+  //    per SAMPLED query like v10 — the exact side is |queries|·n, never
+  //    all-pairs, which is how a recall audit stays runnable at 100 TB.
+  private val v15IvfPqRecall: Q = (s, dir) => {
+    val idx = IvfPqIndex.ensure(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .withColumn("norm", DotProduct.norm(col("embedding")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("norm").as("qnorm"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("norm").as("cnorm"))
+    val exactScored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .select("query_id", "neighbor_id", "cos")
+    val exact = graft.plans.GroupedTopK.topK(exactScored, Seq("query_id"), 3,
+        col("cos").desc, col("neighbor_id").asc)
+      .select("query_id", "neighbor_id")
+
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val refined = IvfPqIndex.probeRefined(s, idx,
+        base.filter(col("vec_id") < 5), base, candK = 10, topk = 3)
+      .select(col("query_id"), col("neighbor_id").as("ref_neighbor"))
+
+    exact.join(refined,
+        exact("query_id") === refined("query_id") &&
+        exact("neighbor_id") === refined("ref_neighbor"), "left")
+      .drop(refined("query_id"))
+      .groupBy("query_id")
+      .agg(count(col("ref_neighbor")).as("n_match"))
+      .withColumn("recall", col("n_match").cast("double") / 3.0)
+      .orderBy("query_id")
+  }
+
+  private val v15Sql =
+    s"""$v13Prefix,
+       |radc AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY adc, neighbor_id) AS rn
+       |    FROM adc) t WHERE rn <= 10),
+       |nrm AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotD("embedding", "embedding")}) AS norm
+       |  FROM e),
+       |rr AS (
+       |  SELECT r.query_id, r.neighbor_id,
+       |         ${dotD("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos
+       |  FROM radc r
+       |  JOIN nrm q ON q.vec_id = r.query_id
+       |  JOIN nrm c ON c.vec_id = r.neighbor_id),
+       |refined AS (
+       |  SELECT query_id, neighbor_id AS ref_neighbor FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM rr) t WHERE rank <= 3),
+       |xbp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${dotD("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos
+       |  FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |xexact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM xbp) t WHERE rank <= 3)
+       |SELECT x.query_id, count(r.ref_neighbor) AS n_match,
+       |       CAST(count(r.ref_neighbor) AS DOUBLE) / 3.0 AS recall
+       |FROM xexact x LEFT JOIN refined r
+       |  ON r.query_id = x.query_id AND r.ref_neighbor = x.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "v15_ivfpq_recall"  -> v15IvfPqRecall,
     "v14_ivf_pq_refined" -> v14IvfPqRefined,
     "v13_ivf_pq_probe"  -> v13IvfPqProbe,
     "v9_vector_stats"   -> v9VectorStats,
@@ -944,6 +1026,7 @@ object Similarity extends QueryPack {
     "v12_pq_codes"      -> v12PqCodes)
 
   def oracles: Map[String, String] = Map(
+    "v15_ivfpq_recall"  -> v15Sql,
     "v14_ivf_pq_refined" -> v14Sql,
     "v13_ivf_pq_probe"  -> v13Sql,
     "v9_vector_stats"   -> v9Sql,

@@ -40,6 +40,87 @@ class IvfPqIndexSpec extends SparkSpecBase {
     assert(probeDf.orderBy("query_id", "rank").collect().sameElements(r1))
   }
 
+  test("concurrent ensures build once; both observe only the complete index") {
+    val parent = java.nio.file.Files.createTempDirectory("ivfpq_race")
+    val path = parent.toString + "/graft_ivfpq_racetest"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // two sessions racing ensure on the same not-yet-built index: the
+    // monitor+file-lock must serialize them — one builds, the other
+    // waits and reads the promoted result; neither sees a partial dir
+    val calls = Seq(
+      Future(graft.operators.IvfPqIndex.ensureAt(spark, sfDir, path)),
+      Future(graft.operators.IvfPqIndex.ensureAt(spark, sfDir, path)))
+    val got = Await.result(Future.sequence(calls), 5.minutes)
+    assert(got.forall(_ == path))
+    val marker = new java.io.File(path, "_INDEX_SUCCESS")
+    assert(marker.exists())
+    // a complete index: every table present, lists exactly corpus-sized
+    // (a double-build racing into one dir would double or corrupt them)
+    Seq("coarse_centroids", "lists", "pq_codebooks", "pq_codes").foreach { t =>
+      assert(new java.io.File(path, t).exists(), s"missing index table $t")
+    }
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(spark.read.parquet(s"$path/lists").count() == n)
+    assert(spark.read.parquet(s"$path/pq_codes").count() == n * 4)
+    // third ensure: already complete, no rebuild
+    val stamp = marker.lastModified
+    assert(graft.operators.IvfPqIndex.ensureAt(spark, sfDir, path) == path)
+    assert(marker.lastModified == stamp)
+  }
+
+  test("external query vectors (absent from corpus) search without ingestion") {
+    val idx = IvfPqIndex.ensure(spark, sfDir)
+    // a synthetic query: vector 7's embedding under an id the corpus has
+    // never seen — the OLD rerank fetched query embeddings by joining
+    // query_id into the corpus, which returns zero rows for this id, so
+    // this test is the decoupling proof, not just a smoke check
+    val donor = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 7).select("vec_id", "embedding")
+    val external = donor.select(lit(900001L).as("vec_id"), col("embedding"))
+    val corpus = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val r = IvfPqIndex.probeRefined(spark, idx, external, corpus,
+        candK = 10, topk = 3, excludeSelf = false)
+      .orderBy("rank").collect()
+    assert(r.length == 3, s"expected top-3 for the external query, got ${r.length}")
+    // exact rerank must put the byte-identical donor first, cos ≈ 1
+    assert(r.head.getLong(2) == 7L, r.mkString("; "))
+    assert(math.abs(r.head.getDouble(3) - 1.0) < 1e-6)
+  }
+
+  test("fingerprint tracks content; superseded index dirs are swept on promote") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // two corpora, same file NAME and LENGTH, one data byte apart → the
+    // (path,length,mtime) key this replaces could not tell them apart
+    val c1 = Files.createTempDirectory("ivfpq_fp1")
+    val src = Paths.get(sfDir, "embeddings.parquet")
+    Files.copy(src, c1.resolve("embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val bytes = Files.readAllBytes(src)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 1).toByte
+    val c2 = Files.createTempDirectory("ivfpq_fp2")
+    Files.write(c2.resolve("embeddings.parquet"), bytes)
+    val d1 = IvfPqIndex.indexDir(c1.toString)
+    val d2 = IvfPqIndex.indexDir(c2.toString)
+    assert(d1 != d2, "content change did not move the fingerprint")
+    // same content at a different path also gets its own dir (the tag
+    // includes the absolute source path)
+    assert(IvfPqIndex.indexDir(sfDir) != d1)
+
+    // GC: promote under a NEW fingerprint for the same source sweeps the
+    // old fingerprint's dir (otherwise every regeneration leaks one)
+    val parent = Files.createTempDirectory("ivfpq_gc")
+    val old = parent.toString + "/graft_ivfpq_oldfp"
+    val neu = parent.toString + "/graft_ivfpq_newfp"
+    graft.operators.IvfPqIndex.ensureAt(spark, c1.toString, old)
+    assert(new java.io.File(old, "_INDEX_SUCCESS").exists())
+    graft.operators.IvfPqIndex.ensureAt(spark, c1.toString, neu)
+    assert(new java.io.File(neu, "_INDEX_SUCCESS").exists())
+    assert(!new java.io.File(old).exists(),
+      "superseded fingerprint dir for the same source was not swept")
+  }
+
   test("append encodes with existing quantizers and upserts by key") {
     import org.apache.spark.sql.functions._
     // scratch copy: appending into the fingerprint-keyed dir would

@@ -125,6 +125,46 @@ class PlanShapeSpec extends SparkSpecBase {
       s"x3 probe scan reads more than the key:\n$probeScan")
   }
 
+  test("v13/v14 serving shape: probe is corpus-scan-free, rerank touches the corpus once, pruned") {
+    import graft.operators.IvfPqIndex
+    val idx = IvfPqIndex.ensure(spark, sfDir)
+    // literal query vectors isolate the INDEX side of the plan: any
+    // embeddings.parquet scan that appears can only come from the probe
+    // path itself, which is exactly what must never happen
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+      .select("vec_id", "embedding")
+    val litQ = spark.createDataFrame(
+      spark.sparkContext.parallelize(q.collect().toSeq), q.schema)
+
+    val probePlan = IvfPqIndex.probe(spark, idx, litQ)
+      .queryExecution.executedPlan.toString
+    // the defining serving property: ADC ranks candidates from the CODES
+    // table — the corpus embeddings are never read
+    assert(!probePlan.contains("embeddings.parquet"),
+      s"probe path scans the corpus:\n${probePlan.take(3000)}")
+    assert(probePlan.contains("pq_codes"),
+      s"probe lost its codes-table read:\n${probePlan.take(3000)}")
+    // query subvectors + codebooks ride broadcast joins; a deoptimized
+    // probe (e.g. dropping the hints into shuffles) loses these nodes
+    assert("BroadcastHashJoin".r.findAllIn(probePlan).length >= 2,
+      s"probe quantizer lookups stopped broadcasting:\n${probePlan.take(3000)}")
+
+    // the composed pipeline: exactly ONE corpus scan (the rerank's
+    // neighbor side — point lookups bounded by candK·|queries|), and that
+    // scan reads only the id + vector columns
+    val corpus = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val refinedPlan = IvfPqIndex.probeRefined(spark, idx, litQ, corpus)
+      .queryExecution.executedPlan.toString
+    val corpusScans = refinedPlan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("embeddings.parquet"))
+      .toList
+    assert(corpusScans.length == 1,
+      s"rerank should scan the corpus exactly once, saw ${corpusScans.length}:\n" +
+        corpusScans.mkString("\n"))
+    assert(corpusScans.head.contains("struct<vec_id:bigint,embedding:array<float>>"),
+      s"rerank corpus scan is not pruned to (vec_id, embedding):\n${corpusScans.head}")
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
