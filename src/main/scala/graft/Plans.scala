@@ -98,7 +98,9 @@ object Plans {
     "v13_ivf_pq_probe" ->
       "IVF-PQ probe: coarse centroids/codebooks broadcast, candidates from the inverted-list equi-join, ADC reads the CODES table — no corpus-embedding scan in the probe path.",
     "v14_ivf_pq_refined" ->
-      "ADC shortlist + exact rerank: the corpus join is bounded by candK·|queries| shortlisted ids — quantization never reaches the final ranking, the corpus is touched only for point lookups.")
+      "ADC shortlist + exact rerank: the corpus join is bounded by candK·|queries| shortlisted ids — quantization never reaches the final ranking, the corpus is touched only for point lookups; query vectors come from the QUERIES frame, so external vectors search without ingestion.",
+    "v15_ivfpq_recall" ->
+      "Serving-path recall audit: exact side priced per SAMPLED query (broadcast query block against one corpus scan), refined side is the v14 pipeline — the audit itself stays runnable at any corpus size.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
