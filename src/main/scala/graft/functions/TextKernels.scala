@@ -71,6 +71,21 @@ object TextKernels {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** ALL word-3gram strings ("a_b_c"), duplicates KEPT in order — the
+    * multiplicity-preserving face of [[wordBigrams]], for repetition
+    * statistics (t10) where how often a gram repeats IS the signal. */
+  def wordTrigramsAll(text: String): Array[String] = {
+    val t = tokensOf(text)
+    if (t.length < 3) return Array.empty
+    val out = new Array[String](t.length - 2)
+    var i = 0
+    while (i < t.length - 2) {
+      out(i) = t(i) + "_" + t(i + 1) + "_" + t(i + 2)
+      i += 1
+    }
+    out
+  }
+
   /** Distinct char-kgram shingle hashes (sorted, for fast intersection). */
   def charShingleHashes(text: String, k: Int): Array[Long] = {
     if (text.length < k) return Array.empty
@@ -173,6 +188,7 @@ object TextKernels {
     udf((t: String) => charMinhashSigs(t, k))
   val wordShingleHashesUdf: UserDefinedFunction = udf((t: String) => wordShingleHashes(t))
   val wordBigramsUdf: UserDefinedFunction = udf((t: String) => wordBigrams(t))
+  val wordTrigramsAllUdf: UserDefinedFunction = udf((t: String) => wordTrigramsAll(t))
   val charShingle3Udf: UserDefinedFunction = udf((t: String) => charShingleHashes(t, 3))
   val simhash16Udf: UserDefinedFunction = udf((t: String) => simhash16(t))
   // Array[Long] signatures hit Spark's primitive fast path

@@ -152,11 +152,105 @@ object Sketch extends QueryPack {
        |FROM est e JOIN truth t ON e.user_id = t.user_id
        |ORDER BY e.est DESC, e.user_id LIMIT 10""".stripMargin
 
+  // -- k3: quantile telemetry via a bottom-k coordinated sample — the
+  //    order-statistics member of the family (k1 places cardinality, k2
+  //    frequency, k3 the distribution). The k rows with the smallest
+  //    md5-derived hashes per group ARE a uniform sample, and bottom-k by
+  //    a shared hash merges exactly like KMV: union two samples, keep the
+  //    bottom k — so GroupedTopK's partial→exchange→final pipeline ships
+  //    ≤k rows per group at any table size (the mergeable-quantile shape
+  //    a 100 TB DQ report needs; no full sort, no interpolation state).
+  //    Estimates are DISCRETE quantiles — the sample element at rank
+  //    ceil(p·m) — actual stored values with zero float interpolation, so
+  //    the oracle check is exact. The true quantiles ride along as the
+  //    accuracy report; THAT side is a per-group full sort, priced here
+  //    as the audit (run sampled at real scale, like v10's exact side).
+  //    All p·m arithmetic is forced through IEEE doubles on both engines:
+  //    DuckDB's native 0.9*m is DECIMAL math, which rounds differently
+  //    from a double product at rank boundaries (0.9·110 = 99 decimal
+  //    but 99.0000…24 double → different ceil).
+  private val qkK = 256
+  private val qkPs = Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99)
+
+  private val k3BottomkQuantiles: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":",
+          col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
+          .cast("long"))
+    val smp = graft.plans.GroupedTopK.topK(li, Seq("l_returnflag"), qkK,
+      col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    def disc(df: org.apache.spark.sql.DataFrame, prefix: String) = {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").asc, col("h").asc,
+          col("l_orderkey").asc, col("l_linenumber").asc)
+      val ranked = df
+        .withColumn("r", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val qs = qkPs.map { case (tag, p) =>
+        max(when(col("r") ===
+            ceil(lit(p) * col("m").cast("double")), col("l_extendedprice")))
+          .as(s"${prefix}p$tag")
+      }
+      ranked.groupBy("l_returnflag")
+        .agg(max(col("m")).as(s"${prefix}n"), qs: _*)
+    }
+    disc(smp, "est_").join(disc(li, "true_"), "l_returnflag")
+      .orderBy("l_returnflag")
+  }
+
+  /** The same 15-hex-digit md5 → BIGINT parse as k1, over a composite
+    * natural key. */
+  private def h15Sql(key: String) =
+    s"""list_sum(list_transform(range(0, 15), i ->
+       |  CAST(strpos('0123456789abcdef',
+       |       substr(md5($key), CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+       |    * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INT))))""".stripMargin
+
+  private def discSql(from: String, out: String, prefix: String) = {
+    val qs = qkPs.map { case (tag, p) =>
+      s"""max(CASE WHEN r = ceil(CAST($p AS DOUBLE) * CAST(m AS DOUBLE))
+         |    THEN l_extendedprice END) AS ${prefix}p$tag""".stripMargin
+    }.mkString(",\n")
+    s"""${out}_rk AS (
+       |  SELECT l_returnflag, l_extendedprice,
+       |         row_number() OVER (PARTITION BY l_returnflag
+       |           ORDER BY l_extendedprice, h, l_orderkey, l_linenumber) AS r,
+       |         count(*) OVER (PARTITION BY l_returnflag) AS m
+       |  FROM $from),
+       |$out AS (
+       |  SELECT l_returnflag, max(m) AS ${prefix}n,
+       |$qs
+       |  FROM ${out}_rk GROUP BY l_returnflag)""".stripMargin
+  }
+
+  private val k3Sql =
+    s"""WITH li AS (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+       |         ${h15Sql("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} AS h
+       |  FROM lineitem),
+       |bk AS (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, h
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+       |          ORDER BY h, l_orderkey, l_linenumber) AS rh FROM li) t
+       |  WHERE rh <= $qkK),
+       |${discSql("bk", "est", "est_")},
+       |${discSql("li", "tru", "true_")}
+       |SELECT e.l_returnflag, e.est_n, e.est_p50, e.est_p90, e.est_p99,
+       |       t.true_n, t.true_p50, t.true_p90, t.true_p99
+       |FROM est e JOIN tru t ON e.l_returnflag = t.l_returnflag
+       |ORDER BY e.l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "k1_kmv_distinct" -> k1KmvDistinct,
-    "k2_cms_heavy"    -> k2CmsHeavy)
+    "k2_cms_heavy"    -> k2CmsHeavy,
+    "k3_bottomk_quantiles" -> k3BottomkQuantiles)
 
   def oracles: Map[String, String] = Map(
     "k1_kmv_distinct" -> k1Sql,
-    "k2_cms_heavy"    -> k2Sql)
+    "k2_cms_heavy"    -> k2Sql,
+    "k3_bottomk_quantiles" -> k3Sql)
 }

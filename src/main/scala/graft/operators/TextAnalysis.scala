@@ -352,7 +352,58 @@ object TextAnalysis extends QueryPack {
        |       CAST((cum_tok - n_tok) % $packLen AS BIGINT) AS offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // -- t10: trigram repetition — the n-gram form of the Gopher-style
+  //    repetition gates (t5 scores UNIGRAM reuse per row; boilerplate and
+  //    SEO spam repeat PHRASES, which unigram stats miss). Two signals
+  //    per doc: the duplicate-trigram fraction and the share of the
+  //    single most repeated trigram. Multiplicities need a count per
+  //    (doc, gram), so unlike t5 this is the distributed shape: explode →
+  //    one map-side-combined shuffle keyed (doc_id, trigram) → a per-doc
+  //    re-aggregate that reuses the same partitioning (Catalyst drops the
+  //    second exchange — doc_id is a prefix of the first key). Ratios are
+  //    IEEE divisions of exact BIGINTs, hash-stable. Grams come from the
+  //    compiled kernel, not HOF fragments — same reasoning as t8: the
+  //    per-element interpreter overhead dominates the scan otherwise.
+  private val tTrigramRepetition: Q = (s, dir) => {
+    val mult = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels.wordTrigramsAllUdf(col("text")))
+          .as("tri"))
+      .groupBy("doc_id", "tri")
+      .agg(count(lit(1)).as("cnt"))
+    mult.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tri"),
+           count(lit(1)).as("n_uniq_tri"),
+           max(col("cnt")).as("max_mult"))
+      .withColumn("dup_tri_ratio",
+        lit(1.0) - col("n_uniq_tri").cast("double") / col("n_tri").cast("double"))
+      .withColumn("top_tri_share",
+        col("max_mult").cast("double") / col("n_tri").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  private val tTrigramRepetitionSql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len($toks) - 1),
+       |           i -> $toks[CAST(i AS INT)] || '_' ||
+       |                $toks[CAST(i AS INT) + 1] || '_' ||
+       |                $toks[CAST(i AS INT) + 2])) AS tri
+       |  FROM documents),
+       |c AS (SELECT doc_id, tri, count(*) AS cnt FROM b GROUP BY doc_id, tri),
+       |a AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tri,
+       |         count(*) AS n_uniq_tri, max(cnt) AS max_mult
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_tri, n_uniq_tri, max_mult,
+       |       1.0 - CAST(n_uniq_tri AS DOUBLE)/CAST(n_tri AS DOUBLE) AS dup_tri_ratio,
+       |       CAST(max_mult AS DOUBLE)/CAST(n_tri AS DOUBLE) AS top_tri_share
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "t10_trigram_repetition" -> tTrigramRepetition,
     "t9_seq_pack"     -> tSeqPack,
     "t8_topk_ngrams"  -> t8TopkNgrams,
     "t7_source_stats" -> tSourceStats,
@@ -364,6 +415,7 @@ object TextAnalysis extends QueryPack {
     "t6_chunking"     -> tChunking)
 
   def oracles: Map[String, String] = Map(
+    "t10_trigram_repetition" -> tTrigramRepetitionSql,
     "t9_seq_pack"     -> tSeqPackSql,
     "t8_topk_ngrams"  -> t8Sql,
     "t7_source_stats" -> tSourceStatsSql,
