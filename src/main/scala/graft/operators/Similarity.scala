@@ -1008,7 +1008,83 @@ object Similarity extends QueryPack {
        |  ON r.query_id = x.query_id AND r.ref_neighbor = x.neighbor_id
        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
 
+  // -- v16: index-health stats over the PERSISTED IVF-PQ index — the
+  //    audit a production ANN deployment publishes next to recall (v15):
+  //    per-cell inverted-list occupancy (a skewed cell breaks the
+  //    O(n^1.5) in-cell search bound and tells you to re-train or split)
+  //    and per-subspace PQ code usage (a dead or dominant codeword means
+  //    the codebook has collapsed and ADC error is about to rise). Long
+  //    format: grain='cell' rows share against the corpus, grain='code'
+  //    rows within their subspace. Reads ONLY the index tables — at
+  //    100 TB this audit costs two aggregations over id-sized tables,
+  //    never a corpus scan; the oracle replays the build from the base
+  //    table, which doubles as an end-to-end check that the persisted
+  //    lists/codes match freshly-trained state.
+  private val v16IndexStats: Q = (s, dir) => {
+    val idx = IvfPqIndex.ensure(s, dir)
+    val lists = s.read.parquet(s"$idx/lists")
+    val codes = s.read.parquet(s"$idx/pq_codes")
+    val cells = lists.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val cellRows = cells
+      .crossJoin(broadcast(cells.agg(sum(col("n")).as("tot"))))
+      .select(lit("cell").as("grain"), col("cell").cast("int").as("k1"),
+        lit(-1).as("k2"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("share"))
+    val codeCnt = codes.groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n"))
+    val codeRows = codeCnt
+      .join(broadcast(codeCnt.groupBy("subspace").agg(sum(col("n")).as("tot"))),
+        "subspace")
+      .select(lit("code").as("grain"), col("subspace").cast("int").as("k1"),
+        col("code").cast("int").as("k2"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("share"))
+    cellRows.unionByName(codeRows).orderBy("grain", "k1", "k2")
+  }
+
+  private val v16Sql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |smp AS (
+       |  SELECT vec_id, embedding FROM e
+       |  WHERE vec_id % $ivfSampleModSql = 0),
+       |seed AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cell, embedding FROM (
+       |    SELECT vec_id, embedding,
+       |           row_number() OVER (ORDER BY vec_id) AS rn FROM smp) s
+       |  WHERE rn <= ${ivfKSqlFor("smp")}),
+       |cents0 AS (
+       |  SELECT cell, embedding AS centroid,
+       |         ${dotD("embedding", "embedding")} AS cnorm2 FROM seed),
+       |${assignSql("cents0", "a1", from = "smp")},
+       |${updateSql("a1", "m1", "cents1", from = "smp")},
+       |${assignSql("cents1", "a2", from = "smp")},
+       |${updateSql("a2", "m2", "cents2", from = "smp")},
+       |${assignSql("cents2", "lists", from = "e", probe = 1)},
+       |${(0 until pqM).map(pqSubspaceSql).mkString(",\n")},
+       |cells AS (SELECT cell, count(*) AS n FROM lists GROUP BY cell),
+       |ctot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells),
+       |cellrows AS (
+       |  SELECT 'cell' AS grain, CAST(c.cell AS INT) AS k1,
+       |         CAST(-1 AS INT) AS k2, c.n AS n,
+       |         CAST(c.n AS DOUBLE)/CAST(t.tot AS DOUBLE) AS share
+       |  FROM cells c, ctot t),
+       |codecnt AS (
+       |  ${(0 until pqM).map(j =>
+             s"SELECT CAST($j AS INT) AS subspace, CAST(cell AS INT) AS code, " +
+             s"count(*) AS n FROM pa3_$j GROUP BY cell")
+             .mkString("\n  UNION ALL\n  ")}),
+       |codetot AS (
+       |  SELECT subspace, CAST(sum(n) AS BIGINT) AS tot
+       |  FROM codecnt GROUP BY subspace),
+       |coderows AS (
+       |  SELECT 'code' AS grain, c.subspace AS k1, c.code AS k2, c.n,
+       |         CAST(c.n AS DOUBLE)/CAST(t.tot AS DOUBLE) AS share
+       |  FROM codecnt c JOIN codetot t USING (subspace))
+       |SELECT grain, k1, k2, n, share FROM cellrows
+       |UNION ALL SELECT grain, k1, k2, n, share FROM coderows
+       |ORDER BY grain, k1, k2""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "v16_index_stats"   -> v16IndexStats,
     "v15_ivfpq_recall"  -> v15IvfPqRecall,
     "v14_ivf_pq_refined" -> v14IvfPqRefined,
     "v13_ivf_pq_probe"  -> v13IvfPqProbe,
@@ -1026,6 +1102,7 @@ object Similarity extends QueryPack {
     "v12_pq_codes"      -> v12PqCodes)
 
   def oracles: Map[String, String] = Map(
+    "v16_index_stats"   -> v16Sql,
     "v15_ivfpq_recall"  -> v15Sql,
     "v14_ivf_pq_refined" -> v14Sql,
     "v13_ivf_pq_probe"  -> v13Sql,

@@ -181,8 +181,14 @@ object Sketch extends QueryPack {
         conv(substring(md5(concat_ws(":",
           col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
           .cast("long"))
+    // the natural key is NOT unique in this corpus (re-delivered rows
+    // share (orderkey, linenumber) but can differ in price), so the
+    // sample ordering must be total THROUGH the value column — otherwise
+    // a k-cut landing inside a duplicate-key tie picks engine-dependent
+    // rows and the quantiles drift
     val smp = graft.plans.GroupedTopK.topK(li, Seq("l_returnflag"), qkK,
-      col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+      col("l_extendedprice").asc)
     def disc(df: org.apache.spark.sql.DataFrame, prefix: String) = {
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice").asc, col("h").asc,
@@ -235,7 +241,8 @@ object Sketch extends QueryPack {
        |bk AS (
        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, h
        |  FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
-       |          ORDER BY h, l_orderkey, l_linenumber) AS rh FROM li) t
+       |          ORDER BY h, l_orderkey, l_linenumber, l_extendedprice) AS rh
+       |        FROM li) t
        |  WHERE rh <= $qkK),
        |${discSql("bk", "est", "est_")},
        |${discSql("li", "tru", "true_")}

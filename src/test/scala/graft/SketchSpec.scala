@@ -49,6 +49,64 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("bottom-k sample merges like KMV: partition-wise bottom-k re-merged == global") {
+    // the property that lets k3 ship ≤k rows per group from every
+    // executor: bottom-k by a shared hash is associative — take bottom-k
+    // of each half, union, take bottom-k again, get the global bottom-k
+    val k = 256
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":",
+          col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
+          .cast("long"))
+    // the natural key is non-unique in this corpus, so the ordering runs
+    // through the value column (same total order as k3 itself)
+    def bottomK(df: org.apache.spark.sql.DataFrame) =
+      plans.GroupedTopK.topK(df, Seq("l_returnflag"), k,
+        col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_extendedprice").asc)
+    val global = bottomK(li)
+    val merged = bottomK(
+      bottomK(li.filter(pmod(col("l_orderkey"), lit(2)) === 0))
+        .unionByName(bottomK(li.filter(pmod(col("l_orderkey"), lit(2)) === 1))))
+    // multiset comparison: duplicate-key rows are legitimate sample members
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(_.toString).toSeq
+    val (g, m) = (rows(global), rows(merged))
+    assert(g == m, s"partition-wise merge diverged from the global bottom-k")
+    // sample is full-capacity k, or the whole group when it's smaller
+    val groupN = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    g.groupBy(_._1).foreach { case (flag, rs) =>
+      assert(rs.size == math.min(k.toLong, groupN(flag)),
+        s"$flag: sample ${rs.size} != min($k, ${groupN(flag)})")
+    }
+  }
+
+  test("k3 sample quantiles land within the 3-sigma rank bound of truth") {
+    // value-space error depends on the distribution; RANK-space error of
+    // a uniform-sample quantile is binomial: |F(est) − p| ≲ 3·√(p(1−p)/k)
+    val out = SparkEntry.queries("k3_bottomk_quantiles")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+    for (r <- out; (tag, p) <- Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)) {
+      val flag = r.getAs[String]("l_returnflag")
+      val est = r.getAs[Double](s"est_$tag")
+      val vals = li(flag)
+      val cdf = vals.count(_ <= est).toDouble / vals.length
+      val bound = 3.0 * math.sqrt(p * (1 - p) / 256.0) + 1.0 / vals.length
+      assert(math.abs(cdf - p) <= bound,
+        s"$flag $tag: est=$est F(est)=$cdf p=$p bound=$bound")
+    }
+  }
+
   test("a17 exact-moment correlation agrees with Spark's built-in corr") {
     val out = SparkEntry.queries("a17_exact_corr")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getAs[Double]("corr_qty_price")).toMap
