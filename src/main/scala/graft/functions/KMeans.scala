@@ -62,6 +62,75 @@ object KMeans {
     centroids
   }
 
+  /** [[fit]] generalized to MANY independent trainings in one plan:
+    * `sub` carries a `subspace` column and every subspace trains its own
+    * k centroids simultaneously — each Lloyd iteration is ONE update
+    * shuffle keyed (subspace, cell, pos) instead of a sequential fit per
+    * subspace (v12/IvfPqIndex build: 4 PQ codebooks, one plan, one
+    * shuffle per round — the difference between 4 serialized stage
+    * chains and 1 at cluster scale). Per-subspace arithmetic — seeds,
+    * argmin, means — is IDENTICAL to running fit() on that subspace
+    * alone, so results are bit-equal to the sequential loop and the
+    * unrolled oracle replay. */
+  def fitGrouped(sub: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = sub.sparkSession
+    val corpus = sub.select("subspace", "vec_id", "embedding")
+
+    // deterministic seed: the k lowest vec_ids of each subspace
+    var centroids = graft.plans.GroupedTopK
+      .topK(corpus, Seq("subspace"), k, col("vec_id").asc)
+      .select(col("subspace"), col("vec_id").cast("int").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("subspace"), col("cell"), col("pos"),
+        col("v").cast("double").as("mean_v"))
+      .groupBy("subspace", "cell", "pos").agg(first(col("mean_v")).as("mean_v"))
+    // re-number cells 0..k-1 within each subspace (same id-order rule as
+    // fit; the map is subspaces·k ints — dimension-sized at any scale)
+    import spark.implicits._
+    val idMap = centroids.select("subspace", "cell").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      .groupBy(_._1).toSeq.flatMap { case (ss, cs) =>
+        cs.map(_._2).sorted.zipWithIndex.map { case (c, i) => (ss, c, i) }
+      }.toDF("subspace", "cell", "cell_new")
+    centroids = centroids.join(broadcast(idMap), Seq("subspace", "cell"))
+      .select(col("subspace"), col("cell_new").as("cell"), col("pos"),
+        col("mean_v"))
+
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val assigned = assignGrouped(corpus, centroids)
+      centroids = assigned
+        .select(col("subspace"), col("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("subspace", "cell", "pos")
+        .agg(avg(col("v").cast("double")).as("mean_v"))
+      centroids.persist()
+      centroids.count()
+      prev.foreach(_.unpersist())
+      prev = Some(centroids)
+    }
+    centroids
+  }
+
+  /** Per-subspace nearest-centroid assignment against [[fitGrouped]]'s
+    * long centroid table: the broadcast equi-join on `subspace` replaces
+    * assign's crossJoin, everything else is the same scoring/argmin. */
+  def assignGrouped(sub: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .groupBy("subspace", "cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
+        .as("pv"))
+      .select(col("subspace"), col("cell"),
+        expr("transform(pv, x -> CAST(x.mean_v AS FLOAT))").as("centroid"))
+      .withColumn("cnorm2", DotProduct.dot(col("centroid"), col("centroid")))
+    val scored = sub.join(broadcast(cents), "subspace")
+      .withColumn("score",
+        col("cnorm2") - lit(2.0) * DotProduct.dot(col("embedding"), col("centroid")))
+    graft.plans.GroupedTopK.topK(scored, Seq("subspace", "vec_id"), 1,
+        col("score").asc, col("cell").asc)
+      .drop("score", "centroid", "cnorm2")
+  }
+
   /** Nearest-centroid assignment: adds a `cell` column. The centroid table
     * pivots to dense arrays and broadcasts; distance is ‖e‖²-free argmin
     * over −2·e·c + ‖c‖² (monotone-equivalent, one dot per cell). The

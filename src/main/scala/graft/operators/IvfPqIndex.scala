@@ -162,6 +162,14 @@ object IvfPqIndex {
     f.delete(): Unit
   }
 
+  /** (vec_id, embedding) → one long frame of the pqM subspace slices —
+    * the grouped-training/encode input shape. */
+  private def subspaceSlices(vectors: DataFrame): DataFrame =
+    (0 until pqM).map { j =>
+      vectors.select(lit(j).as("subspace"), col("vec_id"),
+        slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))
+    }.reduce(_ union _)
+
   /** Train + encode + persist. Package-private so specs can build into a
     * scratch location; normal callers go through [[ensure]]. */
   private[graft] def build(spark: SparkSession, dir: String,
@@ -188,25 +196,21 @@ object IvfPqIndex {
     coarse.unpersist()
 
     // Product quantizer: v12's shape — an independent k=pqK codebook per
-    // subspace over the sliced vectors, then each vector's argmin code.
-    val subs = (0 until pqM).map { j =>
-      val sub = e.select(col("vec_id"),
-        slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))
-      val cb = KMeans.fit(sub, pqK, iters = 2)
-      val codes = KMeans.assign(sub, cb)
-        .select(col("vec_id"), lit(j).as("subspace"),
-          col("cell").cast("int").as("code"))
-      (cb, codes)
-    }
+    // subspace, all 4 trained in ONE grouped plan (each Lloyd round is a
+    // single (subspace, cell, pos) shuffle, not 4 sequential fits; per-
+    // subspace arithmetic is bit-identical to the unrolled oracle).
+    val sub = subspaceSlices(e)
+    val cb = KMeans.fitGrouped(sub, pqK, iters = 2)
     MergeWriter.upsertParquet(spark, s"$path/pq_codebooks",
-      subs.zipWithIndex.map { case ((cb, _), j) =>
-        cb.select(lit(j).as("subspace"), col("cell").cast("int").as("code"),
-          col("pos"), col("mean_v"))
-      }.reduce(_ unionByName _),
+      cb.select(col("subspace"), col("cell").cast("int").as("code"),
+        col("pos"), col("mean_v")),
       Seq("subspace", "code", "pos"))
     MergeWriter.upsertParquet(spark, s"$path/pq_codes",
-      subs.map(_._2).reduce(_ union _), Seq("vec_id", "subspace"))
-    subs.foreach(_._1.unpersist())
+      KMeans.assignGrouped(sub, cb)
+        .select(col("vec_id"), col("subspace"),
+          col("cell").cast("int").as("code")),
+      Seq("vec_id", "subspace"))
+    cb.unpersist()
     marker(path).createNewFile(): Unit
   }
 
@@ -227,14 +231,12 @@ object IvfPqIndex {
         col("cell").cast("int").as("cell")),
       Seq("vec_id"))
     val codebooks = spark.read.parquet(s"$indexPath/pq_codebooks")
-    val codes = (0 until pqM).map { j =>
-      val sub = vectors.select(col("vec_id"),
-        slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))
-      val cb = codebooks.filter(col("subspace") === j)
-        .select(col("code").as("cell"), col("pos"), col("mean_v"))
-      KMeans.assign(sub, cb).select(col("vec_id"), lit(j).as("subspace"),
+      .select(col("subspace"), col("code").as("cell"), col("pos"),
+        col("mean_v"))
+    val codes = KMeans
+      .assignGrouped(subspaceSlices(vectors), codebooks)
+      .select(col("vec_id"), col("subspace"),
         col("cell").cast("int").as("code"))
-    }.reduce(_ union _)
     MergeWriter.upsertParquet(spark, s"$indexPath/pq_codes", codes,
       Seq("vec_id", "subspace"))
   }

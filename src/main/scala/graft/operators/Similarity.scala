@@ -544,38 +544,46 @@ object Similarity extends QueryPack {
   private[operators] val pqSubDim = dims / pqM
   private[operators] val pqK = 8
 
+  /** The 4 subspace slices as ONE long frame — the input shape that lets
+    * all PQ codebooks train in a single plan (KMeans.fitGrouped). */
+  private def pqSubspaces(e: org.apache.spark.sql.DataFrame) =
+    (0 until pqM).map { j =>
+      e.select(lit(j).as("subspace"), col("vec_id"),
+        slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))
+    }.reduce(_ union _)
+
   private val v12PqCodes: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-    val subs = (0 until pqM).map { j =>
-      val sub = e.select(col("vec_id"),
-        slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))
-      val cents = graft.functions.KMeans.fit(sub, pqK, iters = 2)
-      // Inline the argmin instead of KMeans.assign: scoring err BEFORE
-      // the top-k means the reduce exchange carries (vec_id, cell,
-      // score, err) — 4 scalars — instead of the embedding and centroid
-      // arrays a join-back-after-assign would drag across. The argmin
-      // still orders by the assign score (‖c‖²−2·e·c, ties by cell) so
-      // the chosen cell is bit-identical to KMeans.assign / the oracle;
-      // err is summed in the oracle's order (ee − 2ec + cc).
-      val cArr = cents.groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
-          .as("pv"))
-        .select(col("cell"),
-          expr("transform(pv, x -> CAST(x.mean_v AS FLOAT))").as("centroid"))
-        .withColumn("cnorm2", DotProduct.dot(col("centroid"), col("centroid")))
-      val scored = sub
-        .withColumn("ee", DotProduct.dot(col("embedding"), col("embedding")))
-        .crossJoin(broadcast(cArr))
-        .withColumn("ec", DotProduct.dot(col("embedding"), col("centroid")))
-        .select(col("vec_id"), col("cell"),
-          (col("cnorm2") - lit(2.0) * col("ec")).as("score"),
-          (col("ee") - lit(2.0) * col("ec") + col("cnorm2")).as("err"))
-      graft.plans.GroupedTopK.topK(scored, Seq("vec_id"), 1,
-          col("score").asc, col("cell").asc)
-        .select(col("vec_id"), lit(j).as("subspace"),
-          col("cell").cast("int").as("code"), col("err"))
-    }
-    subs.reduce(_ union _).orderBy("vec_id", "subspace")
+    val sub = pqSubspaces(e)
+    // All 4 codebooks in ONE grouped training: each Lloyd round is a
+    // single (subspace, cell, pos) shuffle instead of 4 sequential fits
+    // — bit-identical per subspace to the unrolled oracle replay.
+    val cents = graft.functions.KMeans.fitGrouped(sub, pqK, iters = 2)
+    // Inline the argmin instead of KMeans.assignGrouped: scoring err
+    // BEFORE the top-k means the reduce exchange carries (vec_id, cell,
+    // score, err) — 4 scalars — instead of the embedding and centroid
+    // arrays a join-back-after-assign would drag across. The argmin
+    // still orders by the assign score (‖c‖²−2·e·c, ties by cell) so
+    // the chosen cell is bit-identical to KMeans.assign / the oracle;
+    // err is summed in the oracle's order (ee − 2ec + cc).
+    val cArr = cents.groupBy("subspace", "cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v"))))
+        .as("pv"))
+      .select(col("subspace"), col("cell"),
+        expr("transform(pv, x -> CAST(x.mean_v AS FLOAT))").as("centroid"))
+      .withColumn("cnorm2", DotProduct.dot(col("centroid"), col("centroid")))
+    val scored = sub
+      .withColumn("ee", DotProduct.dot(col("embedding"), col("embedding")))
+      .join(broadcast(cArr), "subspace")
+      .withColumn("ec", DotProduct.dot(col("embedding"), col("centroid")))
+      .select(col("subspace"), col("vec_id"), col("cell"),
+        (col("cnorm2") - lit(2.0) * col("ec")).as("score"),
+        (col("ee") - lit(2.0) * col("ec") + col("cnorm2")).as("err"))
+    graft.plans.GroupedTopK.topK(scored, Seq("subspace", "vec_id"), 1,
+        col("score").asc, col("cell").asc)
+      .select(col("vec_id"), col("subspace"),
+        col("cell").cast("int").as("code"), col("err"))
+      .orderBy("vec_id", "subspace")
   }
 
   /** One subspace's unrolled training + encode CTE chain (mirrors the
