@@ -100,7 +100,11 @@ object Plans {
     "v14_ivf_pq_refined" ->
       "ADC shortlist + exact rerank: the corpus join is bounded by candK·|queries| shortlisted ids — quantization never reaches the final ranking, the corpus is touched only for point lookups; query vectors come from the QUERIES frame, so external vectors search without ingestion.",
     "v15_ivfpq_recall" ->
-      "Serving-path recall audit: exact side priced per SAMPLED query (broadcast query block against one corpus scan), refined side is the v14 pipeline — the audit itself stays runnable at any corpus size.")
+      "Serving-path recall audit: exact side priced per SAMPLED query (broadcast query block against one corpus scan), refined side is the v14 pipeline — the audit itself stays runnable at any corpus size.",
+    "k3_bottomk_quantiles" ->
+      "Bottom-k quantile sketch: GroupedTopK partial→exchange→final ships ≤k rows per group (the mergeable coordinated sample); the full-sort truth side is the priced audit, not the sketch path.",
+    "v16_index_stats" ->
+      "Index health: two aggregations over the id-sized lists/codes tables — the audit never scans the corpus; code-usage totals broadcast back for the within-subspace share.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
