@@ -2,10 +2,11 @@ package graft.cte
 
 import org.apache.spark.sql.DataFrame
 
-/** Artifact-layout and report utilities — the last slivers of the
-  * reference's output plumbing (SURVEY.md §2.1 S7/S8), ported as pure
-  * functions: path *logic* only (no PNG rendering — plotting stays out of
-  * engine scope), and the LaTeX coefficient table emitter.
+/** Artifact-layout and report utilities — the reference's output
+  * plumbing (SURVEY.md §2.1 S7/S8): the path/naming schemes as pure
+  * functions and the LaTeX coefficient table emitter. PNG rendering
+  * itself lives in [[PlotSink]] (JDK-only rasterization), wired through
+  * [[CtePipeline.publishPlots]].
   */
 object Artifacts {
 
@@ -36,6 +37,13 @@ object Artifacts {
     val stem = s"${imagename1.split("\\.fits")(0)}_${imagename2.split("\\.fits")(0)}_r$aperture"
     if (chip == 0) s"${stem}_slopes.txt" else s"${stem}_ch${chip}_slopes.txt"
   }
+
+  /** The PNG twin of [[slopeArtifactName]] — same stem, `.png` leaf
+    * (uvis_external_cte_plots.py:289: `'{}_slopes.png'.format(outname)`). */
+  def slopePlotName(imagename1: String, imagename2: String,
+                    aperture: Int, chip: Int = 0): String =
+    slopeArtifactName(imagename1, imagename2, aperture, chip)
+      .dropRight(4) + ".png"
 
   /** LaTeX coefficient table (print_coeff_latextable.py:22-40): rows
     * C00..C22, one column per mode, `%0.2e` formatting. Input: the wide

@@ -175,10 +175,55 @@ class CtePipeline(spark: SparkSession, warehouse: String) {
       s"$outDir/${targname}_fitvals")
   }
 
+  /** Render the reference's flux-ratio-vs-ypos slope figures (S7): one
+    * PNG per (pair, aperture) with a scatter per flux bin and its fitted
+    * line, named `<stem>_slopes.png` like the original
+    * (uvis_external_cte_plots.py:247-289). The collected frame is PLOT
+    * data — the clipped ratio points and per-bin slopes the reference
+    * itself hands matplotlib — dimension-sized (stars per pair), never a
+    * raw table. The fit line re-derives the OLS intercept as
+    * ȳ − slope·x̄ over the same clipped points the slope came from. */
+  def publishPlots(targname: String, outDir: String): Unit = {
+    val pts = CteAnalytics
+      .clippedRatios(table("phot"), table("fileinfo"), targname)
+      .select("imagename_1", "imagename_2", "aperture", "bin_lo", "bin_hi",
+        "ypos", "fluxratio_sigclpd")
+      .collect()
+    val slopeOf = table("results").filter(col("targname") === targname)
+      .select("imagename_1", "imagename_2", "aperture", "bin_lo", "slope")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Number]("aperture").intValue, r.getAs[Number]("bin_lo").intValue)
+        -> r.getAs[Number]("slope").doubleValue)
+      .toMap
+    pts.groupBy(r => (r.getString(0), r.getString(1),
+        r.getAs[Number]("aperture").intValue)).foreach {
+      case ((i1, i2, ap), rows) =>
+        val series = rows
+          .groupBy(r => (r.getAs[Number]("bin_lo").intValue,
+            r.getAs[Number]("bin_hi").intValue))
+          .toSeq.sortBy(_._1)
+          .map { case ((lo, hi), rs) =>
+            val xs = rs.map(_.getAs[Number]("ypos").doubleValue).toArray
+            val ys = rs.map(_.getAs[Number]("fluxratio_sigclpd").doubleValue)
+              .toArray
+            val fit = slopeOf.get((i1, i2, ap, lo)).map { m =>
+              (ys.sum / ys.length - m * xs.sum / xs.length, m)
+            }
+            PlotSink.Series(s"$lo-$hi e-", xs, ys, fit)
+          }
+        PlotSink.scatterPng(
+          new java.io.File(outDir, Artifacts.slopePlotName(i1, i2, ap)),
+          targname, "Y-position_chip2 [pxl]", "Flux_chip1 / Flux_chip2",
+          series)
+    }
+  }
+
   /** Full run for one target: analytics + publish (ingest is per-source
     * upstream, as in the reference's per-proposal loop). */
   def run(targname: String, outDir: String): Unit = {
     computeSlopes(targname)
     publish(targname, outDir)
+    publishPlots(targname, outDir)
   }
 }
