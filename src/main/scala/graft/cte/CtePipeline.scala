@@ -219,11 +219,36 @@ class CtePipeline(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** The monitor's primary figure (uvis_external_cte_plots.py:312-421):
+    * CTE slope vs MJD, one scatter series per tracked flux bin, per
+    * aperture — rendered from the same cteVStime product the text sink
+    * publishes. File per aperture: `<targname>_cteVStime_r<ap>.png`. */
+  def publishCteVsTimePlot(targname: String, outDir: String): Unit = {
+    val rows = CteAnalytics.cteVsTime(
+        table("results").filter(col("targname") === targname),
+        table("fileinfo"))
+      .select("aperture", "fluxbin", "mjd", "slope")
+      .collect()
+    rows.groupBy(_.getAs[Number]("aperture").intValue).foreach {
+      case (ap, rs) =>
+        val series = rs.groupBy(_.getString(1)).toSeq.sortBy(_._1)
+          .map { case (bin, b) =>
+            PlotSink.Series(s"$bin e-",
+              b.map(_.getAs[Number]("mjd").doubleValue),
+              b.map(_.getAs[Number]("slope").doubleValue))
+          }
+        PlotSink.scatterPng(
+          new java.io.File(outDir, s"${targname}_cteVStime_r$ap.png"),
+          targname, "MJD Date", "CTE loss [flux / 2048 pxl]", series)
+    }
+  }
+
   /** Full run for one target: analytics + publish (ingest is per-source
     * upstream, as in the reference's per-proposal loop). */
   def run(targname: String, outDir: String): Unit = {
     computeSlopes(targname)
     publish(targname, outDir)
     publishPlots(targname, outDir)
+    publishCteVsTimePlot(targname, outDir)
   }
 }

@@ -58,5 +58,12 @@ class PlotSinkSpec extends SparkSpecBase {
       assert(img != null && img.getWidth == 800 && img.getHeight == 600,
         s"${f.getName} did not decode")
     }
+
+    // the monitor's primary figure: slope vs time per aperture
+    pipe.publishCteVsTimePlot(CteFixtures.T, s"$root/out")
+    val timePngs = new java.io.File(s"$root/out").listFiles()
+      .filter(_.getName.matches(s"${CteFixtures.T}_cteVStime_r\\d+\\.png"))
+    assert(timePngs.nonEmpty, "no cteVStime PNGs were rendered")
+    timePngs.foreach(f => assert(ImageIO.read(f) != null))
   }
 }
