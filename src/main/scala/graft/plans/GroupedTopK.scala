@@ -184,6 +184,7 @@ class GraftStrategies(spark: SparkSession) extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(new GraftStrategies(_))
+    e.injectOptimizerRule(_ => RowNumberTopKRewrite)
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

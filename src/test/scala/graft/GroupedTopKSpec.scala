@@ -20,15 +20,26 @@ class GroupedTopKSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
     }.toDF("g", "score", "id")
   }
 
+  /** The un-rewritten window formulation as an independent oracle: with
+    * the RowNumberTopKRewrite active, the idiom itself plans through
+    * GroupedTopK — the comparisons below must disable it or they'd
+    * compare the operator to itself. */
+  private def withoutRewrite[A](body: => A): A = {
+    spark.conf.set("spark.graft.topk.rewrite", "false")
+    try body finally spark.conf.unset("spark.graft.topk.rewrite")
+  }
+
   test("matches the row_number window formulation, including k > group size") {
     val k = 5
     val got = GroupedTopK.topK(data, Seq("g"), k,
         col("score").asc, col("id").asc)
       .orderBy("g", "score", "id").collect().toSeq
     val w = Window.partitionBy("g").orderBy(col("score").asc, col("id").asc)
-    val want = data.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k).drop("_rn")
-      .orderBy("g", "score", "id").collect().toSeq
+    val want = withoutRewrite {
+      data.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k).drop("_rn")
+        .orderBy("g", "score", "id").collect().toSeq
+    }
     assert(got == want)
     // groups smaller than k return every row (g=1 has 2 rows)
     assert(got.count(_.getInt(0) == 1) == 2)
@@ -81,10 +92,12 @@ class GroupedTopKSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
       .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getInt(2))).toSeq
     val w = Window.partitionBy("g")
       .orderBy(col("score").asc_nulls_last, col("id").asc)
-    val want = df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= 2).drop("_rn")
-      .orderBy(col("g").asc_nulls_first, col("score").asc_nulls_last, col("id"))
-      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getInt(2))).toSeq
+    val want = withoutRewrite {
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 2).drop("_rn")
+        .orderBy(col("g").asc_nulls_first, col("score").asc_nulls_last, col("id"))
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getInt(2))).toSeq
+    }
     assert(got == want)
     // the null group is a real group with its own top-2
     assert(got.count(_._1.isEmpty) == 2)
@@ -97,10 +110,51 @@ class GroupedTopKSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
           col("score").asc, col("id").asc)
         .orderBy("g", "score", "id").collect().toSeq
       val w = Window.partitionBy("g").orderBy(col("score").asc, col("id").asc)
-      val want = data.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= 2).drop("_rn")
-        .orderBy("g", "score", "id").collect().toSeq
+      val want = withoutRewrite {
+        data.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= 2).drop("_rn")
+          .orderBy("g", "score", "id").collect().toSeq
+      }
       assert(got == want)
     } finally spark.conf.unset("spark.graft.topk.maxPartialGroups")
+  }
+
+  test("row_number<=k filter idiom rewrites to GroupedTopK; rank does not") {
+    import spark.implicits._
+    val w = Window.partitionBy("g").orderBy(col("score").asc, col("id").asc)
+    // DataFrame form
+    val idiom = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val planned = collectFirst(idiom.queryExecution.executedPlan) {
+      case e: GroupedTopKExec => e
+    }
+    assert(planned.nonEmpty, "rewrite did not fire on the row_number idiom:\n" +
+      idiom.queryExecution.executedPlan)
+    // results identical to the un-rewritten window plan, rank values intact
+    val got = idiom.orderBy("g", "score", "id").collect().toSeq
+    val want = withoutRewrite {
+      data.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("g", "score", "id").collect().toSeq
+    }
+    assert(got == want)
+
+    // SQL text form — the path a plain spark.sql user hits
+    data.createOrReplaceTempView("topk_src")
+    val sql = spark.sql(
+      """SELECT * FROM (
+        |  SELECT g, score, id,
+        |         row_number() OVER (PARTITION BY g ORDER BY score, id) AS rn
+        |  FROM topk_src) WHERE rn = 1""".stripMargin)
+    assert(collectFirst(sql.queryExecution.executedPlan) {
+      case e: GroupedTopKExec => e
+    }.nonEmpty, "rewrite did not fire on the SQL form")
+    assert(sql.count() == data.select("g").distinct().count())
+
+    // rank() can exceed k rows on ties — must NOT rewrite
+    val ranked = data.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    assert(collectFirst(ranked.queryExecution.executedPlan) {
+      case e: GroupedTopKExec => e
+    }.isEmpty, "rank() idiom must not rewrite")
   }
 }
