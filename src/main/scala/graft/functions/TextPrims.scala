@@ -36,6 +36,13 @@ object TextPrims {
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${asciiChars(s, d)}), (acc, c) -> (acc*31 + c) % $P)"
   }
 
+  /** Regex as a SQL string literal: Spark's parser eats one backslash
+    * level; DuckDB's standard-SQL literals pass backslashes through. */
+  def reLit(d: Dialect, raw: String): String = d match {
+    case SparkD => "'" + raw.replace("\\", "\\\\") + "'"
+    case DuckD  => "'" + raw + "'"
+  }
+
   /** Whitespace tokens. */
   def tokens(s: String, d: Dialect): String = d match {
     case SparkD => s"split($s, '\\\\s+')"

@@ -590,7 +590,60 @@ object Dedup extends QueryPack {
        |ORDER BY source""".stripMargin
   }
 
+  // -- d12: URL canonicalization dedup — web-crawl corpora carry the
+  //    same page under many surface forms (scheme/host case, trailing
+  //    slash, tracking query params). Canonicalize, then collapse to one
+  //    keeper per canonical URL. The documents table has no URL column,
+  //    so the fixture derives one deterministically from (doc_id, source)
+  //    with planted variance in exactly those surface dimensions — the
+  //    canonicalizer (strip query → strip trailing slash → lowercase
+  //    scheme+authority only, path case preserved) must erase all of it.
+  //    Pure regexp/string Catalyst expressions; the only shuffle is the
+  //    final canon-key aggregate — at 100 TB this is one map-side-combined
+  //    exchange on the canonical key, the minimum any URL dedup needs.
+  private def rawUrl(d: TextPrims.Dialect): String = {
+    val str = d match { case SparkD => "STRING"; case DuckD => "VARCHAR" }
+    def c(e: String) = s"CAST($e AS $str)"
+    Seq(
+      "'HTTPS://'",
+      "CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END",
+      "'.Example.COM/Page/'", c("doc_id % 7"),
+      "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END",
+      "'?utm_source=feed&ref='", c("doc_id")
+    ).mkString(" || ")
+  }
+
+  /** scheme+authority (group 1) lowercased, path (group 2) untouched. */
+  private def canonUrl(d: TextPrims.Dialect, raw: String): String = {
+    val stripQ = s"regexp_replace($raw, ${TextPrims.reLit(d, """\?.*$""")}, '')"
+    val strip  = s"regexp_replace($stripQ, '/$$', '')"
+    s"lower(regexp_extract($strip, '^([^/]+//[^/]+)(.*)$$', 1)) || " +
+      s"regexp_extract($strip, '^([^/]+//[^/]+)(.*)$$', 2)"
+  }
+
+  private val d12UrlDedup: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("url", expr(rawUrl(SparkD)))
+      .withColumn("canon_url", expr(canonUrl(SparkD, "url")))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dups"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("keeper_doc"))
+      .orderBy("canon_url")
+  }
+
+  private val d12Sql =
+    s"""WITH u AS (
+       |  SELECT doc_id, ${rawUrl(DuckD)} AS url FROM documents),
+       |c AS (
+       |  SELECT doc_id, url, ${canonUrl(DuckD, "url")} AS canon_url FROM u)
+       |SELECT canon_url, count(*) AS n_dups,
+       |       count(DISTINCT url) AS n_variants,
+       |       min(doc_id) AS keeper_doc
+       |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "d12_url_dedup"        -> d12UrlDedup,
     "d11_budget_sample"    -> d11BudgetSample,
     "d9_edit_distance"     -> d9EditDistance,
     "d1_exact_dedup_stats" -> d1ExactStats,
@@ -604,6 +657,7 @@ object Dedup extends QueryPack {
     "d10_dup_clusters"     -> d10DupClusters)
 
   def oracles: Map[String, String] = Map(
+    "d12_url_dedup"        -> d12Sql,
     "d11_budget_sample"    -> d11Sql,
     "d9_edit_distance"     -> d9Sql,
     "d10_dup_clusters"     -> d10Sql,

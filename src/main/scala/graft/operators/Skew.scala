@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryPack, Tables}
+import graft.{Exact, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -226,12 +226,92 @@ object Skew extends QueryPack {
        |       (SELECT count(*) FROM cand) -
        |       (SELECT count(*) FROM cand WHERE k IN (SELECT k FROM bld)) AS n_false_pos""".stripMargin
 
+  // -- x4: bucketed co-located join — the 100 TB fact⋈fact answer.
+  //    Salting (x1/x2) and bloom pruning (x3) fight a shuffle that is
+  //    happening; bucketing removes it. Both tables are written once into
+  //    the warehouse CLUSTERED BY their join key into the same bucket
+  //    count, so every subsequent equi-join on that key is exchange-free
+  //    on both sides: Spark's FileSourceScanExec exposes the bucket
+  //    hash-partitioning, EnsureRequirements sees the join's requirement
+  //    already satisfied, and the sort is per-bucket-file (sortBy) rather
+  //    than per-query. That turns the recurring nightly fact⋈fact from
+  //    2×(read+hash+write+read) network cost into a pure scan — the
+  //    single biggest plan-shape lever a warehouse layout owns. The
+  //    build is once-per-corpus (catalog check), amortized across every
+  //    query that joins on the key; PlanShapeSpec pins the exchange-free
+  //    property so a regression can't silently reintroduce the shuffle.
+  private[operators] val bucketCount = 16
+
+  /** Bucketed warehouse copies of orders+lineitem for `dir`, built once
+    * per session per corpus (re-built per JVM: bucket metadata lives in
+    * the session catalog, and the write is a one-time scan, the same
+    * amortization as IvfPqIndex). Returns (ordersTable, lineitemTable). */
+  def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val names = Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")
+      .map { case (t, k) =>
+        val name = s"graft_bkt_${t}_$tag"
+        if (!s.catalog.tableExists(name)) {
+          // A fresh session catalog can't adopt a previous JVM's managed
+          // location (bucket metadata lives in the catalog, not the
+          // files), and saveAsTable refuses to reuse it — drop the stale
+          // derived cache and rebuild from the source parquet.
+          val loc = new java.io.File(
+            new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+              .getPath + s"/$name")
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(): Unit
+            }
+            rm(loc)
+          }
+          val src = if (t == "orders") Tables.orders(s, dir)
+                    else Tables.lineitem(s, dir)
+          src.write.format("parquet")
+            .bucketBy(bucketCount, k).sortBy(k)
+            .mode("overwrite").saveAsTable(name)
+        }
+        name
+      }
+    (names(0), names(1))
+  }
+
+  private val x4BucketedJoin: Q = (s, dir) => {
+    val (oTab, lTab) = ensureBucketedTables(s, dir)
+    val o = s.table(oTab).select("o_orderkey", "o_orderpriority")
+    val l = s.table(lTab).select(col("l_orderkey"),
+      Exact.dec2(col("l_extendedprice")).as("price"),
+      (lit(1) - Exact.dec2(col("l_discount"))).cast("decimal(4,2)").as("dfac"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("price") * col("dfac")).cast("decimal(24,4)"))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val x4Sql =
+    """WITH l AS (
+      |  SELECT l_orderkey,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |         CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2)) AS dfac
+      |  FROM lineitem)
+      |SELECT o_orderpriority, count(*) AS n_items,
+      |       CAST(sum(CAST(price * dfac AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN l ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "x4_bucketed_join"    -> x4BucketedJoin,
     "x1_skew_salted_agg"  -> x1SaltedAgg,
     "x2_skew_salted_join" -> x2SaltedJoin,
     "x3_bloom_prune"      -> x3BloomPrune)
 
   def oracles: Map[String, String] = Map(
+    "x4_bucketed_join"    -> x4Sql,
     "x1_skew_salted_agg"  -> x1Sql,
     "x2_skew_salted_join" -> x2Sql,
     "x3_bloom_prune"      -> x3Sql)

@@ -402,7 +402,77 @@ object TextAnalysis extends QueryPack {
        |FROM a ORDER BY doc_id""".stripMargin
   }
 
+  // -- t11: PII detection + redaction — the C4/RefinedWeb-style scrub
+  //    pass every released corpus runs. The synthetic documents carry no
+  //    PII (no digits, no '@'), so the fixture plants deterministic
+  //    pseudo-PII derived from (doc_id, source) in-plan — same recipe in
+  //    both dialects, the a3 oracle-fixture pattern — and the operator
+  //    under test is the real thing: per-class regexp counts plus a
+  //    sequential email→phone→IP redaction chain, all codegen'd regexp
+  //    expressions (no UDF), embarrassingly parallel at 100 TB. The md5
+  //    of the redacted text pins the rewrite byte-for-byte cross-engine.
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val phoneRe = """\+1-555-[0-9]{4}"""
+  private val ipRe    = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+
+  private def reLit(d: TextPrims.Dialect, raw: String) = TextPrims.reLit(d, raw)
+
+  /** The planted-PII enrichment fragment (identical arithmetic both
+    * dialects): one email, one E.164-ish phone, one IPv4 per doc. */
+  private def piiEnriched(d: TextPrims.Dialect): String = {
+    val str = d match { case SparkD => "STRING"; case DuckD => "VARCHAR" }
+    def c(e: String) = s"CAST($e AS $str)"
+    Seq(
+      "coalesce(text, '')",
+      "' contact user'", c("doc_id"), "'@'", "source", "'.com'",
+      "' cc user.'", c("doc_id"), "'+spam@mail-'", "source", "'.org'",
+      "' call +1-555-'", s"lpad(${c("doc_id % 10000")}, 4, '0')",
+      "' node '", c("doc_id % 256"), "'.'", c("(doc_id * 7) % 256"),
+      "'.'", c("(doc_id * 13) % 256"), "'.'", c("(doc_id * 29) % 256")
+    ).mkString(" || ")
+  }
+
+  private val tPiiRedact: Q = (s, dir) => {
+    val email = reLit(SparkD, emailRe)
+    val phone = reLit(SparkD, phoneRe)
+    val ip    = reLit(SparkD, ipRe)
+    Tables.documents(s, dir)
+      .withColumn("enr", expr(piiEnriched(SparkD)))
+      .withColumn("n_email", expr(s"regexp_count(enr, $email)"))
+      .withColumn("n_phone", expr(s"regexp_count(enr, $phone)"))
+      .withColumn("n_ip",    expr(s"regexp_count(enr, $ip)"))
+      .withColumn("redacted", expr(
+        s"""regexp_replace(regexp_replace(regexp_replace(enr,
+           |  $email, '<EMAIL>'), $phone, '<PHONE>'), $ip, '<IP>')""".stripMargin))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        length(col("redacted")).as("n_chars_redacted"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val tPiiRedactSql = {
+    val email = reLit(DuckD, emailRe)
+    val phone = reLit(DuckD, phoneRe)
+    val ip    = reLit(DuckD, ipRe)
+    s"""WITH e AS (
+       |  SELECT doc_id, ${piiEnriched(DuckD)} AS enr FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(enr, $email)) AS n_email,
+       |         len(regexp_extract_all(enr, $phone)) AS n_phone,
+       |         len(regexp_extract_all(enr, $ip)) AS n_ip,
+       |         regexp_replace(regexp_replace(regexp_replace(enr,
+       |           $email, '<EMAIL>', 'g'), $phone, '<PHONE>', 'g'),
+       |           $ip, '<IP>', 'g') AS redacted
+       |  FROM e)
+       |SELECT doc_id, n_email, n_phone, n_ip,
+       |       length(redacted) AS n_chars_redacted,
+       |       md5(redacted) AS redacted_md5
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "t11_pii_redact" -> tPiiRedact,
     "t10_trigram_repetition" -> tTrigramRepetition,
     "t9_seq_pack"     -> tSeqPack,
     "t8_topk_ngrams"  -> t8TopkNgrams,
@@ -415,6 +485,7 @@ object TextAnalysis extends QueryPack {
     "t6_chunking"     -> tChunking)
 
   def oracles: Map[String, String] = Map(
+    "t11_pii_redact" -> tPiiRedactSql,
     "t10_trigram_repetition" -> tTrigramRepetitionSql,
     "t9_seq_pack"     -> tSeqPackSql,
     "t8_topk_ngrams"  -> t8Sql,

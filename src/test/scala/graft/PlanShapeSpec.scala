@@ -165,6 +165,28 @@ class PlanShapeSpec extends SparkSpecBase {
       s"rerank corpus scan is not pruned to (vec_id, embedding):\n${corpusScans.head}")
   }
 
+  test("x4 bucketed join: both fact sides pre-partitioned, no join-input exchange") {
+    // Broadcast off so the join can't dodge the requirement check; the
+    // bucketed layout must then satisfy both sides' hash-partitioning
+    // requirement and EnsureRequirements must insert NO exchange under
+    // the join. The only shuffle in the whole plan is the final tiny
+    // aggregate on o_orderpriority.
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = executedPlan("x4_bucketed_join")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast equi-join:\n$plan")
+      // every exchange in the plan belongs to the post-join rollup (agg
+      // hash-partitioning + orderBy range-partitioning on the tiny
+      // 5-group key) — an exchange mentioning an ORDER KEY means the
+      // bucket layout stopped satisfying the join's distribution.
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toList
+      assert(exchanges.nonEmpty && exchanges.forall(e =>
+          e.contains("o_orderpriority") && !e.contains("orderkey")),
+        s"bucketed join must shuffle only the final rollup, saw:\n" +
+          exchanges.mkString("\n"))
+    }
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
