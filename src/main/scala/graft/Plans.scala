@@ -104,7 +104,13 @@ object Plans {
     "k3_bottomk_quantiles" ->
       "Bottom-k quantile sketch: GroupedTopK partial→exchange→final ships ≤k rows per group (the mergeable coordinated sample); the full-sort truth side is the priced audit, not the sketch path.",
     "v16_index_stats" ->
-      "Index health: two aggregations over the id-sized lists/codes tables — the audit never scans the corpus; code-usage totals broadcast back for the within-subspace share.")
+      "Index health: two aggregations over the id-sized lists/codes tables — the audit never scans the corpus; code-usage totals broadcast back for the within-subspace share.",
+    "t11_pii_redact" ->
+      "PII scrub: counts and the chained redaction are codegen'd regexp scalars inside the scan stage — zero exchanges before the output sort.",
+    "d12_url_dedup" ->
+      "URL dedup: canonicalization is narrow string work in the scan; the ONLY shuffle is the map-side-combined aggregate on the canonical key.",
+    "x4_bucketed_join" ->
+      "Bucketed co-located join: both FileScans carry the bucket layout (SelectedBucketsCount), EnsureRequirements inserts NO exchange under the join — the only shuffles are the post-join 5-group rollup and its orderBy.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -56,6 +56,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(n == cte.CteFixtures.fileinfo(spark).count())
   }
 
+  test("CTE warehouse: dim-side filter prunes fact partitions dynamically (DPP)") {
+    // The 100 TB version of the static-pruning test above: the selective
+    // predicate lives on a DIMENSION table, the fact's partition values
+    // are only known at runtime from the join — dynamic partition
+    // pruning must plant a runtime subquery in the fact scan's
+    // PartitionFilters, or the join reads every partition of a
+    // 100 TB fact to discard most of it post-join.
+    val root = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val pipe = new cte.CtePipeline(spark, s"$root/wh")
+    pipe.ingestFileinfo(cte.CteFixtures.fileinfo(spark))
+    val other = cte.CteFixtures.fileinfo(spark)
+      .withColumn("targname", lit("ngc6791"))
+      .withColumn("imagename", concat(col("imagename"), lit("_b")))
+    pipe.ingestFileinfo(other)
+    import spark.implicits._
+    // the dim must be a FILE source: a LocalRelation's filter constant-
+    // folds away (ConvertToLocalRelation) and DPP then sees no selective
+    // predicate on the pruning side
+    Seq((cte.CteFixtures.T, "programA"), ("ngc104", "programB"))
+      .toDF("targname", "program")
+      .write.mode("overwrite").parquet(s"$root/dim")
+    val dim = spark.read.parquet(s"$root/dim")
+    val joined = pipe.table("fileinfo")
+      .join(dim.filter(col("program") === "programA"), "targname")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan lost its DPP subquery:\n${plan.take(3000)}")
+    assert(joined.count() == cte.CteFixtures.fileinfo(spark).count())
+  }
+
   test("scan-only pipeline ops carry no exchange: d8 sample, t6 chunking, v7 quantize") {
     // These three are the "runs at NVMe speed on 100 TB" class — a
     // shuffle appearing in any of them is a plan regression. (The final
