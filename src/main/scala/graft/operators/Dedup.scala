@@ -642,7 +642,82 @@ object Dedup extends QueryPack {
        |       min(doc_id) AS keeper_doc
        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
 
+  // -- d13: line-level corpus dedup — the MassiveWeb/FineWeb curation
+  //    step that removes BOILERPLATE SEGMENTS (nav bars, cookie banners,
+  //    license headers) repeated across many documents, while each doc's
+  //    unique prose survives. The corpus has no newlines, so the
+  //    segmenter — a parameter of this operator in any real pipeline —
+  //    is a fixed 3-token window; the semantics (segment → global
+  //    duplicated-segment set → per-doc removal → reassembly) are the
+  //    published line-dedup shape.
+  //
+  //    Scale design: segments travel and join as 8-byte polyhash keys,
+  //    never as strings (exactly how production line dedup keys its
+  //    Bloom/exact tables); the duplicated-segment set is corpus-wide
+  //    but orders of magnitude smaller than the corpus, so its join back
+  //    is an equi-join on a BIGINT that AQE can broadcast when small and
+  //    shuffle-partition when not. Three exchanges total at any scale:
+  //    the duplicated-set aggregate (map-side combined: per-partition
+  //    distinct doc counts partial-merge), the hash join back, and the
+  //    per-doc reassembly keyed by doc_id.
+  private val segWidth = 3
+  private val dupDocThreshold = 3
+
+  private val d13LineDedup: Q = (s, dir) => {
+    val toks = TextPrims.tokens("text", SparkD)
+    val segs = Tables.documents(s, dir)
+      .withColumn("toks", expr(toks))
+      .withColumn("seg", explode(expr(
+        s"transform(sequence(0, CAST((size(toks)+${segWidth - 1}) DIV $segWidth AS INT) - 1), " +
+        s"i -> struct(i AS idx, array_join(slice(toks, i*$segWidth+1, $segWidth), ' ') AS txt))")))
+      .select(col("doc_id"), col("seg.idx").as("seg_idx"),
+        col("seg.txt").as("seg"),
+        expr(TextPrims.polyhash("seg.txt", SparkD)).as("seg_hash"))
+    val dup = segs.groupBy("seg_hash")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= dupDocThreshold)
+      .select(col("seg_hash"), lit(true).as("is_dup"))
+    segs.join(dup, Seq("seg_hash"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(not(coalesce(col("is_dup"), lit(false))),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean"))
+      .select(col("doc_id"), col("n_segs"), col("n_dropped"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val d13Sql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    val w = segWidth
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |seg AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |         array_to_string(toks[CAST(i*$w+1 AS INT):CAST(i*$w+$w AS INT)], ' ') AS seg
+       |  FROM t, LATERAL unnest(range(0, CAST(ceil(len(toks)/$w.0) AS BIGINT))) AS u(i)),
+       |h AS (SELECT doc_id, seg_idx, seg, ${TextPrims.polyhash("seg", DuckD)} AS seg_hash FROM seg),
+       |dup AS (
+       |  SELECT seg_hash FROM h GROUP BY seg_hash
+       |  HAVING count(DISTINCT doc_id) >= $dupDocThreshold),
+       |m AS (
+       |  SELECT h.doc_id, h.seg_idx, h.seg, (d.seg_hash IS NOT NULL) AS is_dup
+       |  FROM h LEFT JOIN dup d USING (seg_hash))
+       |SELECT doc_id, count(*) AS n_segs,
+       |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(length(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+       |         FILTER (NOT is_dup), '')) AS BIGINT) AS clean_chars,
+       |       md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+       |         FILTER (NOT is_dup), '')) AS clean_md5
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "d13_line_dedup"       -> d13LineDedup,
     "d12_url_dedup"        -> d12UrlDedup,
     "d11_budget_sample"    -> d11BudgetSample,
     "d9_edit_distance"     -> d9EditDistance,
@@ -657,6 +732,7 @@ object Dedup extends QueryPack {
     "d10_dup_clusters"     -> d10DupClusters)
 
   def oracles: Map[String, String] = Map(
+    "d13_line_dedup"       -> d13Sql,
     "d12_url_dedup"        -> d12Sql,
     "d11_budget_sample"    -> d11Sql,
     "d9_edit_distance"     -> d9Sql,
