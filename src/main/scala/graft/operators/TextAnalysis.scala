@@ -471,7 +471,64 @@ object TextAnalysis extends QueryPack {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // -- t12: hashed n-gram linear scorer — fastText-shape model INFERENCE
+  //    as a scan. Production LLM curation scores every document with a
+  //    small linear classifier (quality, domain, toxicity): features are
+  //    the bag of word uni+bigrams hashed into B buckets, the model is a
+  //    B-sized weight vector broadcast to every executor, and the score
+  //    is one dot product per row — zero shuffles, the whole corpus
+  //    streams through at scan speed. Here the bucket→weight map is a
+  //    deterministic integer LCG formula standing in for the broadcast
+  //    weight array (same plan shape: a per-feature pure lookup), so the
+  //    score stays exact BIGINT arithmetic and the oracle matches
+  //    bit-for-bit rather than within a float tolerance.
+  private val nBuckets = 256L
+  private val scoreMod = 2000003L
+
+  private def bucketWeight(b: String): String =
+    s"((($b * 1103515245 + 12345) % $scoreMod) - ${scoreMod / 2})"
+
+  private def featBuckets(d: TextPrims.Dialect): String = {
+    val toks = TextPrims.tokens("text", d)
+    d match {
+      case SparkD =>
+        val uni = s"transform($toks, t -> ${TextPrims.polyhash("t", d)} % $nBuckets)"
+        val big = s"CASE WHEN size($toks) < 2 THEN array() ELSE " +
+          s"transform(sequence(1, size($toks)-1), i -> " +
+          s"${TextPrims.polyhash(s"concat(element_at($toks, i), '_', element_at($toks, i+1))", d)} % $nBuckets) END"
+        s"concat($uni, $big)"
+      case DuckD =>
+        val uni = s"list_transform($toks, t -> ${TextPrims.polyhash("t", d)} % $nBuckets)"
+        val big = s"list_transform(range(1, len($toks)), i -> " +
+          s"${TextPrims.polyhash(s"($toks[CAST(i AS INT)] || '_' || $toks[CAST(i AS INT)+1])", d)} % $nBuckets)"
+        s"list_concat($uni, $big)"
+    }
+  }
+
+  private val tNgramScore: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("fb", expr(featBuckets(SparkD)))
+      .select(col("doc_id"),
+        expr("size(fb)").cast("long").as("n_feats"),
+        expr(s"aggregate(fb, CAST(0 AS BIGINT), (acc, b) -> acc + ${bucketWeight("b")})")
+          .as("score"),
+        expr(s"aggregate(fb, CAST(0 AS BIGINT), (acc, b) -> acc + ${bucketWeight("b")}) > 0")
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val tNgramScoreSql =
+    s"""WITH f AS (SELECT doc_id, ${featBuckets(DuckD)} AS fb FROM documents),
+       |sc AS (
+       |  SELECT doc_id, CAST(len(fb) AS BIGINT) AS n_feats,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), fb),
+       |           (acc, b) -> acc + ${bucketWeight("b")}) AS score
+       |  FROM f)
+       |SELECT doc_id, n_feats, score, score > 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t12_ngram_score" -> tNgramScore,
     "t11_pii_redact" -> tPiiRedact,
     "t10_trigram_repetition" -> tTrigramRepetition,
     "t9_seq_pack"     -> tSeqPack,
@@ -485,6 +542,7 @@ object TextAnalysis extends QueryPack {
     "t6_chunking"     -> tChunking)
 
   def oracles: Map[String, String] = Map(
+    "t12_ngram_score" -> tNgramScoreSql,
     "t11_pii_redact" -> tPiiRedactSql,
     "t10_trigram_repetition" -> tTrigramRepetitionSql,
     "t9_seq_pack"     -> tSeqPackSql,
