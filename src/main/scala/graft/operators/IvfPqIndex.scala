@@ -272,9 +272,10 @@ object IvfPqIndex {
   def probeRefined(spark: SparkSession, indexPath: String,
                    queries: DataFrame, corpus: DataFrame,
                    candK: Int = 10, topk: Int = 3,
-                   excludeSelf: Boolean = true): DataFrame = {
+                   excludeSelf: Boolean = true,
+                   allowed: Option[DataFrame] = None): DataFrame = {
     val cand = probe(spark, indexPath, queries, nprobe = 2, topk = candK,
-        excludeSelf = excludeSelf)
+        excludeSelf = excludeSelf, allowed = allowed)
       .select(col("query_id"), col("neighbor_id"))
     val qside = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -312,7 +313,8 @@ object IvfPqIndex {
     * silently lose that legitimate neighbor. */
   def probe(spark: SparkSession, indexPath: String, queries: DataFrame,
             nprobe: Int = 2, topk: Int = 3,
-            excludeSelf: Boolean = true): DataFrame = {
+            excludeSelf: Boolean = true,
+            allowed: Option[DataFrame] = None): DataFrame = {
     val coarse = spark.read.parquet(s"$indexPath/coarse_centroids")
     val lists = spark.read.parquet(s"$indexPath/lists")
     val codebooks = spark.read.parquet(s"$indexPath/pq_codebooks")
@@ -324,10 +326,20 @@ object IvfPqIndex {
       .select(col("vec_id").as("query_id"), col("cell"))
     val withLists = probes
       .join(lists.select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
-    val cand =
+    val unfiltered =
       (if (excludeSelf) withLists.filter(col("query_id") =!= col("neighbor_id"))
        else withLists)
         .select("query_id", "neighbor_id")
+    // FILTERED search: metadata predicates restrict the NEIGHBOR side —
+    // semi-join the candidate ids against the allowed set BEFORE any ADC
+    // work, so filtered-out candidates never touch the codes table and
+    // the top-k is ranked over eligible vectors only (pre-filtering; a
+    // post-filter of an unfiltered top-k would return < k or miss
+    // eligible neighbors entirely). The allowed set is id-sized; AQE
+    // broadcasts it when small and shuffles on neighbor_id when not.
+    val cand = allowed.fold(unfiltered)(a =>
+      unfiltered.join(a.select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi"))
 
     // query subvectors with their exact squared norms (qq is the constant
     // term of ‖q_j − c‖² = qq − 2·q_j·c + ‖c‖²)

@@ -1091,7 +1091,61 @@ object Similarity extends QueryPack {
        |UNION ALL SELECT grain, k1, k2, n, share FROM coderows
        |ORDER BY grain, k1, k2""".stripMargin
 
+  // -- v17: FILTERED vector search — top-k under a metadata predicate
+  //    (here: neighbors restricted to label=1), the shape every
+  //    production vector store serves ("nearest docs in English", "same
+  //    tenant only"). The predicate pre-filters the CANDIDATE ids with a
+  //    semi-join before any ADC work — a post-filter of an unfiltered
+  //    top-k would return short lists or miss eligible neighbors whose
+  //    ADC rank fell outside the shortlist. The allowed set is id-sized
+  //    (one column of the corpus), so at 100 TB the semi-join is the
+  //    standard AQE broadcast-or-shuffle on neighbor id; everything else
+  //    is v14's serving pipeline unchanged.
+  private val v17FilteredAnn: Q = (s, dir) => {
+    val idx = IvfPqIndex.ensure(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val base = e.select("vec_id", "embedding")
+    val allow = e.filter(col("label") === 1).select("vec_id")
+    IvfPqIndex.probeRefined(s, idx, base.filter(col("vec_id") < 5), base,
+        candK = 10, topk = 3, allowed = Some(allow))
+      .orderBy("query_id", "rank")
+  }
+
+  // ADC values are per-(query, candidate) and unaffected by who else is
+  // in the pool, so filtering the adc table before the shortlist rank is
+  // exactly the engine's filter-before-ADC candidate semi-join.
+  private val v17Sql =
+    s"""$v13Prefix,
+       |allow AS (SELECT vec_id FROM embeddings WHERE label = 1),
+       |fadc AS (
+       |  SELECT a.* FROM adc a
+       |  WHERE a.neighbor_id IN (SELECT vec_id FROM allow)),
+       |radc AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY adc, neighbor_id) AS rn
+       |    FROM fadc) t WHERE rn <= 10),
+       |nrm AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotD("embedding", "embedding")}) AS norm
+       |  FROM e),
+       |rr AS (
+       |  SELECT r.query_id, r.neighbor_id,
+       |         ${dotD("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos
+       |  FROM radc r
+       |  JOIN nrm q ON q.vec_id = r.query_id
+       |  JOIN nrm c ON c.vec_id = r.neighbor_id),
+       |rk AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, rank, neighbor_id, cos
+       |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "v17_filtered_ann"  -> v17FilteredAnn,
     "v16_index_stats"   -> v16IndexStats,
     "v15_ivfpq_recall"  -> v15IvfPqRecall,
     "v14_ivf_pq_refined" -> v14IvfPqRefined,
@@ -1110,6 +1164,7 @@ object Similarity extends QueryPack {
     "v12_pq_codes"      -> v12PqCodes)
 
   def oracles: Map[String, String] = Map(
+    "v17_filtered_ann"  -> v17Sql,
     "v16_index_stats"   -> v16Sql,
     "v15_ivfpq_recall"  -> v15Sql,
     "v14_ivf_pq_refined" -> v14Sql,
