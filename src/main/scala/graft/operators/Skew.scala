@@ -304,13 +304,44 @@ object Skew extends QueryPack {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // -- x5: transparent summary-table serving — the query is WRITTEN
+  //    against the base lineitem fact (filter + group-by + count/sums),
+  //    and the SummaryAggRewrite optimizer rule redirects it onto the
+  //    pre-aggregated grain table ensured here. The oracle runs the same
+  //    SQL against the BASE table in DuckDB, so the correctness gate is
+  //    exactly the rewrite's soundness proof: decimal re-aggregation
+  //    over the summary must be bit-identical to aggregating the fact.
+  //    PlanShapeSpec pins the plan side (summary scanned, fact not) and
+  //    the kill switch.
+  private val x5MvRewrite: Q = (s, dir) => {
+    graft.plans.SummaryAgg.ensureLineitemSummary(s, dir)
+    Tables.lineitem(s, dir)
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(Exact.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(Exact.dec2(col("l_extendedprice"))).cast("double")
+          .as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val x5Sql =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem WHERE l_linestatus = 'F'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "x5_mv_rewrite"       -> x5MvRewrite,
     "x4_bucketed_join"    -> x4BucketedJoin,
     "x1_skew_salted_agg"  -> x1SaltedAgg,
     "x2_skew_salted_join" -> x2SaltedJoin,
     "x3_bloom_prune"      -> x3BloomPrune)
 
   def oracles: Map[String, String] = Map(
+    "x5_mv_rewrite"       -> x5Sql,
     "x4_bucketed_join"    -> x4Sql,
     "x1_skew_salted_agg"  -> x1Sql,
     "x2_skew_salted_join" -> x2Sql,

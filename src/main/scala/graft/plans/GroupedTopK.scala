@@ -185,6 +185,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(new GraftStrategies(_))
     e.injectOptimizerRule(_ => RowNumberTopKRewrite)
+    e.injectOptimizerRule(_ => SummaryAggRewrite)
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

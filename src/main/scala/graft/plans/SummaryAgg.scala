@@ -1,0 +1,232 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Transparent materialized-aggregate (summary-table) rewrite — the
+  * classic OLAP engine feature: a pre-aggregated table at a declared
+  * grain silently answers any query that groups by a SUBSET of that
+  * grain and asks only for re-aggregable measures. At 100 TB the win is
+  * structural: the nightly dashboard family that would each scan the
+  * full fact re-aggregates a grain-sized table instead — the fact is
+  * scanned once at refresh, not once per query.
+  *
+  * Soundness rests on algebraic re-aggregation: `count(*)` over the base
+  * equals `sum(cnt)` over the summary, `sum(x)` equals `sum(sum_x)`, and
+  * a filter whose references are all grain columns is constant within
+  * each summary row, so it commutes with the pre-aggregation. Measures
+  * are DECIMAL sums (the repo-wide exactness rule), so the rewritten
+  * result is bit-identical, not approximately equal — the oracle
+  * comparison of the rewritten query IS the proof.
+  *
+  * The rule is deliberately conservative (all-or-nothing per Aggregate):
+  * it fires only when the child chain is [Project]([Filter](base-scan)),
+  * every grouping expression is a grain column, the filter references
+  * only grain columns, and every aggregate is a covered `count(literal)`
+  * or `sum(CAST(col AS DECIMAL(18,2)))` — anything else (distinct, avg,
+  * min/max, expression group keys) leaves the plan untouched.
+  */
+object SummaryAgg {
+
+  /** A registered summary: resolved relation + column mappings. */
+  private[plans] case class Mv(rel: LogicalRelation, basePath: String,
+                               grain: Set[String],
+                               sums: Map[String, String], cnt: String)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Mv]()
+
+  /** Register `mvTable` (already built) as the summary of the base
+    * parquet at `basePath` with the given grain, `sums` mapping base
+    * measure column → summary sum column, and `cnt` the row-count
+    * column. The relation is resolved eagerly so the optimizer rule
+    * never triggers nested analysis. */
+  def register(spark: SparkSession, basePath: String, mvTable: String,
+               grain: Seq[String], sums: Map[String, String],
+               cnt: String): Unit = {
+    val rel = spark.table(mvTable).queryExecution.analyzed
+      .collectFirst { case r: LogicalRelation => r }
+      .getOrElse(sys.error(s"$mvTable did not resolve to a file relation"))
+    registry.put(new java.io.File(basePath).getAbsolutePath,
+      Mv(rel, basePath, grain.toSet, sums, cnt)): Unit
+  }
+
+  private[plans] def find(path: String): Option[Mv] =
+    Option(registry.get(path))
+
+  /** The lineitem daily-ops summary: grain (l_returnflag, l_linestatus),
+    * exact-decimal sums of the three measure columns plus the row count.
+    * Built once per corpus into the warehouse (same amortization and
+    * stale-location handling as the bucketed tables), then registered so
+    * the rewrite rule can serve matching aggregates from it. */
+  def ensureLineitemSummary(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val name = s"graft_mv_lineitem_$tag"
+    if (!s.catalog.tableExists(name)) {
+      val loc = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+          .getPath + s"/$name")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+      graft.Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(graft.Exact.dec2(col("l_quantity"))).as("sum_l_quantity"),
+          sum(graft.Exact.dec2(col("l_extendedprice")))
+            .as("sum_l_extendedprice"),
+          sum(graft.Exact.dec2(col("l_discount"))).as("sum_l_discount"))
+        .write.format("parquet").mode("overwrite").saveAsTable(name)
+    }
+    register(s, s"$dir/lineitem.parquet", name,
+      grain = Seq("l_returnflag", "l_linestatus"),
+      sums = Map(
+        "l_quantity" -> "sum_l_quantity",
+        "l_extendedprice" -> "sum_l_extendedprice",
+        "l_discount" -> "sum_l_discount"),
+      cnt = "cnt")
+    name
+  }
+}
+
+object SummaryAggRewrite extends Rule[LogicalPlan] {
+
+  import SummaryAgg.Mv
+
+  /** [Project(plain attrs)]([Filter](LogicalRelation)) → the relation
+    * plus the optional filter condition. */
+  private def baseOf(p: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression])] = p match {
+    case r: LogicalRelation => Some((r, None))
+    case Filter(c, r: LogicalRelation) => Some((r, Some(c)))
+    case Project(pl, r: LogicalRelation)
+        if pl.forall(_.isInstanceOf[AttributeReference]) => Some((r, None))
+    case Project(pl, Filter(c, r: LogicalRelation))
+        if pl.forall(_.isInstanceOf[AttributeReference]) => Some((r, Some(c)))
+    case _ => None
+  }
+
+  private def scanPath(r: LogicalRelation): Option[String] =
+    r.relation match {
+      case f: HadoopFsRelation =>
+        f.location.rootPaths.headOption.map(_.toUri.getPath)
+      case _ => None
+    }
+
+  /** Rewrite one AggregateExpression onto the summary columns, or None
+    * if it is not covered. */
+  private def rewriteAgg(ae: AggregateExpression, mv: Mv,
+                         attr: String => Option[AttributeReference])
+      : Option[Expression] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    ae.aggregateFunction match {
+      case c: Count =>
+        c.children match {
+          case Seq(Literal(v, _)) if v != null =>
+            // count over the base = sum of per-group counts; an empty
+            // global aggregate must still yield 0, not sum's null
+            attr(mv.cnt).map(a => Coalesce(Seq(
+              Sum(a).toAggregateExpression(), Literal(0L, LongType))))
+          case _ => None
+        }
+      case s: Sum =>
+        s.child match {
+          case Cast(base: AttributeReference, dt: DecimalType, _, _)
+              if dt == DecimalType(18, 2) =>
+            for {
+              mvCol <- mv.sums.get(base.name)
+              a <- attr(mvCol)
+            } yield Cast(Sum(a).toAggregateExpression(), ae.dataType)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Rewrite a full output expression: aggregates map via [[rewriteAgg]],
+    * bare attributes must be grain columns, and any deterministic scalar
+    * structure around them (casts, arithmetic) is preserved. */
+  private def rewriteExpr(e: Expression, mv: Mv,
+                          attr: String => Option[AttributeReference])
+      : Option[Expression] = e match {
+    case ae: AggregateExpression => rewriteAgg(ae, mv, attr)
+    case a: AttributeReference =>
+      if (mv.grain.contains(a.name)) attr(a.name) else None
+    case _ if e.deterministic =>
+      val kids = e.children.map(rewriteExpr(_, mv, attr))
+      if (kids.forall(_.isDefined)) Some(e.withNewChildren(kids.map(_.get)))
+      else None
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      (rel, cond) <- baseOf(agg.child)
+      path <- scanPath(rel)
+      mv <- SummaryAgg.find(path)
+      // every group key is a grain column; the filter touches grain only
+      if agg.groupingExpressions.forall {
+        case a: AttributeReference => mv.grain.contains(a.name)
+        case _ => false
+      }
+      if cond.forall(c => c.deterministic && c.references.forall(a =>
+        mv.grain.contains(a.name)))
+      mvRel = mv.rel.newInstance()
+      mvAttr = (n: String) => mvRel.output.find(_.name == n)
+      outs <- {
+        val rewritten = agg.aggregateExpressions.map {
+          case a: AttributeReference =>
+            mvAttr(a.name).filter(_ => mv.grain.contains(a.name))
+              .map(m => Alias(m, a.name)(exprId = a.exprId))
+          case al @ Alias(child, name) =>
+            rewriteExpr(child, mv, mvAttr)
+              .map(c => Alias(c, name)(exprId = al.exprId))
+          case _ => None
+        }
+        if (rewritten.forall(_.isDefined))
+          Some(rewritten.map(_.get.asInstanceOf[NamedExpression]))
+        else None
+      }
+      groups <- {
+        val gs = agg.groupingExpressions.map {
+          case a: AttributeReference => mvAttr(a.name)
+          case _ => None
+        }
+        if (gs.forall(_.isDefined)) Some(gs.map(_.get)) else None
+      }
+      newCond <- cond match {
+        case None => Some(None)
+        case Some(c) =>
+          var ok = true
+          val mapped = c.transformUp {
+            case a: AttributeReference =>
+              mvAttr(a.name).getOrElse { ok = false; a }
+          }
+          if (ok) Some(Some(mapped)) else None
+      }
+    } yield {
+      val child: LogicalPlan =
+        newCond.map(Filter(_, mvRel): LogicalPlan).getOrElse(mvRel)
+      Aggregate(groups, outs, child)
+    }
+  }
+
+  /** Kill switch (`spark.graft.mv.rewrite=false`): lets specs price the
+    * un-rewritten plan and callers opt out of summary serving. */
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.mv.rewrite", "true").toBoolean) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+}

@@ -217,6 +217,29 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("x5 summary rewrite: the aggregate reads the summary table, not the fact") {
+    // The query is written against the base lineitem scan; with the MV
+    // registered, the optimizer must serve it from the grain table —
+    // the fact file may not appear anywhere in the executed plan.
+    val plan = executedPlan("x5_mv_rewrite")
+    assert(plan.contains("graft_mv_lineitem"),
+      s"summary table missing from plan:\n${plan.take(3000)}")
+    assert(!plan.contains("lineitem.parquet"),
+      s"rewritten aggregate still scans the fact:\n${plan.take(3000)}")
+    // kill switch: same query with the rule disabled scans the fact —
+    // and both plans return identical rows (the soundness half).
+    withConf("spark.graft.mv.rewrite" -> "false") {
+      val off = executedPlan("x5_mv_rewrite")
+      assert(off.contains("lineitem.parquet"),
+        s"kill switch did not restore the base scan:\n${off.take(3000)}")
+      val a = SparkEntry.queries("x5_mv_rewrite")(spark, sfDir).collect()
+      withConf("spark.graft.mv.rewrite" -> "true") {
+        val b = SparkEntry.queries("x5_mv_rewrite")(spark, sfDir).collect()
+        assert(a.toSeq == b.toSeq, "rewritten result differs from base")
+      }
+    }
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
