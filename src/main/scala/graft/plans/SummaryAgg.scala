@@ -89,6 +89,12 @@ object SummaryAgg {
           sum(graft.Exact.dec2(col("l_discount"))).as("sum_l_discount"))
         .write.format("parquet").mode("overwrite").saveAsTable(name)
     }
+    registerLineitem(s, dir, name)
+    name
+  }
+
+  private def registerLineitem(s: SparkSession, dir: String,
+                               name: String): Unit =
     register(s, s"$dir/lineitem.parquet", name,
       grain = Seq("l_returnflag", "l_linestatus"),
       sums = Map(
@@ -96,7 +102,74 @@ object SummaryAgg {
         "l_extendedprice" -> "sum_l_extendedprice",
         "l_discount" -> "sum_l_discount"),
       cnt = "cnt")
-    name
+
+  /** Incremental view maintenance: fold a delta batch of fact rows into
+    * the summary WITHOUT rescanning the fact. The delta aggregates at
+    * the grain, merges with the stored summary by decimal addition
+    * (count and sum are the self-merging aggregates — the same algebra
+    * that makes map-side partial aggregation correct makes summary
+    * maintenance exact), and the grain-sized result replaces the table.
+    * At 100 TB this is the whole point of the summary: the nightly load
+    * touches |delta| + |grain| rows, never the fact.
+    *
+    * `batchId` makes redelivery safe: merging the same delta twice would
+    * double-count, so an applied-batch marker (kept OUTSIDE the table
+    * directory, which the overwrite replaces) turns re-applies into
+    * no-ops — the exactly-once contract [[maintainLineitemSummary]]
+    * needs under streaming restart. */
+  def appendLineitemDelta(s: SparkSession, dir: String,
+                          delta: org.apache.spark.sql.DataFrame,
+                          batchId: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    val name = ensureLineitemSummary(s, dir)
+    val mark = batchId.map(id => new java.io.File(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
+      s"${name}_applied_$id"))
+    if (mark.exists(_.exists())) return
+    val deltaAgg = delta
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(graft.Exact.dec2(col("l_quantity"))).as("sum_l_quantity"),
+        sum(graft.Exact.dec2(col("l_extendedprice")))
+          .as("sum_l_extendedprice"),
+        sum(graft.Exact.dec2(col("l_discount"))).as("sum_l_discount"))
+    val dec28 = DecimalType(28, 2)
+    val merged = s.table(name).unionByName(deltaAgg)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("cnt")).cast(LongType).as("cnt"),
+        sum(col("sum_l_quantity")).cast(dec28).as("sum_l_quantity"),
+        sum(col("sum_l_extendedprice")).cast(dec28)
+          .as("sum_l_extendedprice"),
+        sum(col("sum_l_discount")).cast(dec28).as("sum_l_discount"))
+      // the merge reads the table it is about to overwrite: truncate
+      // lineage so the write never re-scans the replaced files
+      .localCheckpoint(true)
+    merged.write.format("parquet").mode("overwrite").saveAsTable(name)
+    merged.unpersist(): Unit
+    mark.foreach(_.createNewFile())
+    // both the catalog's relation cache and the registered relation hold
+    // the PRE-overwrite file listing — refresh, then re-resolve
+    s.catalog.refreshTable(name)
+    registerLineitem(s, dir, name)
+  }
+
+  /** Streaming maintenance: every micro-batch of fact rows folds into
+    * the summary through [[appendLineitemDelta]], keyed by the batch id
+    * so redelivered batches are no-ops. */
+  def maintainLineitemSummary(deltas: org.apache.spark.sql.DataFrame,
+                              dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fold using the stream-OWNING session, not the micro-batch clone:
+    // the relation cache is per-session, and a refresh inside the clone
+    // would leave the owner still holding the pre-overwrite file listing
+    val owner = deltas.sparkSession
+    deltas.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) appendLineitemDelta(owner, dir, b, Some(id))
+      }
+      .start()
   }
 }
 

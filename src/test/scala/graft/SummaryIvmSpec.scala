@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the lineitem summary table: a delta batch
+  * folds in by decimal addition, redelivered batches are no-ops, and the
+  * refreshed summary keeps serving the rewritten aggregate with results
+  * identical to a full recompute over the grown fact. */
+class SummaryIvmSpec extends SparkSpecBase {
+
+  private def grainAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(Exact.dec2(col("l_quantity"))).as("sum_l_quantity"),
+        sum(Exact.dec2(col("l_extendedprice"))).as("sum_l_extendedprice"),
+        sum(Exact.dec2(col("l_discount"))).as("sum_l_discount"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  test("delta merge equals full recompute; redelivery no-op; rewrite serves refreshed rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+    Tables.lineitem(spark, sfDir).limit(300)
+      .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+    val name = plans.SummaryAgg.ensureLineitemSummary(spark, root)
+
+    // materialize the delta once so fact-append and summary-merge see
+    // the same rows (a lazy limit() could pick different ties twice)
+    Tables.lineitem(spark, sfDir)
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc).limit(200)
+      .write.mode("overwrite").parquet(s"$root/delta.parquet")
+    val delta = spark.read.parquet(s"$root/delta.parquet")
+    delta.write.mode("append").parquet(s"$root/lineitem.parquet")
+
+    plans.SummaryAgg.appendLineitemDelta(spark, root, delta, Some(1L))
+    plans.SummaryAgg.appendLineitemDelta(spark, root, delta, Some(1L)) // replay
+
+    val summary = spark.table(name)
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    val full = grainAgg(Tables.lineitem(spark, root)).collect().toSeq
+    assert(summary == full,
+      s"summary diverged from full recompute:\n$summary\nvs\n$full")
+
+    // the refreshed summary serves the rewritten aggregate: plan reads
+    // the grain table, rows match the kill-switch direct computation
+    val q = Tables.lineitem(spark, root)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.dec2(col("l_quantity"))).cast("double").as("s"))
+      .orderBy("l_returnflag")
+    assert(q.queryExecution.executedPlan.toString.contains(name))
+    val served = q.collect().toSeq
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(served == q.collect().toSeq)
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
+  test("streaming maintenance folds micro-batches into the summary") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivm_st").toString
+    val landing = s"$root/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    Tables.lineitem(spark, sfDir).limit(250)
+      .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+    val name = plans.SummaryAgg.ensureLineitemSummary(spark, root)
+    val schema = Tables.lineitem(spark, sfDir).schema
+
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+    val q = plans.SummaryAgg.maintainLineitemSummary(stream, root)
+
+    Tables.lineitem(spark, sfDir)
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc).limit(150)
+      .coalesce(1).write.mode("overwrite").parquet(s"$landing/b1")
+    q.processAllAvailable()
+    q.stop()
+
+    // fact catches up with what streamed in; summary must already agree
+    spark.read.parquet(s"$landing/b1")
+      .write.mode("append").parquet(s"$root/lineitem.parquet")
+    val summary = spark.table(name)
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    val full = grainAgg(Tables.lineitem(spark, root)).collect().toSeq
+    assert(summary == full)
+  }
+}
