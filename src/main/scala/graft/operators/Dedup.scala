@@ -156,6 +156,36 @@ object Dedup extends QueryPack {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** Near-dup pairs between a NEW batch's signature table and an
+    * EXISTING signature store — the asymmetric probe the streaming
+    * ingest path runs per micro-batch ([[graft.streaming.DocStream]]).
+    * Band-key equi-join (batch bands × store bands, never store×store),
+    * exact Jaccard on collisions only; output (new_doc, dup_of, jac).
+    * Same-id rows are excluded so a batch whose signatures were already
+    * upserted into the store does not match itself on redelivery. */
+  def probePairs(newSig: org.apache.spark.sql.DataFrame,
+                 storeSig: org.apache.spark.sql.DataFrame,
+                 threshold: String = jacThreshold)
+      : org.apache.spark.sql.DataFrame = {
+    val cand = bandsOf(newSig).as("a").join(bandsOf(storeSig).as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("dup_of"))
+      .distinct()
+    cand
+      .join(newSig.select(col("doc_id").as("new_doc"), col("hs").as("hs_a")),
+        "new_doc")
+      .join(storeSig.select(col("doc_id").as("dup_of"), col("hs").as("hs_b")),
+        "dup_of")
+      .withColumn("inter",
+        TextKernels.intersectCountUdf(col("hs_a"), col("hs_b")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+        (expr("size(hs_a)") + expr("size(hs_b)") - col("inter")).cast("double"))
+      .filter(col("jac") >= expr(threshold))
+      .select("new_doc", "dup_of", "jac")
+  }
+
   /** Training docs near-duplicating any held-out doc: one row per flagged
     * train doc with match count and max Jaccard — d7's machinery over two
     * corpora (train ⋈ eval band join, never train ⋈ train). */

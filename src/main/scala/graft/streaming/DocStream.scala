@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+import graft.sources.MergeWriter
+
+/** Streaming near-duplicate detection — the ingest-time face of d4's
+  * MinHash-LSH pipeline. A production corpus is not deduplicated once;
+  * new documents arrive continuously and each must be checked against
+  * everything already ingested WITHOUT re-scanning the corpus. The
+  * signature STORE makes that incremental: per micro-batch, only the new
+  * docs are shingled and signed (the expensive text kernels run on the
+  * batch alone), the band-key equi-join probes batch bands against the
+  * store — |batch| × band-collision work, never corpus × corpus — and
+  * the batch's signatures then upsert into the store so later batches
+  * (and concurrent redeliveries) dedup against them.
+  *
+  * Exactly-once under redelivery holds end-to-end because every write is
+  * an upsert by natural key: re-signing the same docs produces identical
+  * rows, re-probing produces identical pairs, and the store's same-id
+  * exclusion keeps a redelivered batch from matching its own earlier
+  * upsert. At 100 TB the store carries 12 longs + the shingle hashes per
+  * document — orders below the text — and the probe's only corpus-sized
+  * join is the band-key equi-join, the same bound d4 proves.
+  */
+object DocStream {
+
+  /** Seed (or extend) the signature store from a batch corpus. */
+  def seedSignatureStore(docs: DataFrame, storePath: String): Unit =
+    MergeWriter.upsertParquet(docs.sparkSession, storePath,
+      Dedup.signatures(docs), Seq("doc_id"))
+
+  /** Per-micro-batch near-dup detection against `storePath`; hits land
+    * in `hitsPath` as (doc_a < doc_b, jac) — d4's canonical pair order,
+    * so a replayed batch that rediscovers a pair from the OTHER side
+    * (its partner was ingested after its original delivery) upserts onto
+    * the same key instead of growing the table — and the batch's
+    * signatures fold into the store afterwards (a doc never races its
+    * own probe). */
+  def nearDupStream(docs: DataFrame, storePath: String, hitsPath: String,
+                    threshold: String = "0.08"): StreamingQuery = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val sig = Dedup.signatures(b).persist()
+          val fs = new Path(storePath)
+            .getFileSystem(owner.sparkContext.hadoopConfiguration)
+          MergeWriter.recover(owner, storePath)
+          if (fs.exists(new Path(storePath))) {
+            val store = owner.read.parquet(storePath)
+            import org.apache.spark.sql.functions.{greatest, least, col}
+            MergeWriter.upsertParquet(owner, hitsPath,
+              Dedup.probePairs(sig, store, threshold)
+                .select(least(col("new_doc"), col("dup_of")).as("doc_a"),
+                  greatest(col("new_doc"), col("dup_of")).as("doc_b"),
+                  col("jac")),
+              Seq("doc_a", "doc_b"))
+          }
+          MergeWriter.upsertParquet(owner, storePath, sig, Seq("doc_id"))
+          sig.unpersist(): Unit
+        }
+      }
+      .start()
+  }
+}

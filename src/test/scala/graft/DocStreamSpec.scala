@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.DocStream
+
+/** Streaming near-dup ingest: batches probe the signature store, the
+  * store grows with each batch, and redelivery changes nothing. */
+class DocStreamSpec extends SparkSpecBase {
+
+  test("micro-batches dedup against the corpus, earlier batches, and survive redelivery") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_docstream").toString
+    val landing = s"$root/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    val store = s"$root/sig_store"
+    val hits = s"$root/hits"
+
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    DocStream.seedSignatureStore(corpus, store)
+    val doc0Text = corpus.filter(col("doc_id") === 0)
+      .head().getString(1)
+    // vocabulary disjoint from the corpus: zero shingle overlap
+    val cleanText = (1 to 40).map(i => s"zz$i").mkString(" ")
+    val nearClean = (1 to 40).map(i => if (i == 40) "zz41" else s"zz$i")
+      .mkString(" ")
+
+    val q = DocStream.nearDupStream(
+      spark.readStream
+        .schema(corpus.schema)
+        .option("recursiveFileLookup", "true").parquet(landing),
+      store, hits)
+
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/$name")
+
+    // b1: an exact copy of corpus doc 0 + a doc from a fresh vocabulary
+    drop("b1", Seq((10000L, doc0Text), (10001L, cleanText)))
+    q.processAllAvailable()
+    val h1 = spark.read.parquet(hits)
+    assert(h1.filter(col("doc_b") === 10000L && col("jac") === 1.0)
+      .count() >= 1, "exact copy of a corpus doc not flagged")
+    assert(h1.filter(col("doc_a") === 10001L || col("doc_b") === 10001L)
+      .count() == 0, "fresh-vocabulary doc wrongly flagged")
+
+    // b2: near-dups b1's clean doc — only findable if the store grew
+    drop("b2", Seq((10002L, nearClean)))
+    q.processAllAvailable()
+    val h2 = spark.read.parquet(hits)
+    assert(h2.filter(col("doc_a") === 10001L && col("doc_b") === 10002L)
+      .count() == 1, "cross-batch near-dup not found via the store")
+
+    // b3: redelivery of b1's rows — same pairs re-upsert, nothing new,
+    // and the docs do not match their own stored signatures
+    val before = h2.count()
+    drop("b3", Seq((10000L, doc0Text), (10001L, cleanText)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(hits).count() == before,
+      "redelivered batch changed the hit set")
+  }
+}
