@@ -110,7 +110,19 @@ object Plans {
     "d12_url_dedup" ->
       "URL dedup: canonicalization is narrow string work in the scan; the ONLY shuffle is the map-side-combined aggregate on the canonical key.",
     "x4_bucketed_join" ->
-      "Bucketed co-located join: both FileScans carry the bucket layout (SelectedBucketsCount), EnsureRequirements inserts NO exchange under the join — the only shuffles are the post-join 5-group rollup and its orderBy.")
+      "Bucketed co-located join: both FileScans carry the bucket layout (SelectedBucketsCount), EnsureRequirements inserts NO exchange under the join — the only shuffles are the post-join 5-group rollup and its orderBy.",
+    "d13_line_dedup" ->
+      "Line dedup: segments travel as 8-byte polyhash keys — the exchanges are the dup-set count-distinct pair (partial-deduped map-side), the hash join back, and the per-doc reassembly; no string ever crosses the wire, and the dup set broadcasts when small.",
+    "t12_ngram_score" ->
+      "Model inference as a scan: uni+bigram hashing, bucket weights, and the dot product are all per-row expressions inside the scan stage — zero exchanges before the output sort.",
+    "v17_filtered_ann" ->
+      "Filtered ANN: the allowed-id semi-join lands on the candidate list BEFORE the codes join, so ineligible vectors never reach ADC; quantizers stay broadcast, the corpus is still never scanned in the probe.",
+    "x5_mv_rewrite" ->
+      "Summary rewrite: the FileScan reads graft_mv_lineitem (grain-sized), lineitem.parquet appears nowhere — the fact was scanned once at refresh, not per query.",
+    "a18_theilsen" ->
+      "Theil–Sen: the modulus filter is pushed to the scan, the pair join is a per-group equi-join on l_suppkey (sampled groups bound the O(n²)), and the median is one window pass over pairs.",
+    "t13_novelty" ->
+      "Novelty: compiled shingle kernel in the scan; the df aggregate and the join back both key on the 8-byte gram hash — the rare-set table is vocabulary-sized, never corpus-sized.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -181,6 +181,31 @@ object TextKernels {
     n
   }
 
+  /** Hashed n-gram feature buckets for the linear scorer (t12): all word
+    * unigrams then all adjacent bigrams (duplicates kept — a bag, not a
+    * set), each polyhashed mod `nBuckets`. Identical arithmetic to the
+    * TextPrims SQL fragments; one pass, no per-element dispatch. (The
+    * HOF formulation re-evaluated split() per element_at — O(tokens²)
+    * string work that measured ~17 s on the 500-doc table.) */
+  def ngramBuckets(text: String, nBuckets: Long): Array[Long] = {
+    val t = tokensOf(text)
+    val n = t.length
+    val out = new Array[Long](if (n < 2) n else 2 * n - 1)
+    var i = 0
+    while (i < n) { out(i) = polyhash(t(i)) % nBuckets; i += 1 }
+    i = 0
+    while (i < n - 1) {
+      var h = polyhash(t(i))
+      h = (h * 31 + '_') % P
+      val s2 = t(i + 1)
+      var j = 0
+      while (j < s2.length) { h = (h * 31 + s2.charAt(j)) % P; j += 1 }
+      out(n + i) = h % nBuckets
+      i += 1
+    }
+    out
+  }
+
   // ---- UDF registrations (names used in operator packs)
 
   val minhashSigsUdf: UserDefinedFunction = udf((t: String) => minhashSigs(t))
@@ -193,6 +218,8 @@ object TextKernels {
   val simhash16Udf: UserDefinedFunction = udf((t: String) => simhash16(t))
   // Array[Long] signatures hit Spark's primitive fast path
   // (ArrayData.toLongArray) — no per-element boxing at the UDF boundary.
+  def ngramBucketsUdf(nBuckets: Long): UserDefinedFunction =
+    udf((t: String) => ngramBuckets(t, nBuckets))
   val sortedIntersectUdf: UserDefinedFunction =
     udf((a: Array[Long], b: Array[Long]) => sortedIntersectCount(a, b))
   val intersectCountUdf: UserDefinedFunction =

@@ -241,6 +241,21 @@ object IvfPqIndex {
       Seq("vec_id", "subspace"))
   }
 
+  /** Deletion: drop `ids` (a one-column vec_id frame) from the inverted
+    * lists and the codes table — the retraction half of the index
+    * lifecycle (a vector store must forget as well as ingest). Quantizer
+    * state is untouched (codebooks describe geometry, not membership),
+    * so delete is O(|index|) rewrite work bounded by the id-sized
+    * tables, never a corpus operation; removing absent ids is a no-op,
+    * making tombstone redelivery idempotent like [[append]]. */
+  def remove(spark: SparkSession, indexPath: String,
+             ids: DataFrame): Unit = {
+    require(marker(indexPath).exists(), s"no complete index at $indexPath")
+    val ts = ids.select(col("vec_id"))
+    MergeWriter.deleteParquet(spark, s"$indexPath/lists", ts, Seq("vec_id"))
+    MergeWriter.deleteParquet(spark, s"$indexPath/pq_codes", ts, Seq("vec_id"))
+  }
+
   /** Streaming maintenance: every micro-batch of (vec_id, embedding)
     * rows flows through [[append]] — the continuous-ingest face of the
     * same index. Exactly-once under redelivery holds because append is

@@ -767,7 +767,66 @@ object Statistical extends QueryPack {
        |ORDER BY aperture""".stripMargin
   }
 
+  // -- a18: Theil–Sen robust slope — the median of all pairwise slopes.
+  //    The reference fights photometric outliers with iterative sigma
+  //    clipping before least squares (A1/A2); Theil–Sen is the
+  //    estimator-side answer (breakdown point 29%), worth having next to
+  //    the clipped fit as the robustness cross-check. Pairwise slopes
+  //    are O(n²) per group, so at scale the estimator runs on a bounded
+  //    deterministic per-group sample (the standard production form) —
+  //    here a modulus filter caps group size before the self-join, and
+  //    the pair join is per-group (equi-join on the group key), never a
+  //    global cross. The median is SELECTED (lower median via
+  //    row_number), not interpolated: the result is an actual pairwise
+  //    slope, and both engines pick the identical value because selection
+  //    at a rank is order-independent for a sorted multiset.
+  private val a18TheilSen: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .filter(pmod(col("l_orderkey"), lit(97)) === 0)
+      .select(
+        col("l_suppkey"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("pid"),
+        col("l_quantity").cast("long").as("x"),
+        Exact.dec2(col("l_extendedprice")).cast("double").as("y"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_suppkey") === col("b.l_suppkey") &&
+        col("a.pid") < col("b.pid") && col("a.x") =!= col("b.x"))
+      .select(col("a.l_suppkey").as("l_suppkey"),
+        ((col("b.y") - col("a.y")) /
+          (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey").orderBy("slope")
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey")))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .select(col("l_suppkey"), col("m").as("n_pairs"),
+        col("slope").as("ts_slope"))
+      .orderBy("l_suppkey")
+  }
+
+  private val a18Sql =
+    """WITH pts AS (
+      |  SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS pid,
+      |         CAST(l_quantity AS BIGINT) AS x,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS y
+      |  FROM lineitem WHERE l_orderkey % 97 = 0),
+      |pairs AS (
+      |  SELECT a.l_suppkey, (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM pts a JOIN pts b
+      |    ON a.l_suppkey = b.l_suppkey AND a.pid < b.pid AND a.x <> b.x),
+      |rk AS (
+      |  SELECT l_suppkey, slope,
+      |         row_number() OVER (PARTITION BY l_suppkey ORDER BY slope) AS rn,
+      |         count(*) OVER (PARTITION BY l_suppkey) AS m
+      |  FROM pairs)
+      |SELECT l_suppkey, m AS n_pairs, slope AS ts_slope
+      |FROM rk WHERE rn = (m + 1) // 2
+      |ORDER BY l_suppkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "a18_theilsen"        -> a18TheilSen,
     "a3_pixel_meanclip"   -> a3PixelMeanclip,
     "a17_exact_corr"      -> a17ExactCorr,
     "a1_regression_slope" -> a1Regression,
@@ -781,6 +840,7 @@ object Statistical extends QueryPack {
     "a16_pair_product"    -> a16PairProduct)
 
   def oracles: Map[String, String] = Map(
+    "a18_theilsen"        -> a18Sql,
     "a3_pixel_meanclip"   -> a3Sql,
     "a17_exact_corr"      -> a17Sql,
     "a1_regression_slope" -> a1Sql,

@@ -489,25 +489,20 @@ object TextAnalysis extends QueryPack {
     s"((($b * 1103515245 + 12345) % $scoreMod) - ${scoreMod / 2})"
 
   private def featBuckets(d: TextPrims.Dialect): String = {
+    // DuckDB face only — the Spark side runs the compiled
+    // TextKernels.ngramBuckets (identical arithmetic; the HOF
+    // formulation re-evaluated split() per element_at, O(tokens²))
     val toks = TextPrims.tokens("text", d)
-    d match {
-      case SparkD =>
-        val uni = s"transform($toks, t -> ${TextPrims.polyhash("t", d)} % $nBuckets)"
-        val big = s"CASE WHEN size($toks) < 2 THEN array() ELSE " +
-          s"transform(sequence(1, size($toks)-1), i -> " +
-          s"${TextPrims.polyhash(s"concat(element_at($toks, i), '_', element_at($toks, i+1))", d)} % $nBuckets) END"
-        s"concat($uni, $big)"
-      case DuckD =>
-        val uni = s"list_transform($toks, t -> ${TextPrims.polyhash("t", d)} % $nBuckets)"
-        val big = s"list_transform(range(1, len($toks)), i -> " +
-          s"${TextPrims.polyhash(s"($toks[CAST(i AS INT)] || '_' || $toks[CAST(i AS INT)+1])", d)} % $nBuckets)"
-        s"list_concat($uni, $big)"
-    }
+    val uni = s"list_transform($toks, t -> ${TextPrims.polyhash("t", d)} % $nBuckets)"
+    val big = s"list_transform(range(1, len($toks)), i -> " +
+      s"${TextPrims.polyhash(s"($toks[CAST(i AS INT)] || '_' || $toks[CAST(i AS INT)+1])", d)} % $nBuckets)"
+    s"list_concat($uni, $big)"
   }
 
   private val tNgramScore: Q = (s, dir) => {
     Tables.documents(s, dir)
-      .withColumn("fb", expr(featBuckets(SparkD)))
+      .withColumn("fb",
+        graft.functions.TextKernels.ngramBucketsUdf(nBuckets)(col("text")))
       .select(col("doc_id"),
         expr("size(fb)").cast("long").as("n_feats"),
         expr(s"aggregate(fb, CAST(0 AS BIGINT), (acc, b) -> acc + ${bucketWeight("b")})")
@@ -527,7 +522,50 @@ object TextAnalysis extends QueryPack {
        |SELECT doc_id, n_feats, score, score > 0 AS keep
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  // -- t13: corpus-frequency novelty — the CCNet/Gopher-style signal
+  //    that separates formulaic text from fresh prose: the fraction of a
+  //    document's distinct word bigrams that are RARE corpus-wide
+  //    (document frequency ≤ 2). Two-pass shape, both bounded: a df
+  //    aggregate over (bigram hash) — map-side combined, 8-byte keys —
+  //    and the join back to each doc's bigrams, then a per-doc
+  //    re-aggregate. The rare-set join is the d13 move again: at 100 TB
+  //    the bigram-df table is vocabulary-sized, orders below the corpus.
+  //    The fraction is one IEEE division of two exact counts, identical
+  //    on both engines.
+  private val tNovelty: Q = (s, dir) => {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        graft.functions.TextKernels.wordShingleHashesUdf(col("text")))
+        .as("gh"))
+    val df = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    grams.join(df, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("ndocs") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_frac",
+        col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  private val tNoveltySql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(${TextPrims.hashEach(
+            TextPrims.wordShingles(toks, DuckD), DuckD)}) AS gh
+       |  FROM documents),
+       |df AS (SELECT gh, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY gh)
+       |SELECT g.doc_id, count(*) AS n_bigrams,
+       |       CAST(sum(CASE WHEN df.ndocs <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_rare,
+       |       CAST(sum(CASE WHEN df.ndocs <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS rare_frac
+       |FROM g JOIN df USING (gh)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "t13_novelty"     -> tNovelty,
     "t12_ngram_score" -> tNgramScore,
     "t11_pii_redact" -> tPiiRedact,
     "t10_trigram_repetition" -> tTrigramRepetition,
@@ -542,6 +580,7 @@ object TextAnalysis extends QueryPack {
     "t6_chunking"     -> tChunking)
 
   def oracles: Map[String, String] = Map(
+    "t13_novelty"     -> tNoveltySql,
     "t12_ngram_score" -> tNgramScoreSql,
     "t11_pii_redact" -> tPiiRedactSql,
     "t10_trigram_repetition" -> tTrigramRepetitionSql,

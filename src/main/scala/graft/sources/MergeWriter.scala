@@ -79,4 +79,30 @@ object MergeWriter {
     fs.rename(tmp, cur)
     fs.delete(old, true)
   }
+
+  /** Key-level delete: rewrite the table without rows whose `keys`
+    * columns match any row of `tombstones` — the retraction half of the
+    * upsert sink (GDPR erasure, index removals). Same anti-join shape
+    * and same two-rename swap with crash recovery as upsertParquet;
+    * deleting absent keys is a no-op, so redelivered tombstone batches
+    * are idempotent. A missing table is a no-op too (nothing to erase).
+    * Partition-scoped at scale exactly like the upsert: pass the
+    * partition subdir as `path` to rewrite only the touched partition. */
+  def deleteParquet(spark: SparkSession, path: String,
+                    tombstones: DataFrame, keys: Seq[String]): Unit = {
+    recover(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(path)
+    if (!fs.exists(cur)) return
+    val kept = spark.read.parquet(path)
+      .join(tombstones.select(keys.map(
+        org.apache.spark.sql.functions.col): _*).distinct(), keys, "left_anti")
+    val tmp = new Path(path + ".__tmp__")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(path + ".__old__")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(cur, old)
+    fs.rename(tmp, cur)
+    fs.delete(old, true): Unit
+  }
 }

@@ -153,6 +153,32 @@ class IvfPqIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("remove drops ids from lists and codes; probe forgets them; tombstones replay safely") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_remove")
+      .toString + "/idx"
+    IvfPqIndex.build(spark, sfDir, tmp)
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 3)
+      .select("vec_id", "embedding")
+    val before = IvfPqIndex.probe(spark, tmp, q, topk = 3).collect()
+    assert(before.nonEmpty)
+    val victim = before.head.getLong(2) // its top neighbor
+
+    import spark.implicits._
+    val tombstones = Seq(victim, 888888L).toDF("vec_id") // one absent id
+    IvfPqIndex.remove(spark, tmp, tombstones)
+    IvfPqIndex.remove(spark, tmp, tombstones) // replayed batch: no-op
+
+    assert(spark.read.parquet(s"$tmp/lists")
+      .filter(col("vec_id") === victim).count() == 0)
+    assert(spark.read.parquet(s"$tmp/pq_codes")
+      .filter(col("vec_id") === victim).count() == 0)
+    val after = IvfPqIndex.probe(spark, tmp, q, topk = 3).collect()
+    assert(!after.exists(_.getLong(2) == victim),
+      "removed id still served as a neighbor")
+    assert(after.length == before.length, "k no longer filled after delete")
+  }
+
   test("streaming maintenance appends each micro-batch exactly once") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("ivfpq_stream")

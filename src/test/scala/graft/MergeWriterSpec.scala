@@ -94,6 +94,24 @@ class MergeWriterSpec extends SparkSpecBase {
     assert(!Files.exists(java.nio.file.Paths.get(dir + ".__tmp__")))
   }
 
+  test("deleteParquet erases matched keys, replays safely, skips absent tables") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_del").toString + "/t"
+    MergeWriter.upsertParquet(spark,
+      dir, Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v"), Seq("k"))
+    val ts = Seq(2, 99).toDF("k") // one present, one absent
+    MergeWriter.deleteParquet(spark, dir, ts, Seq("k"))
+    MergeWriter.deleteParquet(spark, dir, ts, Seq("k")) // tombstone replay
+    val got = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1, 10.0), (3, 30.0)))
+    // absent table: a no-op, not an error
+    MergeWriter.deleteParquet(spark, dir + "_missing", ts, Seq("k"))
+    // upsert after delete: the erased key can return
+    MergeWriter.upsertParquet(spark, dir, Seq((2, 21.0)).toDF("k", "v"), Seq("k"))
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("composite natural keys merge on the full key") {
     import spark.implicits._
     val target = Seq(("img1", 1, 1.0), ("img1", 2, 2.0)).toDF("img", "ap", "v")
