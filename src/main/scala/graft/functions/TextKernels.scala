@@ -181,6 +181,30 @@ object TextKernels {
     n
   }
 
+  /** ALL word-3gram hashes in position order, duplicates kept — the
+    * hashed face of [[wordTrigramsAll]], for positional duplicated-span
+    * detection (d14) where the array index IS the token position. */
+  def wordTrigramHashesAll(text: String): Array[Long] = {
+    val t = tokensOf(text)
+    if (t.length < 3) return Array.empty
+    val out = new Array[Long](t.length - 2)
+    var i = 0
+    while (i < t.length - 2) {
+      var h = polyhash(t(i))
+      h = (h * 31 + '_') % P
+      var j = 0
+      val s2 = t(i + 1)
+      while (j < s2.length) { h = (h * 31 + s2.charAt(j)) % P; j += 1 }
+      h = (h * 31 + '_') % P
+      val s3 = t(i + 2)
+      j = 0
+      while (j < s3.length) { h = (h * 31 + s3.charAt(j)) % P; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
   /** Hashed n-gram feature buckets for the linear scorer (t12): all word
     * unigrams then all adjacent bigrams (duplicates kept — a bag, not a
     * set), each polyhashed mod `nBuckets`. Identical arithmetic to the
@@ -218,6 +242,8 @@ object TextKernels {
   val simhash16Udf: UserDefinedFunction = udf((t: String) => simhash16(t))
   // Array[Long] signatures hit Spark's primitive fast path
   // (ArrayData.toLongArray) — no per-element boxing at the UDF boundary.
+  val wordTrigramHashesAllUdf: UserDefinedFunction =
+    udf((t: String) => wordTrigramHashesAll(t))
   def ngramBucketsUdf(nBuckets: Long): UserDefinedFunction =
     udf((t: String) => ngramBuckets(t, nBuckets))
   val sortedIntersectUdf: UserDefinedFunction =

@@ -746,7 +746,67 @@ object Dedup extends QueryPack {
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -- d14: duplicated-SPAN detection — the exact-substring dedup of
+  //    Lee et al. ("Deduplicating Training Data Makes Language Models
+  //    Better"): find the maximal token spans of each document whose
+  //    every 3-gram also appears in at least one other document. Where
+  //    d13 removes corpus-frequent fixed segments, d14 localizes
+  //    arbitrary-length copied passages at token granularity: positions
+  //    whose 3-gram is cross-doc duplicated merge into maximal runs by
+  //    the gaps-and-islands idiom (pos − row_number is constant within a
+  //    consecutive run), so a copied paragraph surfaces as ONE span with
+  //    its length, not a shower of grams. Same scale story as d13: the
+  //    duplicated-gram set keys on 8-byte hashes and is vocabulary-sized;
+  //    the islands pass is one window over each doc's flagged positions.
+  private val d14DupSpans: Q = (s, dir) => {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(
+        TextKernels.wordTrigramHashesAllUdf(col("text"))).as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val flagged = grams.join(dup, Seq("gh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("sp"), max(col("pos")).as("ep"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("ep") - col("sp") + 3).as("max_span_tokens"),
+        sum(col("ep") - col("sp") + 3).as("covered_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val d14Sql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    def tok(i: String) = s"toks[CAST($i AS INT)]"
+    val gram = s"${tok("p+1")} || '_' || ${tok("p+2")} || '_' || ${tok("p+3")}"
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, p AS pos, ${TextPrims.polyhash(s"($gram)", DuckD)} AS gh
+       |  FROM t, LATERAL unnest(range(0, len(toks) - 2)) AS u(p)),
+       |dup AS (
+       |  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |f AS (
+       |  SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+       |isl AS (
+       |  SELECT doc_id,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+       |         pos
+       |  FROM f),
+       |spans AS (
+       |  SELECT doc_id, grp, min(pos) AS sp, max(pos) AS ep
+       |  FROM isl GROUP BY doc_id, grp)
+       |SELECT doc_id, count(*) AS n_spans,
+       |       CAST(max(ep - sp + 3) AS BIGINT) AS max_span_tokens,
+       |       CAST(sum(ep - sp + 3) AS BIGINT) AS covered_tokens
+       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "d14_dup_spans"        -> d14DupSpans,
     "d13_line_dedup"       -> d13LineDedup,
     "d12_url_dedup"        -> d12UrlDedup,
     "d11_budget_sample"    -> d11BudgetSample,
@@ -762,6 +822,7 @@ object Dedup extends QueryPack {
     "d10_dup_clusters"     -> d10DupClusters)
 
   def oracles: Map[String, String] = Map(
+    "d14_dup_spans"        -> d14Sql,
     "d13_line_dedup"       -> d13Sql,
     "d12_url_dedup"        -> d12Sql,
     "d11_budget_sample"    -> d11Sql,
