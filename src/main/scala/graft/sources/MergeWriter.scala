@@ -65,19 +65,28 @@ object MergeWriter {
                     partitionCols: Seq[String] = Nil): Unit = {
     recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = new Path(path)
     val merged =
-      if (fs.exists(cur)) merge(spark.read.parquet(path), updates, keys)
+      if (fs.exists(new Path(path))) merge(spark.read.parquet(path), updates, keys)
       else updates
+    swapIn(spark, path, merged, partitionCols)
+  }
+
+  /** Write `next` beside `path` and promote it with the two-rename swap
+    * (every crash point covered by [[recover]]). Shared tail of the
+    * upsert / delete / compact rewrites. */
+  private def swapIn(spark: SparkSession, path: String, next: DataFrame,
+                     partitionCols: Seq[String] = Nil): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(path)
     val tmp = new Path(path + ".__tmp__")
-    val writer = merged.write.mode("overwrite")
+    val writer = next.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp.toString)
     val old = new Path(path + ".__old__")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(cur)) fs.rename(cur, old)
     fs.rename(tmp, cur)
-    fs.delete(old, true)
+    fs.delete(old, true): Unit
   }
 
   /** Key-level delete: rewrite the table without rows whose `keys`
@@ -97,12 +106,34 @@ object MergeWriter {
     val kept = spark.read.parquet(path)
       .join(tombstones.select(keys.map(
         org.apache.spark.sql.functions.col): _*).distinct(), keys, "left_anti")
-    val tmp = new Path(path + ".__tmp__")
-    kept.write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(path + ".__old__")
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(cur, old)
-    fs.rename(tmp, cur)
-    fs.delete(old, true): Unit
+    swapIn(spark, path, kept)
+  }
+
+  /** Small-file compaction — the warehouse-maintenance pass every
+    * incrementally-written table needs: a steady drip of upsert/append
+    * batches leaves a table as thousands of KB-files whose per-file open
+    * and footer cost eventually dominates scans. Rewrite into
+    * ~`targetFileBytes` files (same rows, same swap safety). Run it on a
+    * schedule or when fileCount ≫ bytes/target; at scale, compact
+    * per-partition by passing the partition subdir as `path`, which is
+    * also what keeps the rewrite off the rest of the table. */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileBytes: Long = 128L << 20): Unit = {
+    recover(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(path)
+    if (!fs.exists(cur)) return
+    val it = fs.listFiles(cur, true)
+    var bytes = 0L
+    var nFiles = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        bytes += f.getLen; nFiles += 1
+      }
+    }
+    val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (want >= nFiles) return // already compact enough: skip the rewrite
+    swapIn(spark, path, spark.read.parquet(path).coalesce(want))
   }
 }

@@ -112,6 +112,27 @@ class MergeWriterSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("compactParquet folds many small files into few, keeps rows, skips when compact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(20).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 20)
+    val before = spark.read.parquet(dir).orderBy("k").collect().toSeq
+    MergeWriter.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(files() == 1, "small files not folded")
+    assert(spark.read.parquet(dir).orderBy("k").collect().toSeq == before)
+    // a second pass finds nothing to do and must not rewrite
+    val mtime = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    MergeWriter.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    val mtime2 = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    assert(mtime2 == mtime, "no-op compaction rewrote the table")
+  }
+
   test("composite natural keys merge on the full key") {
     import spark.implicits._
     val target = Seq(("img1", 1, 1.0), ("img1", 2, 2.0)).toDF("img", "ap", "v")
