@@ -564,7 +564,78 @@ object TextAnalysis extends QueryPack {
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   }
 
+  // -- t14: BM25 ranked retrieval — the lexical-search face of the
+  //    vector family (v1/v13): score every document against a fixed
+  //    3-term query with the standard BM25 weighting (k1=1.2, b=0.75)
+  //    and keep the top 10. One scan computes per-doc term frequencies
+  //    and length; one corpus-wide aggregate yields N, avgdl and the
+  //    per-term document frequencies (a handful of scalars, broadcast
+  //    back); scoring is then pure per-row IEEE arithmetic with a FIXED
+  //    left-associative term order so both engines produce bit-identical
+  //    doubles (ln parity holds corpus-wide — the a4 log10 precedent).
+  //    At 100 TB this is the sparse-retrieval pattern: stats are one
+  //    partial-aggregated scan, serving is scan + top-k, no shuffle
+  //    wider than the 3-scalar broadcast.
+  private val bmTerms = Seq("spark", "query", "table")
+  private val bmK1 = "1.2"
+  private val bmB = "0.75"
+
+  private val tBm25: Q = (s, dir) => {
+    val toks = TextPrims.tokens("text", SparkD)
+    val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+      expr(s"size(filter($toks, x -> x = '$t'))").cast("long").as(s"tf$i")
+    }
+    val dCols = Seq(col("doc_id"),
+      expr(s"size($toks)").cast("long").as("dl")) ++ tfCols
+    val d = Tables.documents(s, dir).select(dCols: _*)
+    val aggCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
+      bmTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = d.agg(aggCols.head, aggCols.tail: _*)
+    val scored = d.crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sdl").cast("double") / col("n").cast("double"))
+    val term = bmTerms.indices.map { i =>
+      s"""(ln(1.0 + (CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         | * (CAST(tf$i AS DOUBLE) * ($bmK1 + 1.0))
+         | / (CAST(tf$i AS DOUBLE) + $bmK1 * (1.0 - $bmB + $bmB * CAST(dl AS DOUBLE) / avgdl)))"""
+        .stripMargin.replace("\n", " ")
+    }
+    scored.withColumn("score", expr(term.mkString("(", " + ", ")")))
+      .select("doc_id", "dl", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val tBm25Sql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    val tfs = bmTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter($toks, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfs = bmTerms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val term = bmTerms.indices.map { i =>
+      s"(ln(1.0 + (CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+      s" * (CAST(tf$i AS DOUBLE) * ($bmK1 + 1.0))" +
+      s" / (CAST(tf$i AS DOUBLE) + $bmK1 * (1.0 - $bmB + $bmB * CAST(dl AS DOUBLE) / avgdl)))"
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl, $tfs
+       |  FROM documents),
+       |st AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl, $dfs FROM d),
+       |sc AS (
+       |  SELECT d.doc_id, d.dl,
+       |         CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE) AS avgdl,
+       |         ${term.mkString("(", " + ", ")")} AS score
+       |  FROM d, st)
+       |SELECT doc_id, dl, score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "t14_bm25"        -> tBm25,
     "t13_novelty"     -> tNovelty,
     "t12_ngram_score" -> tNgramScore,
     "t11_pii_redact" -> tPiiRedact,
@@ -580,6 +651,7 @@ object TextAnalysis extends QueryPack {
     "t6_chunking"     -> tChunking)
 
   def oracles: Map[String, String] = Map(
+    "t14_bm25"        -> tBm25Sql,
     "t13_novelty"     -> tNoveltySql,
     "t12_ngram_score" -> tNgramScoreSql,
     "t11_pii_redact" -> tPiiRedactSql,
