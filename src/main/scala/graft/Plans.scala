@@ -122,7 +122,11 @@ object Plans {
     "a18_theilsen" ->
       "Theil–Sen: the modulus filter is pushed to the scan, the pair join is a per-group equi-join on l_suppkey (sampled groups bound the O(n²)), and the median is one window pass over pairs.",
     "t13_novelty" ->
-      "Novelty: compiled shingle kernel in the scan; the df aggregate and the join back both key on the 8-byte gram hash — the rare-set table is vocabulary-sized, never corpus-sized.")
+      "Novelty: compiled shingle kernel in the scan; the df aggregate and the join back both key on the 8-byte gram hash — the rare-set table is vocabulary-sized, never corpus-sized.",
+    "d14_dup_spans" ->
+      "Dup spans: positional trigram hashes from the compiled kernel, the duplicated-gram semi-join keys on 8 bytes, and the islands pass is ONE window per doc over flagged positions only.",
+    "t14_bm25" ->
+      "BM25: corpus stats reduce to a scalar row broadcast back with a BroadcastNestedLoopJoin (1-row side), scoring stays in the scan stage, and the top-10 is a global sort of scalars.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

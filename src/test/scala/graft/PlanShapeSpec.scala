@@ -91,7 +91,8 @@ class PlanShapeSpec extends SparkSpecBase {
     // shuffle appearing in any of them is a plan regression. (The final
     // orderBy is dropped here: Verify adds it only for deterministic
     // hashing; pipeline use is unordered.)
-    for (name <- Seq("d8_stratified_sample", "t6_chunking", "v7_quantize")) {
+    for (name <- Seq("d8_stratified_sample", "t6_chunking", "v7_quantize",
+        "t11_pii_redact", "t12_ngram_score")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val noSort = df.queryExecution.optimizedPlan match {
         case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
