@@ -117,11 +117,29 @@ object SummaryAgg {
     * directory, which the overwrite replaces) turns re-applies into
     * no-ops — the exactly-once contract [[maintainLineitemSummary]]
     * needs under streaming restart. */
+  private val appendMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def appendLineitemDelta(s: SparkSession, dir: String,
                           delta: org.apache.spark.sql.DataFrame,
                           batchId: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions._
     val name = ensureLineitemSummary(s, dir)
+    // read–merge–overwrite is lost-update-prone: two concurrent appends
+    // (a maintain() stream plus an ad-hoc batch, or two streams) could
+    // both read the same base state and the second overwrite would drop
+    // the first delta. A per-table monitor serializes writers in this
+    // JVM; across processes the single-writer assumption is MergeWriter's
+    // documented contract (SQLite-equivalent in the reference), which
+    // this sink inherits.
+    val mon = appendMonitors.computeIfAbsent(name, _ => new Object)
+    mon.synchronized { appendLocked(s, dir, name, delta, batchId) }
+  }
+
+  private def appendLocked(s: SparkSession, dir: String, name: String,
+                           delta: org.apache.spark.sql.DataFrame,
+                           batchId: Option[Long]): Unit = {
+    import org.apache.spark.sql.functions._
     val mark = batchId.map(id => new java.io.File(
       new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
       s"${name}_applied_$id"))

@@ -54,6 +54,37 @@ class SummaryIvmSpec extends SparkSpecBase {
     finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
+  test("concurrent appends serialize: no delta is lost to a stale overwrite") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivm_cc").toString
+    Tables.lineitem(spark, sfDir).limit(200)
+      .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+    val name = plans.SummaryAgg.ensureLineitemSummary(spark, root)
+
+    val d1 = Tables.lineitem(spark, sfDir)
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc).limit(100)
+    val d2 = Tables.lineitem(spark, sfDir)
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)
+    d1.write.mode("overwrite").parquet(s"$root/d1.parquet")
+    d2.write.mode("overwrite").parquet(s"$root/d2.parquet")
+    val (r1, r2) = (spark.read.parquet(s"$root/d1.parquet"),
+                    spark.read.parquet(s"$root/d2.parquet"))
+    r1.write.mode("append").parquet(s"$root/lineitem.parquet")
+    r2.write.mode("append").parquet(s"$root/lineitem.parquet")
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    Await.result(Future.sequence(Seq(
+      Future(plans.SummaryAgg.appendLineitemDelta(spark, root, r1, Some(10L))),
+      Future(plans.SummaryAgg.appendLineitemDelta(spark, root, r2, Some(11L))))),
+      5.minutes)
+
+    val summary = spark.table(name)
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    val full = grainAgg(Tables.lineitem(spark, root)).collect().toSeq
+    assert(summary == full, "a concurrent append lost a delta")
+  }
+
   test("streaming maintenance folds micro-batches into the summary") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivm_st").toString
     val landing = s"$root/landing"
