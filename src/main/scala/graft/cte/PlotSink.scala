@@ -116,5 +116,9 @@ object PlotSink {
     (lo - 0.05 * span, hi + 0.05 * span)
   }
 
-  private def fmt(v: Double): String = f"$v%.3g"
+  // Locale.ROOT, not the default-locale f-interpolator: a comma-decimal
+  // locale would change tick-label text and therefore the PNG bytes,
+  // breaking the byte-reproducibility this sink promises.
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3g", Double.box(v))
 }

@@ -60,31 +60,12 @@ object IvfPqIndex {
   private def sourceFile(dir: String) =
     new java.io.File(dir, "embeddings.parquet")
 
-  /** md5 over every data file's (name, length, footer tail). Reading the
-    * last 64 KiB instead of the whole file keeps this O(#files) at any
-    * corpus size — the parquet footer's row-group statistics change
-    * whenever the data does, which is the property a content key needs. */
-  private def fingerprint(src: java.io.File): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(src.getAbsolutePath.getBytes("UTF-8"))
-    val files =
-      if (src.isDirectory)
-        src.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
-          .sortBy(_.getName)
-      else Array(src)
-    files.foreach { f =>
-      md.update(s"${f.getName}:${f.length}:".getBytes("UTF-8"))
-      val in = new java.io.RandomAccessFile(f, "r")
-      try {
-        val n = math.min(f.length, 65536L)
-        in.seek(f.length - n)
-        val buf = new Array[Byte](n.toInt)
-        in.readFully(buf)
-        md.update(buf)
-      } finally in.close()
-    }
-    md.digest.map("%02x".format(_)).mkString
-  }
+  /** md5 over every data file's (name, length, footer tail) — the shared
+    * [[graft.sources.Warehouse.contentTag]] content key: O(#files) at
+    * any corpus size, and the parquet footer's row-group statistics
+    * change whenever the data does. */
+  private def fingerprint(src: java.io.File): String =
+    graft.sources.Warehouse.contentTag(src)
 
   private def marker(path: String) = new java.io.File(path, "_INDEX_SUCCESS")
   /** Records which corpus a fingerprint dir serves, so promote can GC
@@ -139,7 +120,12 @@ object IvfPqIndex {
 
   /** Sweep sibling graft_ivfpq_* dirs that serve the SAME source file
     * under a superseded fingerprint — without this, every corpus
-    * regeneration leaks an index dir for the life of the tmpdir. */
+    * regeneration leaks an index dir for the life of the tmpdir.
+    * Assumes readers of the superseded fingerprint have drained (a
+    * session that fingerprints the regenerated corpus can no longer
+    * resolve the old dir); a deployment with long-running concurrent
+    * readers over a corpus being regenerated needs a catalog/lakehouse
+    * layer's snapshot isolation, same caveat as MergeWriter's swap. */
   private def gcSuperseded(current: String): Unit = {
     val cur = new java.io.File(current)
     val src = try java.nio.file.Files.readString(sourceTag(current).toPath)
@@ -153,7 +139,10 @@ object IvfPqIndex {
       }
       .foreach { f =>
         rmTree(f)
-        new java.io.File(f.getPath + ".lock").delete(): Unit
+        // the .lock file is deliberately NOT deleted: FileChannel locks
+        // are bound to the inode, and recreating the file would let two
+        // late builders hold "the" lock on different inodes — an
+        // inode-sized leak buys keeping mutual exclusion sound
       }
   }
 
@@ -163,12 +152,11 @@ object IvfPqIndex {
   }
 
   /** (vec_id, embedding) → one long frame of the pqM subspace slices —
-    * the grouped-training/encode input shape. */
+    * the grouped-training/encode input shape, shared with [[Similarity]]
+    * so index codes and v12's trained codebooks can never slice
+    * differently. */
   private def subspaceSlices(vectors: DataFrame): DataFrame =
-    (0 until pqM).map { j =>
-      vectors.select(lit(j).as("subspace"), col("vec_id"),
-        slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))
-    }.reduce(_ union _)
+    Similarity.pqSubspaces(vectors)
 
   /** Train + encode + persist. Package-private so specs can build into a
     * scratch location; normal callers go through [[ensure]]. */

@@ -545,8 +545,10 @@ object Similarity extends QueryPack {
   private[operators] val pqK = 8
 
   /** The 4 subspace slices as ONE long frame — the input shape that lets
-    * all PQ codebooks train in a single plan (KMeans.fitGrouped). */
-  private def pqSubspaces(e: org.apache.spark.sql.DataFrame) =
+    * all PQ codebooks train in a single plan (KMeans.fitGrouped).
+    * Shared with [[IvfPqIndex]] (same slicing must key both the trained
+    * codebooks and the persisted codes, or ADC reconstructs garbage). */
+  private[operators] def pqSubspaces(e: org.apache.spark.sql.DataFrame) =
     (0 until pqM).map { j =>
       e.select(lit(j).as("subspace"), col("vec_id"),
         slice(col("embedding"), j * pqSubDim + 1, pqSubDim).as("embedding"))

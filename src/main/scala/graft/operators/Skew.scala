@@ -247,30 +247,28 @@ object Skew extends QueryPack {
     * the session catalog, and the write is a one-time scan, the same
     * amortization as IvfPqIndex). Returns (ordersTable, lineitemTable). */
   def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val names = Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")
       .map { case (t, k) =>
-        val name = s"graft_bkt_${t}_$tag"
+        val name = s"graft_bkt_${t}_${graft.sources.Warehouse.dirTag(dir)}"
+        val srcFile = new java.io.File(dir, s"$t.parquet")
+        // a bucketed copy left by THIS JVM over a regenerated corpus
+        // would serve stale rows — the content tag catches it (a fresh
+        // JVM rebuilds anyway: bucket metadata lives in the catalog)
+        if (s.catalog.tableExists(name) &&
+            !graft.sources.Warehouse.sourceTagCurrent(s, name, srcFile))
+          s.sql(s"DROP TABLE IF EXISTS $name")
         if (!s.catalog.tableExists(name)) {
           // A fresh session catalog can't adopt a previous JVM's managed
           // location (bucket metadata lives in the catalog, not the
           // files), and saveAsTable refuses to reuse it — drop the stale
           // derived cache and rebuild from the source parquet.
-          val loc = new java.io.File(
-            new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-              .getPath + s"/$name")
-          if (loc.exists()) {
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm))
-              f.delete(): Unit
-            }
-            rm(loc)
-          }
+          graft.sources.Warehouse.dropStaleLocation(s, name)
           val src = if (t == "orders") Tables.orders(s, dir)
                     else Tables.lineitem(s, dir)
           src.write.format("parquet")
             .bucketBy(bucketCount, k).sortBy(k)
             .mode("overwrite").saveAsTable(name)
+          graft.sources.Warehouse.recordSourceTag(s, name, srcFile)
         }
         name
       }

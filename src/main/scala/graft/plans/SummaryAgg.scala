@@ -8,6 +8,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
+import graft.sources.Warehouse
+
 /** Transparent materialized-aggregate (summary-table) rewrite — the
   * classic OLAP engine feature: a pre-aggregated table at a declared
   * grain silently answers any query that groups by a SUBSET of that
@@ -61,36 +63,63 @@ object SummaryAgg {
 
   /** The lineitem daily-ops summary: grain (l_returnflag, l_linestatus),
     * exact-decimal sums of the three measure columns plus the row count.
-    * Built once per corpus into the warehouse (same amortization and
-    * stale-location handling as the bucketed tables), then registered so
-    * the rewrite rule can serve matching aggregates from it. */
+    * Built once per corpus into the warehouse, then registered so the
+    * rewrite rule can serve matching aggregates from it.
+    *
+    * Staleness: the FIRST ensure in a JVM compares the base fact's
+    * content tag (parquet footer digest, [[graft.sources.Warehouse]])
+    * against the tag recorded at build time — a summary left by an older
+    * JVM over a REGENERATED corpus is dropped and rebuilt rather than
+    * silently served through the rewrite. Within a live session the tag
+    * is not re-checked: incremental appends legitimately move the
+    * summary ahead of the base files, and the base is still the source
+    * of truth for any later rebuild. A rebuild sweeps the applied-batch
+    * marker history (the deltas are either in the rebuilt base or gone
+    * with the regeneration); maintenance streams must restart from a
+    * fresh checkpoint after a base regeneration, the standard contract
+    * for rebuilding a downstream sink. */
   def ensureLineitemSummary(s: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-    val name = s"graft_mv_lineitem_$tag"
-    if (!s.catalog.tableExists(name)) {
-      val loc = new java.io.File(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-          .getPath + s"/$name")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(loc)
+    val name = s"graft_mv_lineitem_${Warehouse.dirTag(dir)}"
+    val mon = appendMonitors.computeIfAbsent(name, _ => new Object)
+    mon.synchronized {
+      val src = new java.io.File(dir, "lineitem.parquet")
+      val stale = !checkedFresh.contains(name) &&
+        s.catalog.tableExists(name) &&
+        !Warehouse.sourceTagCurrent(s, name, src)
+      if (stale) {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        sweepMarkers(s, name)
       }
-      graft.Tables.lineitem(s, dir)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          count(lit(1)).as("cnt"),
-          sum(graft.Exact.dec2(col("l_quantity"))).as("sum_l_quantity"),
-          sum(graft.Exact.dec2(col("l_extendedprice")))
-            .as("sum_l_extendedprice"),
-          sum(graft.Exact.dec2(col("l_discount"))).as("sum_l_discount"))
-        .write.format("parquet").mode("overwrite").saveAsTable(name)
+      if (!s.catalog.tableExists(name)) {
+        Warehouse.dropStaleLocation(s, name)
+        sweepMarkers(s, name)
+        graft.Tables.lineitem(s, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(graft.Exact.dec2(col("l_quantity"))).as("sum_l_quantity"),
+            sum(graft.Exact.dec2(col("l_extendedprice")))
+              .as("sum_l_extendedprice"),
+            sum(graft.Exact.dec2(col("l_discount"))).as("sum_l_discount"))
+          .write.format("parquet").mode("overwrite").saveAsTable(name)
+        Warehouse.recordSourceTag(s, name, src)
+      }
+      checkedFresh.add(name)
+      registerLineitem(s, dir, name)
     }
-    registerLineitem(s, dir, name)
     name
+  }
+
+  private val checkedFresh =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def sweepMarkers(s: SparkSession, name: String): Unit = {
+    val wh = new java.io.File(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+    Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"${name}_applied_"))
+      .foreach(_.delete())
   }
 
   private def registerLineitem(s: SparkSession, dir: String,
@@ -116,33 +145,41 @@ object SummaryAgg {
     * double-count, so an applied-batch marker (kept OUTSIDE the table
     * directory, which the overwrite replaces) turns re-applies into
     * no-ops — the exactly-once contract [[maintainLineitemSummary]]
-    * needs under streaming restart. */
+    * needs under streaming restart. Markers are namespaced by `scope`
+    * (the maintenance sink id, or "adhoc"): batch ids are only unique
+    * within ONE streaming checkpoint, and an unscoped marker would let a
+    * second stream's batch 0 silently skip behind the first's. */
   private val appendMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def appendLineitemDelta(s: SparkSession, dir: String,
                           delta: org.apache.spark.sql.DataFrame,
-                          batchId: Option[Long] = None): Unit = {
-    import org.apache.spark.sql.functions._
-    val name = ensureLineitemSummary(s, dir)
+                          batchId: Option[Long] = None,
+                          scope: String = "adhoc"): Unit = {
+    val name = s"graft_mv_lineitem_${Warehouse.dirTag(dir)}"
     // read–merge–overwrite is lost-update-prone: two concurrent appends
     // (a maintain() stream plus an ad-hoc batch, or two streams) could
     // both read the same base state and the second overwrite would drop
     // the first delta. A per-table monitor serializes writers in this
-    // JVM; across processes the single-writer assumption is MergeWriter's
-    // documented contract (SQLite-equivalent in the reference), which
-    // this sink inherits.
+    // JVM — ensure runs INSIDE it so two first-ever appends cannot race
+    // the build either; across processes the single-writer assumption is
+    // MergeWriter's documented contract (SQLite-equivalent in the
+    // reference), which this sink inherits.
     val mon = appendMonitors.computeIfAbsent(name, _ => new Object)
-    mon.synchronized { appendLocked(s, dir, name, delta, batchId) }
+    mon.synchronized {
+      ensureLineitemSummary(s, dir) // reentrant: same monitor
+      appendLocked(s, dir, name, delta, batchId, scope)
+    }
   }
 
   private def appendLocked(s: SparkSession, dir: String, name: String,
                            delta: org.apache.spark.sql.DataFrame,
-                           batchId: Option[Long]): Unit = {
+                           batchId: Option[Long], scope: String): Unit = {
     import org.apache.spark.sql.functions._
+    val safeScope = scope.replaceAll("[^A-Za-z0-9_-]", "_")
     val mark = batchId.map(id => new java.io.File(
       new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
-      s"${name}_applied_$id"))
+      s"${name}_applied_${safeScope}_$id"))
     if (mark.exists(_.exists())) return
     val deltaAgg = delta
       .groupBy("l_returnflag", "l_linestatus")
@@ -174,10 +211,13 @@ object SummaryAgg {
   }
 
   /** Streaming maintenance: every micro-batch of fact rows folds into
-    * the summary through [[appendLineitemDelta]], keyed by the batch id
-    * so redelivered batches are no-ops. */
+    * the summary through [[appendLineitemDelta]], keyed by (sinkId,
+    * batchId) so redelivered batches are no-ops. `sinkId` must be stable
+    * across restarts of the SAME checkpoint (batch ids continue there)
+    * and distinct between different maintenance streams (each restarts
+    * its ids from 0 — an unscoped id would collide). */
   def maintainLineitemSummary(deltas: org.apache.spark.sql.DataFrame,
-                              dir: String)
+                              dir: String, sinkId: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // fold using the stream-OWNING session, not the micro-batch clone:
     // the relation cache is per-session, and a refresh inside the clone
@@ -185,7 +225,8 @@ object SummaryAgg {
     val owner = deltas.sparkSession
     deltas.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        if (!b.isEmpty) appendLineitemDelta(owner, dir, b, Some(id))
+        if (!b.isEmpty)
+          appendLineitemDelta(owner, dir, b, Some(id), scope = sinkId)
       }
       .start()
   }

@@ -96,9 +96,14 @@ object MergeWriter {
     * deleting absent keys is a no-op, so redelivered tombstone batches
     * are idempotent. A missing table is a no-op too (nothing to erase).
     * Partition-scoped at scale exactly like the upsert: pass the
-    * partition subdir as `path` to rewrite only the touched partition. */
+    * partition subdir as `path` to rewrite only the touched partition.
+    * `partitionCols` carries the same contract as upsertParquet's — a
+    * hive-partitioned table MUST pass its partition columns or the
+    * rewrite flattens the directory layout (and with it the partition
+    * pruning the warehouse relies on). */
   def deleteParquet(spark: SparkSession, path: String,
-                    tombstones: DataFrame, keys: Seq[String]): Unit = {
+                    tombstones: DataFrame, keys: Seq[String],
+                    partitionCols: Seq[String] = Nil): Unit = {
     recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
@@ -106,7 +111,7 @@ object MergeWriter {
     val kept = spark.read.parquet(path)
       .join(tombstones.select(keys.map(
         org.apache.spark.sql.functions.col): _*).distinct(), keys, "left_anti")
-    swapIn(spark, path, kept)
+    swapIn(spark, path, kept, partitionCols)
   }
 
   /** Small-file compaction — the warehouse-maintenance pass every
@@ -116,9 +121,13 @@ object MergeWriter {
     * ~`targetFileBytes` files (same rows, same swap safety). Run it on a
     * schedule or when fileCount ≫ bytes/target; at scale, compact
     * per-partition by passing the partition subdir as `path`, which is
-    * also what keeps the rewrite off the rest of the table. */
+    * also what keeps the rewrite off the rest of the table. Same
+    * `partitionCols` contract as upsert/delete: a hive-partitioned table
+    * compacted at its ROOT must pass its partition columns or the
+    * layout flattens (per-partition compaction needs none). */
   def compactParquet(spark: SparkSession, path: String,
-                     targetFileBytes: Long = 128L << 20): Unit = {
+                     targetFileBytes: Long = 128L << 20,
+                     partitionCols: Seq[String] = Nil): Unit = {
     recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
@@ -134,6 +143,7 @@ object MergeWriter {
     }
     val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     if (want >= nFiles) return // already compact enough: skip the rewrite
-    swapIn(spark, path, spark.read.parquet(path).coalesce(want))
+    swapIn(spark, path, spark.read.parquet(path).coalesce(want),
+      partitionCols)
   }
 }

@@ -46,20 +46,31 @@ object DocStream {
     docs.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
+          import org.apache.spark.sql.functions.{greatest, least, col}
           val sig = Dedup.signatures(b).persist()
           val fs = new Path(storePath)
             .getFileSystem(owner.sparkContext.hadoopConfiguration)
           MergeWriter.recover(owner, storePath)
-          if (fs.exists(new Path(storePath))) {
-            val store = owner.read.parquet(storePath)
-            import org.apache.spark.sql.functions.{greatest, least, col}
-            MergeWriter.upsertParquet(owner, hitsPath,
-              Dedup.probePairs(sig, store, threshold)
-                .select(least(col("new_doc"), col("dup_of")).as("doc_a"),
-                  greatest(col("new_doc"), col("dup_of")).as("doc_b"),
-                  col("jac")),
-              Seq("doc_a", "doc_b"))
-          }
+          // INTRA-batch pairs too: two near-dups landing in the same
+          // micro-batch would otherwise both enter the store unflagged —
+          // neither ever probes the other again, and the streamed corpus
+          // under-reports duplicates vs the batch d4 pipeline
+          val intra = Dedup.probePairs(sig, sig, threshold)
+          val pairs =
+            if (fs.exists(new Path(storePath)))
+              intra.unionByName(Dedup.probePairs(sig,
+                owner.read.parquet(storePath), threshold))
+            else intra
+          MergeWriter.upsertParquet(owner, hitsPath,
+            pairs
+              .select(least(col("new_doc"), col("dup_of")).as("doc_a"),
+                greatest(col("new_doc"), col("dup_of")).as("doc_b"),
+                col("jac"))
+              // the intra probe reports both directions of each pair —
+              // canonical order folds them onto one key, dedupe before
+              // the upsert (merge keeps every update row, even same-key)
+              .dropDuplicates("doc_a", "doc_b"),
+            Seq("doc_a", "doc_b"))
           MergeWriter.upsertParquet(owner, storePath, sig, Seq("doc_id"))
           sig.unpersist(): Unit
         }

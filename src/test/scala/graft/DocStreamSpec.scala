@@ -58,8 +58,19 @@ class DocStreamSpec extends SparkSpecBase {
     val before = h2.count()
     drop("b3", Seq((10000L, doc0Text), (10001L, cleanText)))
     q.processAllAvailable()
-    q.stop()
     assert(spark.read.parquet(hits).count() == before,
       "redelivered batch changed the hit set")
+
+    // b4: two near-dups INSIDE one micro-batch — must be flagged even
+    // though neither was in the store when the batch arrived
+    val yy = (1 to 40).map(i => s"yy$i").mkString(" ")
+    val yyNear = (1 to 40).map(i => if (i == 40) "yy41" else s"yy$i")
+      .mkString(" ")
+    drop("b4", Seq((10003L, yy), (10004L, yyNear)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(hits)
+      .filter(col("doc_a") === 10003L && col("doc_b") === 10004L)
+      .count() == 1, "intra-batch near-dup pair not flagged")
   }
 }

@@ -54,6 +54,28 @@ class SummaryIvmSpec extends SparkSpecBase {
     finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
+  test("marker scopes isolate sinks: two streams' batch 0 both apply") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivm_sc").toString
+    Tables.lineitem(spark, sfDir).limit(150)
+      .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+    val name = plans.SummaryAgg.ensureLineitemSummary(spark, root)
+    Tables.lineitem(spark, sfDir).limit(230)
+      .write.mode("overwrite").parquet(s"$root/d.parquet")
+    val all = spark.read.parquet(s"$root/d.parquet")
+    val d1 = all.filter(col("l_orderkey") % 2 === 0)
+    val d2 = all.filter(col("l_orderkey") % 2 =!= 0)
+    d1.unionByName(d2).write.mode("append").parquet(s"$root/lineitem.parquet")
+    // same batchId from two DIFFERENT maintenance sinks: both must fold
+    plans.SummaryAgg.appendLineitemDelta(spark, root, d1, Some(0L), "sinkA")
+    plans.SummaryAgg.appendLineitemDelta(spark, root, d2, Some(0L), "sinkB")
+    // replay within a scope is still a no-op
+    plans.SummaryAgg.appendLineitemDelta(spark, root, d1, Some(0L), "sinkA")
+    val summary = spark.table(name)
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    val full = grainAgg(Tables.lineitem(spark, root)).collect().toSeq
+    assert(summary == full, "scoped markers lost or double-applied a delta")
+  }
+
   test("concurrent appends serialize: no delta is lost to a stale overwrite") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivm_cc").toString
     Tables.lineitem(spark, sfDir).limit(200)
@@ -96,7 +118,7 @@ class SummaryIvmSpec extends SparkSpecBase {
 
     val stream = spark.readStream.schema(schema)
       .option("recursiveFileLookup", "true").parquet(landing)
-    val q = plans.SummaryAgg.maintainLineitemSummary(stream, root)
+    val q = plans.SummaryAgg.maintainLineitemSummary(stream, root, "spec-sink")
 
     Tables.lineitem(spark, sfDir)
       .orderBy(col("l_orderkey").desc, col("l_linenumber").desc).limit(150)
