@@ -126,7 +126,9 @@ object Plans {
     "d14_dup_spans" ->
       "Dup spans: positional trigram hashes from the compiled kernel, the duplicated-gram semi-join keys on 8 bytes, and the islands pass is ONE window per doc over flagged positions only.",
     "t14_bm25" ->
-      "BM25: corpus stats reduce to a scalar row broadcast back with a BroadcastNestedLoopJoin (1-row side), scoring stays in the scan stage, and the top-10 is a global sort of scalars.")
+      "BM25: corpus stats reduce to a scalar row broadcast back with a BroadcastNestedLoopJoin (1-row side), scoring stays in the scan stage, and the top-10 is a global sort of scalars.",
+    "x6_zorder_box" ->
+      "Z-order clustered scan: both box filters are literals pushed to the graft_z_lineitem FileScan (PushedFilters on l_partkey AND l_suppkey); the Morton layout makes the row-group min/max stats tight in BOTH dimensions, so the pushed filters skip most of the table before a page is decoded — pruning via row order, no index structure.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -331,7 +331,47 @@ object Skew extends QueryPack {
       |FROM lineitem WHERE l_linestatus = 'F'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- x6: Z-order clustered scan — the query reads the Morton-clustered
+  //    warehouse copy of lineitem (graft.sources.ZOrder) with a 2-D box
+  //    predicate on the two interleaved columns. The bounds derive from
+  //    the part/supplier dimension COUNTS (key spaces are 0..n-1 in this
+  //    corpus), resolved to literals at plan time so both range filters
+  //    push down to the parquet scan — pushed stats filters against a
+  //    clustered layout is precisely the skipping mechanism, and
+  //    ZOrderSpec proves the row-group pruning it buys. The oracle runs
+  //    the same box against the UNORDERED base fact: layout must never
+  //    change content.
+  private val x6ZOrderBox: Q = (s, dir) => {
+    val t = graft.sources.ZOrder.ensureZLineitem(s, dir)
+    val pMax = Tables.part(s, dir).count() - 1
+    val sMax = Tables.supplier(s, dir).count() - 1
+    s.table(t)
+      .filter(col("l_partkey").between(pMax * 3 / 10, pMax * 4 / 10) &&
+              col("l_suppkey").between(sMax * 2 / 10, sMax * 5 / 10))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(Exact.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(Exact.dec2(col("l_extendedprice"))).cast("double")
+          .as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val x6Sql =
+    """WITH b AS (
+      |  SELECT (SELECT (count(*)-1)*3//10 FROM part) AS plo,
+      |         (SELECT (count(*)-1)*4//10 FROM part) AS phi,
+      |         (SELECT (count(*)-1)*2//10 FROM supplier) AS slo,
+      |         (SELECT (count(*)-1)*5//10 FROM supplier) AS shi)
+      |SELECT l_returnflag, count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem, b
+      |WHERE l_partkey BETWEEN plo AND phi AND l_suppkey BETWEEN slo AND shi
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "x6_zorder_box"       -> x6ZOrderBox,
     "x5_mv_rewrite"       -> x5MvRewrite,
     "x4_bucketed_join"    -> x4BucketedJoin,
     "x1_skew_salted_agg"  -> x1SaltedAgg,
@@ -339,6 +379,7 @@ object Skew extends QueryPack {
     "x3_bloom_prune"      -> x3BloomPrune)
 
   def oracles: Map[String, String] = Map(
+    "x6_zorder_box"       -> x6Sql,
     "x5_mv_rewrite"       -> x5Sql,
     "x4_bucketed_join"    -> x4Sql,
     "x1_skew_salted_agg"  -> x1Sql,
