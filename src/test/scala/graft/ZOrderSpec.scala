@@ -84,8 +84,10 @@ class ZOrderSpec extends SparkSpecBase {
               col("l_suppkey").between(1, 4))
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     // leaf toString elides long filter lists — read the scan's full
-    // metadata entry instead
-    val pushed = df.queryExecution.executedPlan.collectLeaves().collect {
+    // metadata entry instead. sparkPlan, not executedPlan: under AQE the
+    // executed root is AdaptiveSparkPlanExec, itself a leaf, so the scan
+    // never surfaces through collectLeaves.
+    val pushed = df.queryExecution.sparkPlan.collectLeaves().collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.metadata.getOrElse("PushedFilters", "")
     }.mkString("\n")
