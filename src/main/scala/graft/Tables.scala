@@ -17,13 +17,24 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-      // type for; read it as a long (nanos since epoch) and down-convert
-      // to a micros timestamp with integer division (no double round-trip
-      // — nanos exceed 2^53).
+      // Older corpus generations wrote events.ts as parquet TIMESTAMP(NANOS),
+      // which Spark can only read as a long (nanos since epoch) under the
+      // nanosAsLong legacy conf; newer generations write a native
+      // TIMESTAMP(MICROS) (NTZ) column. Dispatch on the type the file reads
+      // back as, normalizing to TimestampType either way: nanos-longs are
+      // down-converted with integer division (nanos exceed 2^53, so no
+      // double round-trip), and NTZ is a lossless reinterpretation under the
+      // UTC session timezone GraftSession pins. TimestampType (not NTZ) is
+      // required for streaming watermarks downstream.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

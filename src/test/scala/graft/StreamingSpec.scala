@@ -17,10 +17,16 @@ class StreamingSpec extends SparkSpecBase {
       landing.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(landing.toString).schema
-    spark.readStream
+    val raw = spark.readStream
       .schema(rawSchema)
       .parquet(landing.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   test("streamed tumbling-window counts equal the batch result") {
