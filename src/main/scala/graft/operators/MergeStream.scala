@@ -45,10 +45,10 @@ object MergeStream extends QueryPack {
   //    build sides share a partition key: one window over (user, time)
   //    with an UNBOUNDED..−1 frame and last(..., ignoreNulls) is the
   //    whole operator — a single shuffle on user_id, no join at all.
-  //    Ordering runs on epoch-millis BIGINT on BOTH engines (the raw ts
-  //    column is nanos in DuckDB but micros in Spark — ordering by it
-  //    could disagree on sub-ms neighbors), with event_id as the total
-  //    tie-break.
+  //    Ordering runs on epoch-millis BIGINT on BOTH engines (corpus
+  //    generations have shipped ts at different precisions — see
+  //    Tables.events — so ordering by the raw column could disagree on
+  //    sub-ms neighbors), with event_id as the total tie-break.
   private val w5AsofPrior: Q = (s, dir) => {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")
@@ -136,9 +136,10 @@ object MergeStream extends QueryPack {
   //    the same plan as two watermarked streams). Here: each 'view'
   //    matched to the same user's clicks within the next 30 minutes.
   //    Timestamps are truncated to millis on BOTH engines before the
-  //    range predicate (w5's trick): the raw column is nanos in DuckDB
-  //    but micros in Spark, and a boundary comparison on mixed precision
-  //    could disagree on sub-microsecond neighbors.
+  //    range predicate (w5's trick): corpus generations have shipped ts
+  //    at different precisions (see Tables.events), and a boundary
+  //    comparison on mixed precision could disagree on sub-microsecond
+  //    neighbors.
   private val st4Interval: Q = (s, dir) => {
     val e = Tables.events(s, dir)
     def ms(c: org.apache.spark.sql.Column) = timestamp_millis(unix_millis(c))

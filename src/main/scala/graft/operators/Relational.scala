@@ -238,9 +238,10 @@ object Relational extends QueryPack {
       .withColumn("session_id", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       // Session bounds are emitted as BIGINT epoch-millis, not timestamps:
-      // the source column is parquet TIMESTAMP(NANOS), which Spark reads
-      // truncated to micros while DuckDB keeps nanos — a raw min/max(ts)
-      // is bit-unstable across engines, an integer millis value is not.
+      // an integer millis value hashes identically across engines
+      // regardless of how each represents the timestamp (the corpus has
+      // shipped ts as both TIMESTAMP(NANOS)-as-long and native
+      // TIMESTAMP(MICROS) across generations — see Tables.events).
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
            min(unix_millis(col("ts"))).as("session_start_ms"),

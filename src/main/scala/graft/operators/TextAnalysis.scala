@@ -571,8 +571,11 @@ object TextAnalysis extends QueryPack {
   //    and length; one corpus-wide aggregate yields N, avgdl and the
   //    per-term document frequencies (a handful of scalars, broadcast
   //    back); scoring is then pure per-row IEEE arithmetic with a FIXED
-  //    left-associative term order so both engines produce bit-identical
-  //    doubles (ln parity holds corpus-wide — the a4 log10 precedent).
+  //    left-associative term order. The one non-exact op is ln (libm vs
+  //    JVM differ by 1 ULP on some arguments), so the final score is
+  //    quantized with floor(score*1e9)/1e9 — floor is exactly specified
+  //    by IEEE 754 on both engines (round() is not: HALF_UP vs nearbyint)
+  //    and collapses a 1-ULP drift to identical bits.
   //    At 100 TB this is the sparse-retrieval pattern: stats are one
   //    partial-aggregated scan, serving is scan + top-k, no shuffle
   //    wider than the 3-scalar broadcast.
@@ -601,7 +604,9 @@ object TextAnalysis extends QueryPack {
          | / (CAST(tf$i AS DOUBLE) + $bmK1 * (1.0 - $bmB + $bmB * CAST(dl AS DOUBLE) / avgdl)))"""
         .stripMargin.replace("\n", " ")
     }
-    scored.withColumn("score", expr(term.mkString("(", " + ", ")")))
+    scored
+      .withColumn("score",
+        expr(s"floor(${term.mkString("(", " + ", ")")} * 1e9) / 1e9"))
       .select("doc_id", "dl", "score")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
@@ -628,7 +633,7 @@ object TextAnalysis extends QueryPack {
        |sc AS (
        |  SELECT d.doc_id, d.dl,
        |         CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE) AS avgdl,
-       |         ${term.mkString("(", " + ", ")")} AS score
+       |         floor(${term.mkString("(", " + ", ")")} * 1e9) / 1e9 AS score
        |  FROM d, st)
        |SELECT doc_id, dl, score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
