@@ -118,7 +118,7 @@ object Plans {
     "v17_filtered_ann" ->
       "Filtered ANN: the allowed-id semi-join lands on the candidate list BEFORE the codes join, so ineligible vectors never reach ADC; quantizers stay broadcast, the corpus is still never scanned in the probe.",
     "x5_mv_rewrite" ->
-      "Summary rewrite: the FileScan reads graft_mv_lineitem (grain-sized), lineitem.parquet appears nowhere — the fact was scanned once at refresh, not per query.",
+      "Summary rewrite: the FileScan reads graft_mv2_lineitem (grain-sized), lineitem.parquet appears nowhere — the fact was scanned once at refresh, not per query.",
     "a18_theilsen" ->
       "Theil–Sen: the modulus filter is pushed to the scan, the pair join is a per-group equi-join on l_suppkey (sampled groups bound the O(n²)), and the median is one window pass over pairs.",
     "t13_novelty" ->

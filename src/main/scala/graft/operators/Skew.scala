@@ -331,6 +331,45 @@ object Skew extends QueryPack {
       |FROM lineitem WHERE l_linestatus = 'F'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- x7: summary-served min/max/avg — x5's transparent-rewrite contract
+  //    extended to the round-8 measure coverage: min/max are folded as
+  //    min-of-mins/max-of-maxs over the grain table (exact — no
+  //    arithmetic), and avg is served as sum(sum_x)/sum(cnt) rebuilt with
+  //    Average's own intermediate decimal types so the summary answer is
+  //    bit-identical to scanning the fact. The average is emitted as
+  //    integer micro-units (BIGINT): Spark's decimal avg double-rounds
+  //    (quotient at scale 12, result at scale 6), which the oracle
+  //    replicates with exact HUGEINT arithmetic — an integer output makes
+  //    the comparison representation-independent (the epoch_ms
+  //    precedent).
+  private val x7MvMinMaxAvg: Q = (s, dir) => {
+    graft.plans.SummaryAgg.ensureLineitemSummary(s, dir)
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        avg(Exact.dec2(col("l_extendedprice"))).as("avg_price"))
+      .withColumn("avg_price_e6",
+        (col("avg_price") * lit(1000000)).cast("long"))
+      .drop("avg_price")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val x7Sql =
+    """WITH g AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS s100
+      |  FROM lineitem WHERE l_returnflag <> 'N'
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, n_items, min_qty, max_qty,
+      |       CAST((((2*s100*10000000000 + n_items) // (2*n_items)) + 500000) // 1000000
+      |            AS BIGINT) AS avg_price_e6
+      |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // -- x6: Z-order clustered scan — the query reads the Morton-clustered
   //    warehouse copy of lineitem (graft.sources.ZOrder) with a 2-D box
   //    predicate on the two interleaved columns. The bounds derive from
@@ -371,6 +410,7 @@ object Skew extends QueryPack {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "x7_mv_minmax_avg"    -> x7MvMinMaxAvg,
     "x6_zorder_box"       -> x6ZOrderBox,
     "x5_mv_rewrite"       -> x5MvRewrite,
     "x4_bucketed_join"    -> x4BucketedJoin,
@@ -379,6 +419,7 @@ object Skew extends QueryPack {
     "x3_bloom_prune"      -> x3BloomPrune)
 
   def oracles: Map[String, String] = Map(
+    "x7_mv_minmax_avg"    -> x7Sql,
     "x6_zorder_box"       -> x6Sql,
     "x5_mv_rewrite"       -> x5Sql,
     "x4_bucketed_join"    -> x4Sql,

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -26,19 +26,31 @@ import graft.sources.Warehouse
   * result is bit-identical, not approximately equal — the oracle
   * comparison of the rewritten query IS the proof.
   *
+  * Covered aggregates: `count(literal)` (= sum of per-group counts),
+  * `sum(CAST(col AS DECIMAL(18,2)))` (= sum of per-group decimal sums),
+  * `min(col)` / `max(col)` (= min/max of per-group mins/maxs — exact with
+  * no decimal routing because no arithmetic is performed), and
+  * `avg(CAST(col AS DECIMAL(18,2)))`. Average is rebuilt as the EXACT
+  * expression shape Spark's own Average produces for a decimal child —
+  * Divide(sum AS DECIMAL(28,2), count AS DECIMAL(20,0)) rounded at scale
+  * 12, then cast to the DECIMAL(22,6) result — so the served value is
+  * bit-identical to the unrewritten plan, double rounding included.
+  *
   * The rule is deliberately conservative (all-or-nothing per Aggregate):
   * it fires only when the child chain is [Project]([Filter](base-scan)),
   * every grouping expression is a grain column, the filter references
-  * only grain columns, and every aggregate is a covered `count(literal)`
-  * or `sum(CAST(col AS DECIMAL(18,2)))` — anything else (distinct, avg,
-  * min/max, expression group keys) leaves the plan untouched.
+  * only grain columns, and every aggregate is covered — anything else
+  * (distinct, filtered aggs, expression group keys) leaves the plan
+  * untouched.
   */
 object SummaryAgg {
 
   /** A registered summary: resolved relation + column mappings. */
   private[plans] case class Mv(rel: LogicalRelation, basePath: String,
                                grain: Set[String],
-                               sums: Map[String, String], cnt: String)
+                               sums: Map[String, String], cnt: String,
+                               mins: Map[String, String] = Map.empty,
+                               maxs: Map[String, String] = Map.empty)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Mv]()
@@ -50,12 +62,13 @@ object SummaryAgg {
     * never triggers nested analysis. */
   def register(spark: SparkSession, basePath: String, mvTable: String,
                grain: Seq[String], sums: Map[String, String],
-               cnt: String): Unit = {
+               cnt: String, mins: Map[String, String] = Map.empty,
+               maxs: Map[String, String] = Map.empty): Unit = {
     val rel = spark.table(mvTable).queryExecution.analyzed
       .collectFirst { case r: LogicalRelation => r }
       .getOrElse(sys.error(s"$mvTable did not resolve to a file relation"))
     registry.put(new java.io.File(basePath).getAbsolutePath,
-      Mv(rel, basePath, grain.toSet, sums, cnt)): Unit
+      Mv(rel, basePath, grain.toSet, sums, cnt, mins, maxs)): Unit
   }
 
   private[plans] def find(path: String): Option[Mv] =
@@ -80,7 +93,10 @@ object SummaryAgg {
     * for rebuilding a downstream sink. */
   def ensureLineitemSummary(s: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
-    val name = s"graft_mv_lineitem_${Warehouse.dirTag(dir)}"
+    // v2: schema grew min/max columns. Versioning the name (instead of
+    // migrating in place) means a summary built by an older JVM in the
+    // shared warehouse dir can never be half-served with missing columns.
+    val name = s"graft_mv2_lineitem_${Warehouse.dirTag(dir)}"
     val mon = appendMonitors.computeIfAbsent(name, _ => new Object)
     mon.synchronized {
       val src = new java.io.File(dir, "lineitem.parquet")
@@ -101,7 +117,13 @@ object SummaryAgg {
             sum(graft.Exact.dec2(col("l_quantity"))).as("sum_l_quantity"),
             sum(graft.Exact.dec2(col("l_extendedprice")))
               .as("sum_l_extendedprice"),
-            sum(graft.Exact.dec2(col("l_discount"))).as("sum_l_discount"))
+            sum(graft.Exact.dec2(col("l_discount"))).as("sum_l_discount"),
+            min(col("l_quantity")).as("min_l_quantity"),
+            max(col("l_quantity")).as("max_l_quantity"),
+            min(col("l_extendedprice")).as("min_l_extendedprice"),
+            max(col("l_extendedprice")).as("max_l_extendedprice"),
+            min(col("l_discount")).as("min_l_discount"),
+            max(col("l_discount")).as("max_l_discount"))
           .write.format("parquet").mode("overwrite").saveAsTable(name)
         Warehouse.recordSourceTag(s, name, src)
       }
@@ -122,15 +144,17 @@ object SummaryAgg {
       .foreach(_.delete())
   }
 
+  private val measureCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount")
+
   private def registerLineitem(s: SparkSession, dir: String,
                                name: String): Unit =
     register(s, s"$dir/lineitem.parquet", name,
       grain = Seq("l_returnflag", "l_linestatus"),
-      sums = Map(
-        "l_quantity" -> "sum_l_quantity",
-        "l_extendedprice" -> "sum_l_extendedprice",
-        "l_discount" -> "sum_l_discount"),
-      cnt = "cnt")
+      sums = measureCols.map(c => c -> s"sum_$c").toMap,
+      cnt = "cnt",
+      mins = measureCols.map(c => c -> s"min_$c").toMap,
+      maxs = measureCols.map(c => c -> s"max_$c").toMap)
 
   /** Incremental view maintenance: fold a delta batch of fact rows into
     * the summary WITHOUT rescanning the fact. The delta aggregates at
@@ -156,7 +180,7 @@ object SummaryAgg {
                           delta: org.apache.spark.sql.DataFrame,
                           batchId: Option[Long] = None,
                           scope: String = "adhoc"): Unit = {
-    val name = s"graft_mv_lineitem_${Warehouse.dirTag(dir)}"
+    val name = s"graft_mv2_lineitem_${Warehouse.dirTag(dir)}"
     // read–merge–overwrite is lost-update-prone: two concurrent appends
     // (a maintain() stream plus an ad-hoc batch, or two streams) could
     // both read the same base state and the second overwrite would drop
@@ -188,8 +212,17 @@ object SummaryAgg {
         sum(graft.Exact.dec2(col("l_quantity"))).as("sum_l_quantity"),
         sum(graft.Exact.dec2(col("l_extendedprice")))
           .as("sum_l_extendedprice"),
-        sum(graft.Exact.dec2(col("l_discount"))).as("sum_l_discount"))
+        sum(graft.Exact.dec2(col("l_discount"))).as("sum_l_discount"),
+        min(col("l_quantity")).as("min_l_quantity"),
+        max(col("l_quantity")).as("max_l_quantity"),
+        min(col("l_extendedprice")).as("min_l_extendedprice"),
+        max(col("l_extendedprice")).as("max_l_extendedprice"),
+        min(col("l_discount")).as("min_l_discount"),
+        max(col("l_discount")).as("max_l_discount"))
     val dec28 = DecimalType(28, 2)
+    // min/max fold with min-of-mins / max-of-maxs — sound for APPEND
+    // deltas only (count/sum/min/max are all insert-monotone; none of
+    // this sink's callers delete).
     val merged = s.table(name).unionByName(deltaAgg)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -197,7 +230,13 @@ object SummaryAgg {
         sum(col("sum_l_quantity")).cast(dec28).as("sum_l_quantity"),
         sum(col("sum_l_extendedprice")).cast(dec28)
           .as("sum_l_extendedprice"),
-        sum(col("sum_l_discount")).cast(dec28).as("sum_l_discount"))
+        sum(col("sum_l_discount")).cast(dec28).as("sum_l_discount"),
+        min(col("min_l_quantity")).as("min_l_quantity"),
+        max(col("max_l_quantity")).as("max_l_quantity"),
+        min(col("min_l_extendedprice")).as("min_l_extendedprice"),
+        max(col("max_l_extendedprice")).as("max_l_extendedprice"),
+        min(col("min_l_discount")).as("min_l_discount"),
+        max(col("max_l_discount")).as("max_l_discount"))
       // the merge reads the table it is about to overwrite: truncate
       // lineage so the write never re-scans the replaced files
       .localCheckpoint(true)
@@ -280,6 +319,50 @@ object SummaryAggRewrite extends Rule[LogicalPlan] {
               mvCol <- mv.sums.get(base.name)
               a <- attr(mvCol)
             } yield Cast(Sum(a).toAggregateExpression(), ae.dataType)
+          case _ => None
+        }
+      // min over the base = min of the per-group mins (dually for max).
+      // No decimal routing needed: no arithmetic is performed, so the
+      // served value is the same stored double bit pattern.
+      case m: Min =>
+        m.child match {
+          case base: AttributeReference =>
+            for { mvCol <- mv.mins.get(base.name); a <- attr(mvCol) }
+              yield Min(a).toAggregateExpression()
+          case _ => None
+        }
+      case m: Max =>
+        m.child match {
+          case base: AttributeReference =>
+            for { mvCol <- mv.maxs.get(base.name); a <- attr(mvCol) }
+              yield Max(a).toAggregateExpression()
+          case _ => None
+        }
+      // avg over the base = sum(sum_x) / sum(cnt), rebuilt as the EXACT
+      // expression shape Average itself produces for a DECIMAL(18,2)
+      // child: Divide(sum: DECIMAL(28,2), count: DECIMAL(20,0)) — which
+      // resolves to a scale-12 quotient — then a cast to the
+      // DECIMAL(22,6) result. Reproducing the intermediate types
+      // reproduces the rounding (including the double rounding at scales
+      // 12 then 6), so the rewrite is bit-identical, not just close.
+      // The down-cast of the summary's DECIMAL(38,2) re-sum to (28,2)
+      // is value-preserving whenever the original query's own (28,2)
+      // sum buffer would not have overflowed.
+      case a: Average =>
+        a.child match {
+          case Cast(base: AttributeReference, dt: DecimalType, _, _)
+              if dt == DecimalType(18, 2) =>
+            for {
+              mvCol <- mv.sums.get(base.name)
+              sumA <- attr(mvCol)
+              cntA <- attr(mv.cnt)
+            } yield {
+              val sumAgg = Cast(Sum(sumA).toAggregateExpression(),
+                DecimalType(28, 2))
+              val cntAgg = Cast(Sum(cntA).toAggregateExpression(),
+                DecimalType(20, 0))
+              Cast(Divide(sumAgg, cntAgg, EvalMode.LEGACY), ae.dataType)
+            }
           case _ => None
         }
       case _ => None

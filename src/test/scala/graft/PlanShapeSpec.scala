@@ -223,7 +223,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // registered, the optimizer must serve it from the grain table —
     // the fact file may not appear anywhere in the executed plan.
     val plan = executedPlan("x5_mv_rewrite")
-    assert(plan.contains("graft_mv_lineitem"),
+    assert(plan.contains("graft_mv2_lineitem"),
       s"summary table missing from plan:\n${plan.take(3000)}")
     assert(!plan.contains("lineitem.parquet"),
       s"rewritten aggregate still scans the fact:\n${plan.take(3000)}")

@@ -14,7 +14,13 @@ class SummaryIvmSpec extends SparkSpecBase {
         count(lit(1)).as("cnt"),
         sum(Exact.dec2(col("l_quantity"))).as("sum_l_quantity"),
         sum(Exact.dec2(col("l_extendedprice"))).as("sum_l_extendedprice"),
-        sum(Exact.dec2(col("l_discount"))).as("sum_l_discount"))
+        sum(Exact.dec2(col("l_discount"))).as("sum_l_discount"),
+        min(col("l_quantity")).as("min_l_quantity"),
+        max(col("l_quantity")).as("max_l_quantity"),
+        min(col("l_extendedprice")).as("min_l_extendedprice"),
+        max(col("l_extendedprice")).as("max_l_extendedprice"),
+        min(col("l_discount")).as("min_l_discount"),
+        max(col("l_discount")).as("max_l_discount"))
       .orderBy("l_returnflag", "l_linestatus")
 
   test("delta merge equals full recompute; redelivery no-op; rewrite serves refreshed rows") {
@@ -51,6 +57,46 @@ class SummaryIvmSpec extends SparkSpecBase {
     val served = q.collect().toSeq
     spark.conf.set("spark.graft.mv.rewrite", "false")
     try assert(served == q.collect().toSeq)
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
+  test("min/max/avg serve from the summary bit-identically to the fact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivm_mm").toString
+    Tables.lineitem(spark, sfDir).limit(400)
+      .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+    val name = plans.SummaryAgg.ensureLineitemSummary(spark, root)
+
+    // built fresh per call: QueryExecution is cached per DataFrame, so
+    // the kill-switch comparison needs a re-planned instance
+    def q() = Tables.lineitem(spark, root)
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("mn_qty"),
+        max(col("l_extendedprice")).as("mx_price"),
+        avg(Exact.dec2(col("l_discount"))).as("avg_disc"))
+      .orderBy("l_returnflag")
+    // rewrite fires: the plan reads the grain table, not the fact
+    assert(q().queryExecution.executedPlan.toString.contains(name))
+    val served = q().collect().toSeq
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try {
+      assert(!q().queryExecution.executedPlan.toString.contains(name))
+      // bit-identical, Decimal scale included (Row equality is exact)
+      assert(served == q().collect().toSeq)
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+
+    // a delta append keeps min/max/avg serving correct (min-of-mins fold)
+    val delta = Tables.lineitem(spark, sfDir)
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc).limit(120)
+    delta.write.mode("overwrite").parquet(s"$root/dmm.parquet")
+    val d = spark.read.parquet(s"$root/dmm.parquet")
+    d.write.mode("append").parquet(s"$root/lineitem.parquet")
+    plans.SummaryAgg.appendLineitemDelta(spark, root, d, Some(42L))
+    val servedAfter = q().collect().toSeq
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(servedAfter == q().collect().toSeq)
     finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
