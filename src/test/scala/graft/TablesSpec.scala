@@ -64,6 +64,24 @@ class TablesSpec extends SparkSpecBase {
     }
   }
 
+  test("schema check: clean on the real corpus, names every drift kind") {
+    // the shipped corpus matches the recorded expectation for all tables
+    Tables.names.foreach { t =>
+      val raw = spark.read.parquet(s"$sfDir/$t.parquet")
+      assert(Tables.schemaDrift(t, raw.schema).isEmpty,
+        s"$t drifted: ${Tables.schemaDrift(t, raw.schema)}")
+    }
+    // a drifted schema yields one named line per problem
+    val drifted = StructType(Seq(
+      StructField("l_orderkey", StringType),  // changed type
+      StructField("l_partkey", LongType),
+      StructField("surprise", IntegerType)))  // extra; everything else missing
+    val lines = Tables.schemaDrift("lineitem", drifted)
+    assert(lines.exists(_.contains("l_orderkey expected bigint, got string")))
+    assert(lines.exists(_ == "l_quantity missing"))
+    assert(lines.exists(_.contains("surprise unexpected")))
+  }
+
   test("loader rejects unknown tables, passes the rest through untouched") {
     intercept[IllegalArgumentException] {
       Tables.load(spark, sfDir, "nope")
