@@ -119,6 +119,8 @@ object Plans {
       "Filtered ANN: the allowed-id semi-join lands on the candidate list BEFORE the codes join, so ineligible vectors never reach ADC; quantizers stay broadcast, the corpus is still never scanned in the probe.",
     "x5_mv_rewrite" ->
       "Summary rewrite: the FileScan reads graft_mv2_lineitem (grain-sized), lineitem.parquet appears nowhere — the fact was scanned once at refresh, not per query.",
+    "x7_mv_minmax_avg" ->
+      "Summary-served min/max/avg: same grain-table-only scan as x5; min/max fold over the stored per-group extremes, avg is the re-summed sum/cnt divide — no fact access for any of the three.",
     "a18_theilsen" ->
       "Theil–Sen: the modulus filter is pushed to the scan, the pair join is a per-group equi-join on l_suppkey (sampled groups bound the O(n²)), and the median is one window pass over pairs.",
     "t13_novelty" ->
