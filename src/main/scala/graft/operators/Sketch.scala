@@ -251,13 +251,136 @@ object Sketch extends QueryPack {
        |FROM est e JOIN tru t ON e.l_returnflag = t.l_returnflag
        |ORDER BY e.l_returnflag""".stripMargin
 
+  // -- k4: KMV set ALGEBRA — the merge face of k1's sketch. Per-type user
+  //    sketches union into a per-pair sketch without revisiting the
+  //    corpus (bottomK(A∪B) ⊆ bottomK(A) ∪ bottomK(B)); the union
+  //    cardinality estimates from the merged k-th minimum exactly as k1,
+  //    and the intersection estimates by the coordinated-sample rule: a
+  //    member of the union sample that lies in both sets is provably
+  //    present in both per-set sketches (if h(x) is among the K smallest
+  //    of A∪B and x∈A, fewer than K elements of A hash below it), so the
+  //    membership flags are exact. Exact pair counts ride along as the
+  //    accuracy report (k1's rule). Scale shape: the audience-overlap
+  //    matrix for T types costs T·K sketch rows merged pairwise — never
+  //    a T²-way distinct over the corpus — which is why mergeable
+  //    sketches, not exact distincts, are the 100 TB telemetry answer.
+  private val k4KmvSetAlgebra: Q = (s, dir) => {
+    val du = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+    val dh = du.select("event_type", "h").distinct()
+    val sk = graft.plans.GroupedTopK
+      .topK(dh, Seq("event_type"), K, col("h").asc)
+    val typesDf = sk.select("event_type").distinct()
+    val pairs = typesDf.select(col("event_type").as("type_a"))
+      .crossJoin(typesDf.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val skA = sk.select(col("event_type").as("type_a"), col("h"),
+      lit(1).as("in_a"), lit(0).as("in_b"))
+    val skB = sk.select(col("event_type").as("type_b"), col("h"),
+      lit(0).as("in_a"), lit(1).as("in_b"))
+    val mem = pairs.join(skA, "type_a")
+      .select("type_a", "type_b", "h", "in_a", "in_b")
+      .unionByName(pairs.join(skB, "type_b")
+        .select("type_a", "type_b", "h", "in_a", "in_b"))
+    val merged = mem.groupBy("type_a", "type_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val samp = graft.plans.GroupedTopK
+      .topK(merged, Seq("type_a", "type_b"), K, col("h").asc)
+    val agg = samp.groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("m_u"), max(col("h")).as("hk_u"),
+        sum(col("in_a") * col("in_b")).as("c_inter"))
+      .withColumn("est_union",
+        when(col("m_u") >= K,
+          lit((K - 1).toDouble) * lit(1152921504606846976.0) /
+            col("hk_u").cast("double"))
+          .otherwise(col("m_u").cast("double")))
+    val nt = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ix = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter"))
+    agg
+      .join(nt.select(col("event_type").as("type_a"), col("n").as("n_a")),
+        "type_a")
+      .join(nt.select(col("event_type").as("type_b"), col("n").as("n_b")),
+        "type_b")
+      .join(ix, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union_exact"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter_exact"),
+        col("est_union"),
+        (col("c_inter").cast("double") / col("m_u").cast("double") *
+          col("est_union")).as("est_inter"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val k4Sql = {
+    val h15expr =
+      """list_sum(list_transform(range(0, 15), i ->
+        |           CAST(strpos('0123456789abcdef',
+        |                substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+        |             * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INT))))""".stripMargin
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |hx AS (SELECT event_type, $h15expr AS h FROM du),
+       |dh AS (SELECT DISTINCT event_type, h FROM hx),
+       |sk AS (SELECT event_type, h FROM (
+       |  SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+       |  FROM dh) t WHERE r <= $K),
+       |types AS (SELECT DISTINCT event_type FROM sk),
+       |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+       |          FROM types a, types b WHERE a.event_type < b.event_type),
+       |mem AS (
+       |  SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+       |  FROM pairs p JOIN sk s ON s.event_type = p.type_a
+       |  UNION ALL
+       |  SELECT p.type_a, p.type_b, s.h, 0 AS in_a, 1 AS in_b
+       |  FROM pairs p JOIN sk s ON s.event_type = p.type_b),
+       |g AS (SELECT type_a, type_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+       |      FROM mem GROUP BY 1, 2, 3),
+       |samp AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS r
+       |  FROM g) t WHERE r <= $K),
+       |agg AS (SELECT type_a, type_b, count(*) AS m_u, max(h) AS hk_u,
+       |               CAST(sum(in_a * in_b) AS BIGINT) AS c_inter
+       |        FROM samp GROUP BY 1, 2),
+       |est AS (SELECT *,
+       |        CASE WHEN m_u >= $K
+       |             THEN ${K - 1}.0 * 1152921504606846976.0 / CAST(hk_u AS DOUBLE)
+       |             ELSE CAST(m_u AS DOUBLE) END AS est_union
+       |        FROM agg),
+       |nt AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+       |ix AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |              count(*) AS n_inter
+       |       FROM du a JOIN du b ON a.user_id = b.user_id
+       |       WHERE a.event_type < b.event_type GROUP BY 1, 2)
+       |SELECT e.type_a, e.type_b,
+       |       na.n + nb.n - COALESCE(ix.n_inter, 0) AS n_union_exact,
+       |       COALESCE(ix.n_inter, 0) AS n_inter_exact,
+       |       e.est_union,
+       |       CAST(e.c_inter AS DOUBLE) / CAST(e.m_u AS DOUBLE) * e.est_union
+       |         AS est_inter
+       |FROM est e
+       |JOIN nt na ON na.event_type = e.type_a
+       |JOIN nt nb ON nb.event_type = e.type_b
+       |LEFT JOIN ix ON ix.type_a = e.type_a AND ix.type_b = e.type_b
+       |ORDER BY e.type_a, e.type_b""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "k1_kmv_distinct" -> k1KmvDistinct,
     "k2_cms_heavy"    -> k2CmsHeavy,
-    "k3_bottomk_quantiles" -> k3BottomkQuantiles)
+    "k3_bottomk_quantiles" -> k3BottomkQuantiles,
+    "k4_kmv_set_algebra"   -> k4KmvSetAlgebra)
 
   def oracles: Map[String, String] = Map(
     "k1_kmv_distinct" -> k1Sql,
     "k2_cms_heavy"    -> k2Sql,
-    "k3_bottomk_quantiles" -> k3Sql)
+    "k3_bottomk_quantiles" -> k3Sql,
+    "k4_kmv_set_algebra"   -> k4Sql)
 }

@@ -107,6 +107,24 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("k4 set algebra: estimates track exact union/intersection, exact below capacity") {
+    val rows = SparkEntry.queries("k4_kmv_set_algebra")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nu, ni) = (r.getAs[Long]("n_union_exact"), r.getAs[Long]("n_inter_exact"))
+      val (eu, ei) = (r.getAs[Double]("est_union"), r.getAs[Double]("est_inter"))
+      // intersection can never estimate above the union; both non-negative
+      assert(ei >= 0.0 && ei <= eu + 1e-9, s"est_inter out of range: $r")
+      // K=32 → relative SD ≈ 1/sqrt(30) ≈ 18%; allow a generous 4-sigma
+      // band so the spec pins gross estimator breakage, not luck
+      assert(eu > nu * 0.28 && eu < nu * 3.6,
+        s"union estimate implausible: est=$eu exact=$nu")
+      // below sketch capacity the merged sketch IS the union: exact
+      if (nu < 32) assert(eu == nu.toDouble, s"sub-capacity union not exact: $r")
+    }
+  }
+
   test("a17 exact-moment correlation agrees with Spark's built-in corr") {
     val out = SparkEntry.queries("a17_exact_corr")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getAs[Double]("corr_qty_price")).toMap
