@@ -370,6 +370,42 @@ object Skew extends QueryPack {
       |            AS BIGINT) AS avg_price_e6
       |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // -- x8: a SECOND summary over a different base fact, served through
+  //    the same rewrite rule — the registry keys summaries by base path,
+  //    so the orders grain table (o_orderpriority × o_orderstatus) and
+  //    the lineitem one coexist and each covered Aggregate reads its
+  //    own. Exercises the full measure set (count/sum/min/max/avg) in
+  //    one query; avg travels as integer micro-units (x7's rule).
+  private val x8MvOrders: Q = (s, dir) => {
+    graft.plans.SummaryAgg.ensureOrdersSummary(s, dir)
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(Exact.dec2(col("o_totalprice"))).cast("double").as("sum_total"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"),
+        avg(Exact.dec2(col("o_totalprice"))).as("avg_total"))
+      .withColumn("avg_total_e6",
+        (col("avg_total") * lit(1000000)).cast("long"))
+      .drop("avg_total")
+      .orderBy("o_orderpriority")
+  }
+
+  private val x8Sql =
+    """WITH g AS (
+      |  SELECT o_orderpriority, count(*) AS n_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      |         min(o_totalprice) AS min_total, max(o_totalprice) AS max_total,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS s100
+      |  FROM orders WHERE o_orderstatus = 'F'
+      |  GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n_orders, sum_total, min_total, max_total,
+      |       CAST((((2*s100*10000000000 + n_orders) // (2*n_orders)) + 500000) // 1000000
+      |            AS BIGINT) AS avg_total_e6
+      |FROM g ORDER BY o_orderpriority""".stripMargin
+
   // -- x6: Z-order clustered scan — the query reads the Morton-clustered
   //    warehouse copy of lineitem (graft.sources.ZOrder) with a 2-D box
   //    predicate on the two interleaved columns. The bounds derive from
@@ -410,6 +446,7 @@ object Skew extends QueryPack {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   def queries: Map[String, Q] = Map(
+    "x8_mv_orders"        -> x8MvOrders,
     "x7_mv_minmax_avg"    -> x7MvMinMaxAvg,
     "x6_zorder_box"       -> x6ZOrderBox,
     "x5_mv_rewrite"       -> x5MvRewrite,
@@ -419,6 +456,7 @@ object Skew extends QueryPack {
     "x3_bloom_prune"      -> x3BloomPrune)
 
   def oracles: Map[String, String] = Map(
+    "x8_mv_orders"        -> x8Sql,
     "x7_mv_minmax_avg"    -> x7Sql,
     "x6_zorder_box"       -> x6Sql,
     "x5_mv_rewrite"       -> x5Sql,

@@ -144,6 +144,44 @@ object SummaryAgg {
       .foreach(_.delete())
   }
 
+  /** A second registered summary over a DIFFERENT base table: the rule's
+    * registry is keyed by base path, so grain tables for any number of
+    * facts coexist and each covered Aggregate is served from its own.
+    * Serve-only (no IVM path — the lineitem summary demonstrates that);
+    * the same content-tag staleness rule governs rebuilds. */
+  def ensureOrdersSummary(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val name = s"graft_mv2_orders_${Warehouse.dirTag(dir)}"
+    val mon = appendMonitors.computeIfAbsent(name, _ => new Object)
+    mon.synchronized {
+      val src = new java.io.File(dir, "orders.parquet")
+      val stale = !checkedFresh.contains(name) &&
+        s.catalog.tableExists(name) &&
+        !Warehouse.sourceTagCurrent(s, name, src)
+      if (stale) s.sql(s"DROP TABLE IF EXISTS $name")
+      if (!s.catalog.tableExists(name)) {
+        Warehouse.dropStaleLocation(s, name)
+        graft.Tables.orders(s, dir)
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(graft.Exact.dec2(col("o_totalprice"))).as("sum_o_totalprice"),
+            min(col("o_totalprice")).as("min_o_totalprice"),
+            max(col("o_totalprice")).as("max_o_totalprice"))
+          .write.format("parquet").mode("overwrite").saveAsTable(name)
+        Warehouse.recordSourceTag(s, name, src)
+      }
+      checkedFresh.add(name)
+      register(s, s"$dir/orders.parquet", name,
+        grain = Seq("o_orderpriority", "o_orderstatus"),
+        sums = Map("o_totalprice" -> "sum_o_totalprice"),
+        cnt = "cnt",
+        mins = Map("o_totalprice" -> "min_o_totalprice"),
+        maxs = Map("o_totalprice" -> "max_o_totalprice"))
+    }
+    name
+  }
+
   private val measureCols =
     Seq("l_quantity", "l_extendedprice", "l_discount")
 

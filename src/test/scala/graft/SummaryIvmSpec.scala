@@ -100,6 +100,26 @@ class SummaryIvmSpec extends SparkSpecBase {
     finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
+  test("summaries for two base tables coexist: x8 serves from the orders grain") {
+    val lName = plans.SummaryAgg.ensureLineitemSummary(spark, sfDir)
+    val oName = plans.SummaryAgg.ensureOrdersSummary(spark, sfDir)
+    def x8() = SparkEntry.queries("x8_mv_orders")(spark, sfDir)
+    val plan = x8().queryExecution.executedPlan.toString
+    assert(plan.contains(oName), s"x8 not served from the orders summary")
+    assert(!plan.contains("orders.parquet"), "x8 still scans the fact")
+    assert(!plan.contains(lName), "x8 wrongly touched the lineitem summary")
+    // registry keyed by path: the lineitem-backed query still serves from
+    // ITS summary with both registered
+    val x5plan = SparkEntry.queries("x5_mv_rewrite")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(x5plan.contains(lName) && !x5plan.contains(oName))
+    // soundness: kill switch equality
+    val served = x8().collect().toSeq
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(served == x8().collect().toSeq)
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("marker scopes isolate sinks: two streams' batch 0 both apply") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivm_sc").toString
     Tables.lineitem(spark, sfDir).limit(150)
