@@ -121,6 +121,8 @@ object Plans {
       "Summary rewrite: the FileScan reads graft_mv2_lineitem (grain-sized), lineitem.parquet appears nowhere — the fact was scanned once at refresh, not per query.",
     "x7_mv_minmax_avg" ->
       "Summary-served min/max/avg: same grain-table-only scan as x5; min/max fold over the stored per-group extremes, avg is the re-summed sum/cnt divide — no fact access for any of the three.",
+    "x8_mv_orders" ->
+      "Second summary, different base fact: the scan reads graft_mv2_orders, orders.parquet appears nowhere — the path-keyed registry serves each covered Aggregate from its own grain table.",
     "a18_theilsen" ->
       "Theil–Sen: the modulus filter is pushed to the scan, the pair join is a per-group equi-join on l_suppkey (sampled groups bound the O(n²)), and the median is one window pass over pairs.",
     "t13_novelty" ->
