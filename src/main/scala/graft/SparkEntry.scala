@@ -22,7 +22,8 @@ object SparkEntry {
     operators.Multimodal,
     operators.Spatial,
     operators.Skew,
-    operators.Sketch)
+    operators.Sketch,
+    operators.GraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

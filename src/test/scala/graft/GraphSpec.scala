@@ -40,4 +40,20 @@ class GraphSpec extends SparkSpecBase {
     val got = cc(Seq((5L, 4L), (4L, 5L), (5L, 4L)))
     assert(got == Map(4L -> 4L, 5L -> 4L))
   }
+
+  test("gr1 integer PageRank: deterministic, bounded below, hub-ordered") {
+    def run() = SparkEntry.queries("gr1_pagerank")(spark, sfDir).collect().toSeq
+    val a = run()
+    assert(a.size == 20)
+    // integer arithmetic => re-running cannot drift by summation order
+    assert(a == run())
+    // every rank carries at least the damping base (0.15 in 1e-12 units)
+    assert(a.forall(_.getAs[Long]("rank_e12") >= 150000000000L))
+    // emitted in strict descending rank order
+    val ranks = a.map(_.getAs[Long]("rank_e12"))
+    assert(ranks == ranks.sortBy(-_))
+    // on the bipartite trading graph suppliers are the hubs (each trades
+    // with many customers), so the top of the ranking is supplier-heavy
+    assert(a.take(5).forall(_.getAs[String]("node_kind") == "supplier"))
+  }
 }
