@@ -41,9 +41,11 @@ object GraphQueries extends QueryPack {
       .select((col("o_custkey") * 2).as("c"),
               (col("l_suppkey") * 2 + 1).as("p"))
       .distinct()
+    // no dedup needed: pairs is distinct and the two direction copies
+    // cannot collide (customer nodes are even, supplier nodes odd), so
+    // the union IS the edge set — one shuffle saved vs a distinct()
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
-      .distinct()
       .persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     var ranks = deg.select(col("src").as("node"), lit(unitE12).as("r"))
@@ -85,7 +87,7 @@ object GraphQueries extends QueryPack {
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |edges AS (
        |  SELECT c AS src, p AS dst FROM pairs
-       |  UNION
+       |  UNION ALL
        |  SELECT p AS src, c AS dst FROM pairs),
        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
        |r0 AS (SELECT src AS node, CAST($unitE12 AS BIGINT) AS r FROM deg),
