@@ -46,6 +46,7 @@ object GraphQueries extends QueryPack {
     // the union IS the edge set — one shuffle saved vs a distinct()
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .repartition(col("src"))
       .persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     var ranks = deg.select(col("src").as("node"), lit(unitE12).as("r"))
