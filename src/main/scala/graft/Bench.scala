@@ -73,6 +73,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Dev-loop subset: SPARK_GRAFT_BENCH_FILTER=d9_edit_distance,d10_...
+    // times only the named queries (and skips the durable record write so
+    // a partial dev run never overwrites bench_results.json).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = filter match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
     val spark = GraftSession.local()
     // Pass 1 — classload warm-up at the smallest SF: pays JIT/classloader
     // cost for every operator cheaply. NOT sufficient for timing (plan
@@ -82,7 +91,7 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       new java.io.File(sfDir).getParent + "/sf0.001")
     var warmFailed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    benchQueries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, warmDir)
         df.write.format("noop").mode("overwrite").save()
@@ -132,6 +141,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_results.json")
     def writeRecord(stats: Seq[(String, Rec)], partial: Boolean): Unit = {
+      if (filter.isDefined) return // dev subset: never touch the record
       val json = renderJson(stats, failed, sfDir, partial)
       try Files.writeString(Paths.get(out), json + "\n")
       catch { case e: Throwable =>
@@ -148,7 +158,7 @@ object Bench {
     // file is rewritten after every query so a timeout/kill still leaves
     // a usable partial record.
     val stats = scala.collection.mutable.LinkedHashMap[String, Rec]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       runOnce(name, fn).foreach { case (warm, _) =>
         val n = if (warm >= repeatThresholdSec) 3 else 1
         var runs = List.fill(n)(runOnce(name, fn)).flatten

@@ -434,24 +434,26 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
               col("band.bh").as("bh"))
-    // The candidate table is persisted for the same reason d4 persists
-    // its signature table: the final orderBy's range-partitioner SAMPLE
-    // pass re-executes the child plan, and without the persist that
-    // means running the band self-join + 627k-pair Levenshtein twice
-    // (measured 56 s → 8 s at sf0.1 from this one line).
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .persist()
-    cand
+    // The scored pairs are persisted too: the final orderBy's
+    // range-partitioner sampling executes its child once for bounds and
+    // again for the exchange, and this child is the expensive part — the
+    // full 120-char DP over every candidate pair. Caching `cand` alone
+    // still paid that DP twice (once in the sample pass); caching the
+    // scored output (3 ints per surviving pair — strictly smaller than
+    // `cand` plus both prefix columns) runs it once.
+    val scored = cand
       .join(base.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
       .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
       .filter(col("dist") <= d9Prefix / 2)
       .select("doc_a", "doc_b", "dist")
-      .orderBy("doc_a", "doc_b")
+      .persist()
+    scored.orderBy("doc_a", "doc_b")
   }
 
   private val d9EditDistance: Q = (s, dir) =>
