@@ -5,10 +5,20 @@ import org.apache.spark.sql.functions._
 
 class GraphSpec extends SparkSpecBase {
 
+  /** Run BOTH execution paths — the single-task union-find finish
+    * (default threshold) and the distributed label-propagation loop
+    * (threshold 0) — and pin that they agree before returning. Every
+    * case in this spec therefore checks path-equivalence for free. */
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+    val local = Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val looped = Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+        localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == looped,
+      "single-task union-find and distributed loop disagree")
+    local
   }
 
   test("chain A~B~C collapses into one component (the greedy-rule gap)") {
