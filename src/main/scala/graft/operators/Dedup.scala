@@ -92,7 +92,7 @@ object Dedup extends QueryPack {
   //    sharing any band bucket become candidates (equi-join on the band
   //    key, never a cross join); candidates get the exact Jaccard check.
   private val nBands = 6
-  private val jacThreshold = "0.08"
+  private[operators] val jacThreshold = "0.08"
 
   /** (doc_id, sig, hs) for docs with ≥1 shingle — the MinHash signature
     * table behind d4/d7 and [[CorpusCuration]]. Callers that reference it
@@ -217,7 +217,7 @@ object Dedup extends QueryPack {
 
   /** The d4 CTE chain (shingles → signatures → bands → candidates →
     * exact Jaccard), shared by the d4 and d10 oracles. */
-  private val d4Ctes = {
+  private[operators] val d4Ctes = {
     val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
       s"${TextPrims.minhashOne("hs", a, b, DuckD)} AS sig$k"
     }

@@ -101,6 +101,180 @@ object GraphQueries extends QueryPack {
        |ORDER BY rank_e12 DESC, node_kind, node_id LIMIT 20""".stripMargin
   }
 
-  def queries: Map[String, Q] = Map("gr1_pagerank" -> gr1PageRank)
-  def oracles: Map[String, String] = Map("gr1_pagerank" -> gr1Sql)
+  // -- gr2: triangle counting over the d4 near-dup pair graph — a
+  //    triangle is three MUTUALLY similar documents, the strongest
+  //    near-dup signal short of an identical hash (a CC cluster of 3
+  //    may be a chain A~B~C with A≁C; a triangle cannot). The pair
+  //    graph is the right substrate at scale: banded LSH keeps it O(n)
+  //    edges, where the corpus's dense co-occurrence projections (e.g.
+  //    supplier⋈supplier via shared orders — 91% complete at sf0.1)
+  //    would make triangle output itself quadratic.
+  //    The naive wedge join (adjacency ⋈ adjacency on the shared
+  //    endpoint) explodes quadratically on hub nodes; the standard
+  //    scale-safe fix is DEGREE-ORDERED ORIENTATION: direct every edge
+  //    from its lower endpoint to its higher endpoint under the total
+  //    order (degree, id). Every node's OUT-degree is then bounded by
+  //    O(sqrt(edges)) regardless of its real degree, so the wedge join
+  //    fans out by arboricity, not by hub size — the difference between
+  //    a 100 TB run finishing and one executor owning a celebrity node
+  //    (a boilerplate page with a million near-copies). Each triangle
+  //    {a,b,c} is counted exactly once, as the wedge at its
+  //    order-minimal vertex closed by the oriented edge b→c.
+  //    All counts are integers — exact on any engine, any shuffle order.
+  private val gr2Triangles: Q = (s, dir) => {
+    val pairs = Dedup.nearDupPairs(Tables.documents(s, dir))
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .persist()
+    val deg = pairs.select(col("u").as("n"))
+      .unionByName(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // Orient u—v toward the (degree, id)-larger endpoint; carry the
+    // destination's order key so the wedge join can canonicalize the
+    // closing edge without re-joining degrees.
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val oriented = pairs.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"),
+                 col("dv").as("ddeg")))
+          .otherwise(
+            struct(col("v").as("src"), col("u").as("dst"),
+                   col("du").as("ddeg"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddeg"))
+      .persist()
+    val e1 = oriented.select(col("src").as("wsrc"), col("dst").as("b"),
+      col("ddeg").as("bd"))
+    val e2 = oriented.select(col("src").as("wsrc"), col("dst").as("c"),
+      col("ddeg").as("cd"))
+    val wedges = e1.join(e2,
+        Seq("wsrc")).where(
+        col("bd") < col("cd") ||
+        (col("bd") === col("cd") && col("b") < col("c")))
+      .select(col("wsrc").as("a"), col("b"), col("c"))
+    val close = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val tris = wedges.join(close, Seq("b", "c")).persist()
+    val perNode = tris.select(col("a").as("d"))
+      .unionByName(tris.select(col("b").as("d")))
+      .unionByName(tris.select(col("c").as("d")))
+      .groupBy("d").agg(count(lit(1)).as("triangles"))
+    perNode
+      .select(col("d").as("doc_id"), col("triangles"))
+      .orderBy(col("triangles").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val gr2Sql =
+    s"""WITH ${Dedup.d4Ctes},
+      |pairs AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM j
+      |  WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE)
+      |    >= ${Dedup.jacThreshold}),
+      |deg AS (
+      |  SELECT n, count(*) AS d FROM (
+      |    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+      |  GROUP BY n),
+      |oriented AS (
+      |  SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END
+      |           AS src,
+      |         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END
+      |           AS dst,
+      |         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END
+      |           AS ddeg
+      |  FROM pairs p
+      |  JOIN deg du ON du.n = p.u
+      |  JOIN deg dv ON dv.n = p.v),
+      |wedges AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM oriented e1 JOIN oriented e2
+      |    ON e1.src = e2.src
+      |   AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)),
+      |tris AS (
+      |  SELECT w.a, w.b, w.c
+      |  FROM wedges w JOIN oriented o ON o.src = w.b AND o.dst = w.c)
+      |SELECT d AS doc_id, count(*) AS triangles
+      |FROM (SELECT a AS d FROM tris
+      |      UNION ALL SELECT b FROM tris
+      |      UNION ALL SELECT c FROM tris)
+      |GROUP BY d
+      |ORDER BY triangles DESC, doc_id LIMIT 20""".stripMargin
+
+  // -- gr3: bounded-hop BFS (single-source shortest hop distance) over
+  //    the same co-supplier graph, source = the smallest supplier id in
+  //    the edge set, 3 unrolled frontier expansions. Each expansion is
+  //    one reached⋈edges hash join plus a min-aggregate — min over
+  //    integers is associative and idempotent, so partial aggregation
+  //    and shuffle order are free. Result: the hop-distance histogram
+  //    (how much of the graph each BFS round absorbs), with nodes never
+  //    reached within 3 hops counted under hop = -1 — the "is the graph
+  //    one tight component?" diagnostic at a glance.
+  private val bfsIters = 3
+  private val gr3Bfs: Q = (s, dir) => {
+    val members = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pairs = members.as("a")
+      .join(members.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val source = nodes.agg(min(col("node")).as("node"))
+      .withColumn("hop", lit(0L))
+    var reached = source.select(col("node"), col("hop"))
+    for (i <- 1 to bfsIters) {
+      val expanded = reached
+        .join(edges, reached("node") === edges("src"))
+        .select(col("dst").as("node"), (col("hop") + 1).as("hop"))
+      reached = reached.unionByName(expanded)
+        .groupBy("node").agg(min(col("hop")).as("hop"))
+    }
+    val withUnreached = nodes
+      .join(reached, Seq("node"), "left_outer")
+      .select(coalesce(col("hop"), lit(-1L)).as("hop"))
+    withUnreached.groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hop"))
+  }
+
+  private val gr3Sql = {
+    val expand = (1 to bfsIters).map { i =>
+      s"""r$i AS (
+         |  SELECT node, min(hop) AS hop FROM (
+         |    SELECT node, hop FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.hop + 1 AS hop
+         |    FROM r${i - 1} r JOIN edges e ON e.src = r.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH members AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |pairs AS (
+       |  SELECT DISTINCT a.sk AS u, b.sk AS v
+       |  FROM members a JOIN members b ON a.ok = b.ok AND a.sk < b.sk),
+       |edges AS (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |r0 AS (
+       |  SELECT min(node) AS node, CAST(0 AS BIGINT) AS hop FROM nodes),
+       |$expand
+       |SELECT coalesce(r.hop, -1) AS hop, count(*) AS n_nodes
+       |FROM nodes n LEFT JOIN r$bfsIters r ON n.node = r.node
+       |GROUP BY 1 ORDER BY hop""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "gr1_pagerank"  -> gr1PageRank,
+    "gr2_triangles" -> gr2Triangles,
+    "gr3_bfs_hops"  -> gr3Bfs)
+  def oracles: Map[String, String] = Map(
+    "gr1_pagerank"  -> gr1Sql,
+    "gr2_triangles" -> gr2Sql,
+    "gr3_bfs_hops"  -> gr3Sql)
 }

@@ -445,7 +445,72 @@ object Skew extends QueryPack {
       |WHERE l_partkey BETWEEN plo AND phi AND l_suppkey BETWEEN slo AND shi
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- x9: bucketized interval (range) join — each `error` event opens a
+  //    10-minute window; count the click/view/purchase events landing
+  //    inside any window, per window. The naive form is a pure-inequality
+  //    join (`t.m BETWEEN e.m0 AND e.m0+W`), which has no equi-key, so
+  //    Spark can only plan a broadcast-nested-loop — O(|errors|·|events|)
+  //    comparisons, dead at 100 TB. The scale pattern: quantize time into
+  //    buckets of the window length; every interval overlaps at most 2
+  //    buckets (exploded to ≤2 rows — bounded, unlike exploding per-second
+  //    keys), every point falls in exactly 1; the join becomes a hash
+  //    equi-join on the bucket followed by the exact range filter. Work
+  //    drops to the pairs that share a bucket — the same candidates the
+  //    inequality would have matched, plus only the same-bucket near
+  //    misses. A window exploded to 2 distinct buckets can meet a point
+  //    (which has 1 bucket) at most once, so no dedup pass is needed.
+  //    All outputs are integer counts — exact on any engine.
+  private val x9WindowUs = 600000000L // 10 min in microseconds
+
+  private val x9IntervalJoin: Q = (s, dir) => {
+    val W = x9WindowUs
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("m"))
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("m").as("m0"))
+    val winBuckets = errs.select(col("err_id"), col("m0"),
+      explode(array(expr(s"m0 div $W"), expr(s"m0 div $W + 1")))
+        .as("bucket"))
+    val tgt = ev.where(col("event_type") =!= "error")
+      .select(col("event_type"), col("m").as("mt"),
+        expr(s"m div $W").as("bucket"))
+    winBuckets.join(tgt, "bucket")
+      .where(col("mt") > col("m0") && col("mt") < col("m0") + W)
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_click"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("n_view"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"))
+      .orderBy(col("n_events").desc, col("err_id"))
+      .limit(20)
+  }
+
+  private val x9Sql =
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type, epoch_us(ts) AS m FROM events),
+       |errs AS (
+       |  SELECT event_id AS err_id, m AS m0 FROM ev
+       |  WHERE event_type = 'error'),
+       |tgt AS (
+       |  SELECT event_type, m FROM ev WHERE event_type <> 'error')
+       |SELECT err_id, count(*) AS n_events,
+       |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_click,
+       |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_view,
+       |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_purchase
+       |FROM errs JOIN tgt
+       |  ON tgt.m > errs.m0 AND tgt.m < errs.m0 + $x9WindowUs
+       |GROUP BY err_id
+       |ORDER BY n_events DESC, err_id LIMIT 20""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "x9_interval_bucket_join" -> x9IntervalJoin,
     "x8_mv_orders"        -> x8MvOrders,
     "x7_mv_minmax_avg"    -> x7MvMinMaxAvg,
     "x6_zorder_box"       -> x6ZOrderBox,
@@ -456,6 +521,7 @@ object Skew extends QueryPack {
     "x3_bloom_prune"      -> x3BloomPrune)
 
   def oracles: Map[String, String] = Map(
+    "x9_interval_bucket_join" -> x9Sql,
     "x8_mv_orders"        -> x8Sql,
     "x7_mv_minmax_avg"    -> x7Sql,
     "x6_zorder_box"       -> x6Sql,

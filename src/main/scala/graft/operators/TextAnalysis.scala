@@ -639,7 +639,85 @@ object TextAnalysis extends QueryPack {
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // -- t15: TF-IDF keyword extraction — the top-3 most characteristic
+  //    terms per document, the classic corpus-statistics summarizer
+  //    (and the other face of t14's BM25: same tf/df statistics, ranked
+  //    per-document instead of per-query). Terms are lowercased purely
+  //    alphabetic tokens of length ≥ 3; tf is the in-document count, df
+  //    the document frequency. Cross-engine exactness: the only
+  //    transcendental is ln, so the IDF is collapsed ONCE to an integer
+  //    — floor(ln((N+1)/(df+1))·1e9) — and the score is the exact
+  //    BIGINT product tf·idf_e9; ranking and ties (score desc, term
+  //    asc) are then pure integer/string comparisons no engine can
+  //    reorder. Terms present in every document (idf_e9 = 0) carry no
+  //    signal and are dropped.
+  //    Scale shape: explode → (doc,term) count with map-side partial
+  //    agg, df as a term-keyed re-aggregate of that (vocabulary-sized,
+  //    never row-sized), N broadcast as one scalar, and the per-doc
+  //    top-3 is the row_number()≤k idiom the RowNumberTopKRewrite rule
+  //    plans as a bounded-heap GroupedTopK — no full sort anywhere.
+  private val tTfidf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextPrims.tokens("lower(text)", SparkD)
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr(s"filter($toks, t -> t rlike '^[a-z]{3,}$$')"))
+          .as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_e9",
+        expr("CAST(floor(ln((CAST(n AS DOUBLE) + 1.0) / " +
+          "(CAST(df AS DOUBLE) + 1.0)) * 1e9) AS BIGINT)"))
+      .where(col("idf_e9") > 0)
+      .withColumn("score_e9", col("tf") * col("idf_e9"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_e9").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf"), col("score_e9"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tTfidfSql = {
+    val toks = TextPrims.tokens("lower(text)", DuckD)
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(list_filter($toks,
+       |           t -> regexp_matches(t, '^[a-z]{3,}$$'))) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM terms
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |         tf.tf * CAST(floor(ln((CAST(n.n AS DOUBLE) + 1.0) /
+       |           (CAST(df.df AS DOUBLE) + 1.0)) * 1e9) AS BIGINT)
+       |           AS score_e9,
+       |         CAST(floor(ln((CAST(n.n AS DOUBLE) + 1.0) /
+       |           (CAST(df.df AS DOUBLE) + 1.0)) * 1e9) AS BIGINT)
+       |           AS idf_e9
+       |  FROM tf JOIN df USING (term), n),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, score_e9,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score_e9 DESC, term) AS rank
+       |  FROM scored WHERE idf_e9 > 0)
+       |SELECT doc_id, rank, term, tf, score_e9
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "t15_tfidf_topterms" -> tTfidf,
     "t14_bm25"        -> tBm25,
     "t13_novelty"     -> tNovelty,
     "t12_ngram_score" -> tNgramScore,
@@ -656,6 +734,7 @@ object TextAnalysis extends QueryPack {
     "t6_chunking"     -> tChunking)
 
   def oracles: Map[String, String] = Map(
+    "t15_tfidf_topterms" -> tTfidfSql,
     "t14_bm25"        -> tBm25Sql,
     "t13_novelty"     -> tNoveltySql,
     "t12_ngram_score" -> tNgramScoreSql,

@@ -356,6 +356,83 @@ object WindowedScalar extends QueryPack {
       |       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS p99
       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- dq2: robust outlier detection per event_type — median/MAD
+  //    z-scoring, the heavy-tail-safe cousin of the mean/stddev rule
+  //    (one fat outlier inflates a stddev and hides its peers; the
+  //    median absolute deviation shrugs it off). Everything is
+  //    SELECTION, never interpolation: the median is the (n+1) div 2
+  //    order statistic under the deterministic (value, event_id) order
+  //    (w8's idiom), the MAD the same statistic over |v − med|, and the
+  //    outlier rule |v − med| > 3·MAD uses only IEEE-exact ops
+  //    (subtract, abs, multiply, compare) on identical operands — so
+  //    both engines flag identical rows, no tolerance needed.
+  //    Scale shape: two window sorts + three narrow aggregates, all
+  //    keyed on event_type. Exact per-group medians are sort-based by
+  //    nature; the sorts partition by group key, so 1000 executors each
+  //    sort their own groups — no global sort, no driver state.
+  private val dq2MadOutliers: Q = (s, dir) => {
+    val byVal = Window.partitionBy("event_type")
+      .orderBy(col("v"), col("event_id"))
+    val all = Window.partitionBy("event_type")
+    val t = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        graft.Exact.dec2(col("value")).cast("double").as("v"))
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(all))
+    val med = t.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("med"))
+    val dev = t.select(col("event_type"), col("event_id"), col("v"))
+      .join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val byDev = Window.partitionBy("event_type")
+      .orderBy(col("dev"), col("event_id"))
+    val mad = dev
+      .withColumn("rn2", row_number().over(byDev))
+      .groupBy("event_type")
+      .agg(max(when(col("rn2") === expr("(n + 1) div 2"), col("dev")))
+        .as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val dq2Sql =
+    """WITH t AS (
+      |  SELECT event_type, event_id,
+      |         CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE),
+      |                    event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, max(n) AS n,
+      |         max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+      |  FROM t GROUP BY event_type),
+      |dev AS (
+      |  SELECT t.event_type, t.event_id, t.v, med.n, med.med,
+      |         abs(t.v - med.med) AS dev
+      |  FROM t JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type,
+      |         max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END) AS mad
+      |  FROM (SELECT event_type, n, dev,
+      |               row_number() OVER (PARTITION BY event_type
+      |                 ORDER BY dev, event_id) AS rn2
+      |        FROM dev) GROUP BY event_type)
+      |SELECT dev.event_type, max(dev.n) AS n, max(dev.med) AS med,
+      |       max(mad.mad) AS mad,
+      |       CAST(sum(CASE WHEN dev.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY dev.event_type ORDER BY event_type""".stripMargin
+
   // -- f2: conversion funnel — per signup cohort (day of first signup),
   //    how many users signed up and how many later purchased. Two narrow
   //    conditional aggregates per user (one shuffle on user_id), then a
@@ -601,6 +678,7 @@ object WindowedScalar extends QueryPack {
     "w9_gap_fill"        -> w9GapFill,
     "f4_json_extract"    -> f4JsonExtract,
     "w8_percentiles"     -> w8Percentiles,
+    "dq2_mad_outliers"   -> dq2MadOutliers,
     "f2_funnel"          -> f2Funnel,
     "w3_latest_group"    -> w3LatestMonth,
     "w4_grouped_topk"    -> w4GroupedTopK,
@@ -622,6 +700,7 @@ object WindowedScalar extends QueryPack {
     "w9_gap_fill"        -> w9Sql,
     "f4_json_extract"    -> f4Sql,
     "w8_percentiles"     -> w8Sql,
+    "dq2_mad_outliers"   -> dq2Sql,
     "f2_funnel"          -> f2Sql,
     "w3_latest_group"    -> w3Sql,
     "w4_grouped_topk"    -> w4Sql,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** gr2 (oriented triangle counting) and gr3 (bounded-hop BFS) against
+  * brute-force recomputations of the same co-supplier graph — the spec
+  * rebuilds the edge set naively from the corpus and checks the
+  * distributed answers bit-for-bit. sf0.001 keeps the brute force tiny
+  * (10 suppliers) while exercising every join in the real plans. */
+class GraphQueries2Spec extends SparkSpecBase {
+
+  /** The co-supplier edge set (u < v), brute-forced via collect. */
+  private lazy val edges: Set[(Long, Long)] = {
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.groupBy(_._1).values.flatMap { grp =>
+      val sks = grp.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.size)
+        yield (sks(i), sks(j))
+    }.toSet
+  }
+
+  test("gr2 per-doc triangle counts match the brute-force enumeration " +
+       "over the d4 pair graph") {
+    val pairEdges = operators.Dedup
+      .nearDupPairs(Tables.documents(spark, sfDir))
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = pairEdges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      (u, v) <- pairEdges
+      w <- adj(u) if w > v && pairEdges((v, w))
+    } {
+      triCount(u) += 1; triCount(v) += 1; triCount(w) += 1
+    }
+    val expected = triCount.toSeq
+      .sortBy { case (n, c) => (-c, n) }.take(20)
+    val got = SparkEntry.queries("gr2_triangles")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    assert(expected.nonEmpty) // the planted corpus actually has triangles
+  }
+
+  test("gr3 hop histogram matches a brute-force BFS from the min node") {
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keySet
+    val src = nodes.min
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(adj).diff(dist.keySet)
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    val expected = nodes.toSeq
+      .map(n => dist.getOrElse(n, -1L))
+      .groupBy(identity).map { case (h, xs) => (h, xs.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("gr3_bfs_hops")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // exactly one source at hop 0
+    assert(got.find(_._1 == 0L).map(_._2).contains(1L))
+    // histogram covers every node exactly once
+    assert(got.map(_._2).sum == nodes.size.toLong)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** t15 (TF-IDF keywords) and dq2 (median/MAD outliers) against
+  * brute-force recomputations at sf0.001. */
+class RobustStatsSpec extends SparkSpecBase {
+
+  test("dq2 median/MAD/outliers match the brute-force per-type values") {
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("event_id"),
+        Exact.dec2(col("value")).cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (et, xs) =>
+      val n = xs.length
+      // the (n+1)/2-th element under (value, event_id) — selection, not
+      // interpolation, mirroring the query's rule
+      def sel(vs: Seq[(Double, Long)]): Double =
+        vs.sortBy(identity).apply((n + 1) / 2 - 1)._1
+      val med = sel(xs.map(x => (x._3, x._2)).toSeq)
+      val mad = sel(xs.map(x => (math.abs(x._3 - med), x._2)).toSeq)
+      val out = xs.count(x => math.abs(x._3 - med) > 3.0 * mad).toLong
+      et -> ((n.toLong, med, mad, out))
+    }
+    val got = SparkEntry.queries("dq2_mad_outliers")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("t15 top terms are valid, ranked, and per-doc score-consistent") {
+    val df = SparkEntry.queries("t15_tfidf_topterms")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // terms obey the token rule
+    assert(rows.forall(_._3.matches("[a-z]{3,}")))
+    // per-doc: ranks are 1..k, scores non-increasing, ties broken by term
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      val sorted = xs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 > b._5 || (a._5 == b._5 && a._3 < b._3))
+        case _ =>
+      }
+    }
+    // determinism (integer scores => rerun cannot reorder)
+    val again = SparkEntry.queries("t15_tfidf_topterms")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("t15 brute-force parity on one document") {
+    // recompute tf·idf_e9 for the lowest doc_id entirely in Scala
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").toSeq.filter(_.matches("[a-z]{3,}"))
+    val tf = docs.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).map { case (k, v) => k -> v.size }
+    }.toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val target = docs.map(_._1).min
+    val expected = tf(target).toSeq.flatMap { case (term, f) =>
+      val idf = math.floor(math.log((n + 1.0) / (dfreq(term) + 1.0)) * 1e9)
+        .toLong
+      if (idf > 0) Some((term, f.toLong, f * idf)) else None
+    }.sortBy { case (t, _, sc) => (-sc, t) }.take(3)
+    val got = SparkEntry.queries("t15_tfidf_topterms")(spark, sfDir)
+      .where(col("doc_id") === target)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+}

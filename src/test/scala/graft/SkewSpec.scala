@@ -65,4 +65,33 @@ class SkewSpec extends SparkSpecBase {
       .orderBy("k").collect().toSeq
     assert(got == want)
   }
+
+  test("x9 bucketized interval join matches the naive inequality join " +
+       "and plans as a hash join") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val errs = raw.filter(_._2 == "error")
+    val tgts = raw.filter(_._2 != "error")
+    val W = 600000000L
+    val expected = errs.map { case (id, _, m0) =>
+      val in = tgts.filter(t => t._3 > m0 && t._3 < m0 + W)
+      (id, in.size.toLong,
+        in.count(_._2 == "click").toLong,
+        in.count(_._2 == "view").toLong,
+        in.count(_._2 == "purchase").toLong)
+    }.filter(_._2 > 0)
+      .sortBy { case (id, n, _, _, _) => (-n, id) }.take(20).toSeq
+    val df = SparkEntry.queries("x9_interval_bucket_join")(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // the whole point: an equi-key exists, so no nested-loop join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan)
+    assert(ev.count() == raw.length.toLong)
+  }
 }
