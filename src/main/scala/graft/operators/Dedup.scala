@@ -296,6 +296,93 @@ object Dedup extends QueryPack {
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  // -- d15: LSH recall audit — what fraction of TRUE near-dup pairs
+  //    (exact Jaccard ≥ threshold) does the banded candidate generation
+  //    actually surface? d4 measures precision implicitly (its exact
+  //    re-check discards false candidates) but says nothing about the
+  //    pairs banding never proposed — the silent quality risk of every
+  //    production LSH dedup. Ground truth needs all-pairs exact
+  //    Jaccard, which is quadratic BY NATURE, so the audit prices it on
+  //    a deterministic 1-in-4 id sample (v10's move on the dedup
+  //    modality): the quadratic term is bounded by the sample, the
+  //    banding side reuses the production bandsOf machinery unchanged,
+  //    and recall transfers because banding sees each pair
+  //    independently. One output row: sample size, truth pairs, caught
+  //    pairs, recall (an exact-integer ratio — same IEEE divide both
+  //    engines).
+  //    What it reveals on this corpus: recall ≈ 5–8%. That is the
+  //    banding S-curve speaking — P(candidate) = 1−(1−j^2)^6 is ~4% at
+  //    j = 0.08 and only crosses 50% near j ≈ 0.32 — i.e. d4's exact
+  //    threshold (0.08) sits far below the 6-band×2-row operating
+  //    point, so d4-as-configured is a precision tool over strong dups,
+  //    not an exhaustive catalog of weak ones. Exactly the distinction
+  //    a production dedup needs made visible before anyone trusts
+  //    "no near-dups remain" at 100 TB.
+  private val d15SampleMod = 4
+
+  private val d15LshRecall: Q = (s, dir) => {
+    val sub = Tables.documents(s, dir)
+      .filter(col("doc_id") % d15SampleMod === 0)
+    val base = signatures(sub).persist()
+    val allPairs = base.select(col("doc_id").as("doc_a")).join(
+      base.select(col("doc_id").as("doc_b")),
+      col("doc_a") < col("doc_b"))
+    val truth = exactJaccard(allPairs, base, "doc_a", "doc_b", jacThreshold)
+      .select("doc_a", "doc_b")
+    val banded = bandsOf(base)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val nDocs = base.groupBy().agg(count(lit(1)).as("n_docs"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy()
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs"), col("n_truth"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
+  private val d15Sql = {
+    val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      s"${TextPrims.minhashOne("hs", a, b, DuckD)} AS sig$k"
+    }
+    val bandSelects = (0 until nBands).map { i =>
+      s"SELECT doc_id, $i AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh FROM s"
+    }
+    s"""WITH h AS (
+       |  SELECT doc_id, ${shingleHashes(DuckD)} AS hs
+       |  FROM documents WHERE doc_id % $d15SampleMod = 0),
+       |s AS (SELECT doc_id, hs, ${sigs.mkString(",\n       ")}
+       |      FROM h WHERE len(hs) > 0),
+       |truth AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |        CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
+       |          AS DOUBLE) >= $jacThreshold),
+       |banded AS (${bandSelects.mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh
+       |   AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT t.doc_a, t.doc_b,
+       |         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM truth t LEFT JOIN cand c
+       |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+       |SELECT (SELECT count(*) FROM s) AS n_docs,
+       |       count(*) AS n_truth,
+       |       CAST(sum(hit) AS BIGINT) AS n_caught,
+       |       CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM j""".stripMargin
+  }
+
   // -- d5: SimHash — 16-bit majority-vote fingerprint over token hashes
   //    (frequency-sensitive, order-insensitive); near-identical docs land
   //    at small Hamming distance.
@@ -811,6 +898,7 @@ object Dedup extends QueryPack {
     "d14_dup_spans"        -> d14DupSpans,
     "d13_line_dedup"       -> d13LineDedup,
     "d12_url_dedup"        -> d12UrlDedup,
+    "d15_lsh_recall"       -> d15LshRecall,
     "d11_budget_sample"    -> d11BudgetSample,
     "d9_edit_distance"     -> d9EditDistance,
     "d1_exact_dedup_stats" -> d1ExactStats,
@@ -824,6 +912,7 @@ object Dedup extends QueryPack {
     "d10_dup_clusters"     -> d10DupClusters)
 
   def oracles: Map[String, String] = Map(
+    "d15_lsh_recall"       -> d15Sql,
     "d14_dup_spans"        -> d14Sql,
     "d13_line_dedup"       -> d13Sql,
     "d12_url_dedup"        -> d12Sql,

@@ -554,6 +554,51 @@ object WindowedScalar extends QueryPack {
       |  ON dl.user_id = g.user_id AND dl.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  // -- w12: daily active / new / returning users with a cumulative
+  //    total — the growth dashboard staple. The naive form needs
+  //    count(DISTINCT) OVER a cumulative window, which neither engine
+  //    supports (and which at scale would drag every user id through
+  //    every frame). The scale idiom: dedup to (user, day) once, mark
+  //    each user's FIRST day with one min-aggregate, and everything
+  //    else is per-day integer counts — "returning" is dau − new, and
+  //    the cumulative user count is a running sum over the
+  //    days-cardinality table (tiny by construction), not over events.
+  //    Epoch day numbers (integer division) keep the key integer-exact.
+  private val w12NewVsReturning: Q = (s, dir) => {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    val firstDay = ud.groupBy("user_id").agg(min(col("day")).as("fd"))
+    val daily = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val news = firstDay.groupBy(col("fd").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(news, Seq("day"), "left")
+      .select(col("day"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("returning", col("dau") - col("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(wCum))
+      .orderBy("day")
+  }
+
+  private val w12Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+      |  FROM events),
+      |fd AS (SELECT user_id, min(day) AS fd FROM ud GROUP BY user_id),
+      |daily AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |news AS (SELECT fd AS day, count(*) AS new_users FROM fd GROUP BY fd)
+      |SELECT d.day, d.dau,
+      |       coalesce(n.new_users, 0) AS new_users,
+      |       d.dau - coalesce(n.new_users, 0) AS returning,
+      |       CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cum_users
+      |FROM daily d LEFT JOIN news n ON n.day = d.day
+      |ORDER BY d.day""".stripMargin
+
   // -- w10: weekly cohort retention — the product-analytics matrix: each
   //    user's cohort is their first-seen ISO week; retention at week N is
   //    the fraction of the cohort active N weeks later. Everything
@@ -673,6 +718,7 @@ object WindowedScalar extends QueryPack {
 
   def queries: Map[String, Q] = Map(
     "j10_scd2_asof"      -> j10Scd2Asof,
+    "w12_new_vs_returning" -> w12NewVsReturning,
     "w11_scd2_history"   -> w11Scd2,
     "w10_retention"      -> w10Retention,
     "w9_gap_fill"        -> w9GapFill,
@@ -695,6 +741,7 @@ object WindowedScalar extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "j10_scd2_asof"      -> j10Sql,
+    "w12_new_vs_returning" -> w12Sql,
     "w11_scd2_history"   -> w11Sql,
     "w10_retention"      -> w10Sql,
     "w9_gap_fill"        -> w9Sql,

@@ -53,6 +53,49 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("w12 daily new/returning users match the brute-force replay") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ud = rows.toSet
+    val firstDay = ud.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min }
+    val days = ud.map(_._2).toSeq.sorted.distinct
+    var cum = 0L
+    val expected = days.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val nw = firstDay.values.count(_ == d).toLong
+      cum += nw
+      (d, dau, nw, dau - nw, cum)
+    }
+    val got = SparkEntry.queries("w12_new_vs_returning")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // the final cumulative count is the total distinct-user count
+    assert(got.last._5 == firstDay.size.toLong)
+  }
+
+  test("d15 LSH recall audit is internally consistent and deterministic") {
+    def run() = SparkEntry.queries("d15_lsh_recall")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val Seq((nDocs, nTruth, nCaught, recall)) = run()
+    // sample really is the 1-in-4 id slice (with ≥1 shingle)
+    val subset = operators.Dedup
+      .signatures(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 4 === 0))
+      .count()
+    assert(nDocs == subset)
+    // caught is a subset of truth; the ratio is their exact quotient
+    assert(nCaught <= nTruth && nTruth > 0)
+    assert(recall == nCaught.toDouble / nTruth.toDouble)
+    // banding can't catch everything at a threshold this far below the
+    // S-curve knee — if recall were 1.0 the audit would be vacuous
+    assert(recall < 1.0)
+    assert(run() == Seq((nDocs, nTruth, nCaught, recall)))
+  }
+
   test("t15 brute-force parity on one document") {
     // recompute tf·idf_e9 for the lowest doc_id entirely in Scala
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
