@@ -132,7 +132,17 @@ object Plans {
     "t14_bm25" ->
       "BM25: corpus stats reduce to a scalar row broadcast back with a BroadcastNestedLoopJoin (1-row side), scoring stays in the scan stage, and the top-10 is a global sort of scalars.",
     "x6_zorder_box" ->
-      "Z-order clustered scan: both box filters are literals pushed to the graft_z_lineitem FileScan (PushedFilters on l_partkey AND l_suppkey); the Morton layout makes the row-group min/max stats tight in BOTH dimensions, so the pushed filters skip most of the table before a page is decoded — pruning via row order, no index structure.")
+      "Z-order clustered scan: both box filters are literals pushed to the graft_z_lineitem FileScan (PushedFilters on l_partkey AND l_suppkey); the Morton layout makes the row-group min/max stats tight in BOTH dimensions, so the pushed filters skip most of the table before a page is decoded — pruning via row order, no index structure.",
+    "gr2_triangles" ->
+      "Triangle counting: degree-ordered orientation bounds every node's wedge fan-out by arboricity (the celebrity-node guard); the wedge join and the closing-edge join are both hash equi-joins over the O(n) LSH pair graph.",
+    "x9_interval_bucket_join" ->
+      "Bucketized range join: windows explode to ≤2 bucket keys, points to exactly 1 — the pure-inequality join becomes a hash equi-join + exact range filter; the plan must show SortMergeJoin/ShuffledHashJoin on `bucket`, never BroadcastNestedLoopJoin.",
+    "t15_tfidf_topterms" ->
+      "TF-IDF keywords: explode→(doc,term) partial-aggregated count, df re-aggregated from it (vocabulary-sized), N broadcast; per-doc top-3 plans through the row_number≤k rewrite onto GroupedTopK — no global sort.",
+    "d15_lsh_recall" ->
+      "LSH recall audit: the quadratic exact-truth side is bounded to the 1-in-4 id sample (BNLJ over sampled ids only); the candidate side reuses the production band equi-join; one scalar row out.",
+    "dq2_mad_outliers" ->
+      "Median/MAD outliers: two per-group window sorts + three narrow aggregates, all partitioned on event_type — exact selection-based medians with no global sort and no interpolation arithmetic.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

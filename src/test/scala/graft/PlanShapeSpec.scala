@@ -241,6 +241,23 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("round-8 scale shapes: t15 top-3 on GroupedTopK, gr2 all equi-joins") {
+    // t15's per-doc top-3 is written as the row_number()<=k idiom; the
+    // RowNumberTopKRewrite rule must plan it onto the bounded-heap
+    // GroupedTopK operator, never a WindowExec sort of the full scored
+    // term table.
+    val t15 = executedPlan("t15_tfidf_topterms")
+    assert(t15.contains("GroupedTopK"),
+      s"t15 lost the GroupedTopK rewrite:\n${t15.take(3000)}")
+    // gr2's wedge and closing-edge joins both key on columns — the
+    // orientation construction must never degrade to a cartesian or
+    // nested-loop product over the pair graph.
+    val gr2 = executedPlan("gr2_triangles")
+    assert(!gr2.contains("CartesianProduct") &&
+           !gr2.contains("BroadcastNestedLoopJoin"),
+      s"gr2 planned a product join:\n${gr2.take(3000)}")
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
