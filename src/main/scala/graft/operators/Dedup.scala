@@ -383,6 +383,119 @@ object Dedup extends QueryPack {
        |FROM j""".stripMargin
   }
 
+  // -- d16: banding TUNED from d15's finding — the re-measure half of the
+  //    audit loop. d15 shows 6-band×2-row banding recalls only ~5–8% of
+  //    true pairs at the 0.08 threshold (its S-curve knee sits at
+  //    j₅₀ ≈ 0.32). The fix a production dedup reaches for is not more
+  //    hashes but a re-slice of the SAME 12 minhashes: 12 bands × 1 row
+  //    moves the candidate probability to 1−(1−j)¹², ≈63% at j = 0.08 —
+  //    at the price of more candidates (r=1 buckets on raw minhash values
+  //    collide far more often). This query prices BOTH configurations on
+  //    d15's sample in one row: recall and candidate volume, side by
+  //    side — the measurement that justifies (or vetoes) the retune
+  //    before anyone re-runs a 100 TB dedup. Signatures are computed
+  //    once; only the banding differs.
+  /** r=1 banding: each of the 12 minhash values IS a band key. */
+  private def bandsR1(sigTable: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bandCols = minhashSeeds.indices.map { i =>
+      expr(s"struct(CAST($i AS INT) AS band_id, element_at(sig, ${i + 1}) AS bh)")
+    }
+    sigTable.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+              col("band.bh").as("bh"))
+  }
+
+  private val d16LshTuned: Q = (s, dir) => {
+    val sub = Tables.documents(s, dir)
+      .filter(col("doc_id") % d15SampleMod === 0)
+    val base = signatures(sub).persist()
+    val allPairs = base.select(col("doc_id").as("doc_a")).join(
+      base.select(col("doc_id").as("doc_b")),
+      col("doc_a") < col("doc_b"))
+    val truth = exactJaccard(allPairs, base, "doc_a", "doc_b", jacThreshold)
+      .select("doc_a", "doc_b")
+    def candsFrom(banded: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      banded.as("a").join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    // each candidate set is read twice (count + recall join) — persist so
+    // the band self-join runs once per configuration
+    val c62 = candsFrom(bandsOf(base)).persist()
+    val c121 = candsFrom(bandsR1(base)).persist()
+    val n62 = c62.groupBy().agg(count(lit(1)).as("n_cand_6x2"))
+    val n121 = c121.groupBy().agg(count(lit(1)).as("n_cand_12x1"))
+    truth
+      .join(c62.withColumn("h62", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .join(c121.withColumn("h121", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .groupBy()
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("h62"), lit(0L))).as("n_caught_6x2"),
+        sum(coalesce(col("h121"), lit(0L))).as("n_caught_12x1"))
+      .crossJoin(broadcast(n62))
+      .crossJoin(broadcast(n121))
+      .select(col("n_truth"),
+        col("n_cand_6x2"), col("n_caught_6x2"),
+        (col("n_caught_6x2").cast("double") / col("n_truth").cast("double"))
+          .as("recall_6x2"),
+        col("n_cand_12x1"), col("n_caught_12x1"),
+        (col("n_caught_12x1").cast("double") / col("n_truth").cast("double"))
+          .as("recall_12x1"))
+  }
+
+  private val d16Sql = {
+    val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      s"${TextPrims.minhashOne("hs", a, b, DuckD)} AS sig$k"
+    }
+    val bandSelects62 = (0 until nBands).map { i =>
+      s"SELECT doc_id, $i AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh FROM s"
+    }
+    val bandSelects121 = minhashSeeds.indices.map { i =>
+      s"SELECT doc_id, $i AS band_id, sig$i AS bh FROM s"
+    }
+    s"""WITH h AS (
+       |  SELECT doc_id, ${shingleHashes(DuckD)} AS hs
+       |  FROM documents WHERE doc_id % $d15SampleMod = 0),
+       |s AS (SELECT doc_id, hs, ${sigs.mkString(",\n       ")}
+       |      FROM h WHERE len(hs) > 0),
+       |truth AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |        CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))
+       |          AS DOUBLE) >= $jacThreshold),
+       |banded62 AS (${bandSelects62.mkString("\n  UNION ALL\n  ")}),
+       |cand62 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded62 a JOIN banded62 b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh
+       |   AND a.doc_id < b.doc_id),
+       |banded121 AS (${bandSelects121.mkString("\n  UNION ALL\n  ")}),
+       |cand121 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded121 a JOIN banded121 b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh
+       |   AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT t.doc_a, t.doc_b,
+       |         CASE WHEN c1.doc_a IS NOT NULL THEN 1 ELSE 0 END AS h62,
+       |         CASE WHEN c2.doc_a IS NOT NULL THEN 1 ELSE 0 END AS h121
+       |  FROM truth t
+       |  LEFT JOIN cand62 c1 ON c1.doc_a = t.doc_a AND c1.doc_b = t.doc_b
+       |  LEFT JOIN cand121 c2 ON c2.doc_a = t.doc_a AND c2.doc_b = t.doc_b)
+       |SELECT count(*) AS n_truth,
+       |       (SELECT count(*) FROM cand62) AS n_cand_6x2,
+       |       CAST(sum(h62) AS BIGINT) AS n_caught_6x2,
+       |       CAST(sum(h62) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_6x2,
+       |       (SELECT count(*) FROM cand121) AS n_cand_12x1,
+       |       CAST(sum(h121) AS BIGINT) AS n_caught_12x1,
+       |       CAST(sum(h121) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_12x1
+       |FROM j""".stripMargin
+  }
+
   // -- d5: SimHash — 16-bit majority-vote fingerprint over token hashes
   //    (frequency-sensitive, order-insensitive); near-identical docs land
   //    at small Hamming distance.
@@ -899,6 +1012,7 @@ object Dedup extends QueryPack {
     "d13_line_dedup"       -> d13LineDedup,
     "d12_url_dedup"        -> d12UrlDedup,
     "d15_lsh_recall"       -> d15LshRecall,
+    "d16_lsh_tuned"        -> d16LshTuned,
     "d11_budget_sample"    -> d11BudgetSample,
     "d9_edit_distance"     -> d9EditDistance,
     "d1_exact_dedup_stats" -> d1ExactStats,
@@ -913,6 +1027,7 @@ object Dedup extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "d15_lsh_recall"       -> d15Sql,
+    "d16_lsh_tuned"        -> d16Sql,
     "d14_dup_spans"        -> d14Sql,
     "d13_line_dedup"       -> d13Sql,
     "d12_url_dedup"        -> d12Sql,

@@ -159,15 +159,54 @@ object Multimodal extends QueryPack {
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp ORDER BY media_id""".stripMargin
 
+  // -- m5: frame sampling — the video-keyframe-extraction shape: decode,
+  //    cut the plane into width×height frames, keep every 2nd, emit one
+  //    stat row per kept frame (a 1→N generator stage riding the same
+  //    batched mapPartitions decode as m1; binaries never shuffle — only
+  //    the per-frame stats leave the scan stage). The trailing partial
+  //    frame is kept (n_px < 256 marks it). Per-frame mean luma is one
+  //    IEEE division of an exact integer sum, so the oracle recomputes it
+  //    bit-exactly from the source text.
+  private val m5FrameSample: Q = (s, dir) => {
+    implicit val sp = s
+    val media = MediaPipeline.toMedia(Tables.documents(s, dir))
+    MediaPipeline.sampleFrames(media, MediaPipeline.FakeDecoder, everyN = 2)
+      .toDF()
+      .orderBy("id", "frame_idx")
+  }
+
+  private val m5Sql =
+    """WITH d AS (
+      |  SELECT doc_id AS id, text, octet_length(encode(text)) AS len
+      |  FROM documents),
+      |f AS (
+      |  SELECT id, text, len,
+      |         unnest(range(0, (len + 255)//256)) AS fi
+      |  FROM d WHERE len > 0),
+      |k AS (
+      |  SELECT id, CAST(fi AS INT) AS frame_idx,
+      |         CAST(CASE WHEN len - fi*256 < 256
+      |              THEN len - fi*256 ELSE 256 END AS INT) AS n_px,
+      |         list_transform(
+      |           string_split(substr(text, CAST(fi*256 + 1 AS INT), 256), ''),
+      |           c -> CAST(ascii(c) AS BIGINT)) AS px
+      |  FROM f WHERE fi % 2 = 0)
+      |SELECT id, frame_idx, n_px,
+      |       CAST(CAST(list_sum(px) AS BIGINT) AS DOUBLE)
+      |         / CAST(n_px AS DOUBLE) AS mean_luma
+      |FROM k ORDER BY id, frame_idx""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
     "m2_media_batch_stats" -> m2BatchStats,
     "m3_phash_neardup" -> m3PhashNearDup,
-    "m4_phash_clusters" -> m4PhashClusters)
+    "m4_phash_clusters" -> m4PhashClusters,
+    "m5_frame_sample" -> m5FrameSample)
 
   def oracles: Map[String, String] = Map(
     "m1_media_features" -> m1Sql,
     "m2_media_batch_stats" -> m2Sql,
     "m3_phash_neardup" -> m3Sql,
-    "m4_phash_clusters" -> m4Sql)
+    "m4_phash_clusters" -> m4Sql,
+    "m5_frame_sample" -> m5Sql)
 }

@@ -96,6 +96,31 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(run() == Seq((nDocs, nTruth, nCaught, recall)))
   }
 
+  test("d16 retuned banding strictly dominates d15's recall at higher cost") {
+    val Seq((nTruth, nCand62, nCaught62, recall62,
+             nCand121, nCaught121, recall121)) =
+      SparkEntry.queries("d16_lsh_tuned")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    // both configurations' caught sets are subsets of truth
+    assert(nCaught62 <= nTruth && nCaught121 <= nTruth && nTruth > 0)
+    // every 6×2 candidate pair also collides under 12×1 banding: a shared
+    // (sig_{2i}, sig_{2i+1}) band implies shared single minhashes — so
+    // 12×1 recall can never be below 6×2 recall (set containment, not
+    // probability), and on this corpus it must be strictly better
+    assert(recall121 > recall62,
+      s"retune did not help: $recall121 <= $recall62")
+    assert(nCaught121 >= nCaught62)
+    // ... and the cost side is real: r=1 buckets collide far more often
+    assert(nCand121 > nCand62)
+    // d15 and d16 agree on the 6×2 configuration (same sample, same bands)
+    val Seq((_, _, d15Caught, d15Recall)) =
+      SparkEntry.queries("d15_lsh_recall")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(d15Caught == nCaught62 && d15Recall == recall62)
+  }
+
   test("t15 brute-force parity on one document") {
     // recompute tf·idf_e9 for the lowest doc_id entirely in Scala
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
