@@ -142,7 +142,15 @@ object Plans {
     "d15_lsh_recall" ->
       "LSH recall audit: the quadratic exact-truth side is bounded to the 1-in-4 id sample (BNLJ over sampled ids only); the candidate side reuses the production band equi-join; one scalar row out.",
     "dq2_mad_outliers" ->
-      "Median/MAD outliers: two per-group window sorts + three narrow aggregates, all partitioned on event_type — exact selection-based medians with no global sort and no interpolation arithmetic.")
+      "Median/MAD outliers: two per-group window sorts + three narrow aggregates, all partitioned on event_type — exact selection-based medians with no global sort and no interpolation arithmetic.",
+    "d16_lsh_tuned" ->
+      "Banding retune: one signature scan feeds BOTH band layouts; each candidate set is a band equi-join persisted once and read twice (count + recall join) — recall 5%→69% priced against the 46× candidate volume in a single plan.",
+    "m5_frame_sample" ->
+      "Frame sampling: the 1→N generator runs inside the batched mapPartitions decode stage — payload binaries never shuffle; only (id, frame_idx, n_px, mean_luma) stat rows reach the sort.",
+    "m6_thumbnails" ->
+      "Thumbnail resize: decode + nearest-neighbor downsample in the scan-side mapPartitions; output rows carry 8 sampled pixels per image, so the exchange moves thumbnails, not planes.",
+    "st5_user_profile" ->
+      "Keyed-state batch face: flatMapGroupsWithState plans as one hash exchange on user_id + per-group state fold — the same operator the stream runs, with integer-cents accumulation making the fold order-proof.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -169,13 +169,43 @@ object MergeStream extends QueryPack {
       | AND click_ts <= imp_ts + INTERVAL '30 minutes'
       |ORDER BY imp_event, click_event""".stripMargin
 
+  // -- st5: the custom-state operator itself — EventStream.userProfiles'
+  //    flatMapGroupsWithState run in BATCH mode (Spark executes the same
+  //    keyed-state function over each group with empty initial state), so
+  //    the oracle checks the exact operator the stream runs, not a
+  //    re-derivation. Values feed in as integer CENTS carried in doubles:
+  //    integer-valued double addition is associative below 2^53, so the
+  //    per-group accumulation order (which batch grouping does not
+  //    define) cannot change the total — the same trick that makes gr1's
+  //    PageRank shuffle-order-proof. State partitions by user_id: at
+  //    100 TB the state store scales with distinct keys, not events.
+  private val st5UserProfile: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        round(col("value") * 100).cast("double").as("cents"))
+      .as[(Long, Long, Double)]
+    EventStream.userProfiles(e).toDF()
+      .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+        col("totalValue").cast("long").as("total_cents"),
+        col("lastTsMs").as("last_ts_ms"))
+      .orderBy("user_id")
+  }
+
+  private val st5Sql =
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |       max(epoch_ms(ts)) AS last_ts_ms
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s5_merge_upsert"    -> s5MergeUpsert,
     "w5_asof_prior"      -> w5AsofPrior,
     "st1_tumbling_window" -> st1Tumbling,
     "st2_session_window" -> st2Session,
     "st3_hopping_window" -> st3Hopping,
-    "st4_interval_join"  -> st4Interval)
+    "st4_interval_join"  -> st4Interval,
+    "st5_user_profile"   -> st5UserProfile)
 
   def oracles: Map[String, String] = Map(
     "s5_merge_upsert"    -> s5Sql,
@@ -183,5 +213,6 @@ object MergeStream extends QueryPack {
     "st1_tumbling_window" -> st1Sql,
     "st2_session_window" -> st2Sql,
     "st3_hopping_window" -> st3Sql,
-    "st4_interval_join"  -> st4Sql)
+    "st4_interval_join"  -> st4Sql,
+    "st5_user_profile"   -> st5Sql)
 }

@@ -196,17 +196,46 @@ object Multimodal extends QueryPack {
       |         / CAST(n_px AS DOUBLE) AS mean_luma
       |FROM k ORDER BY id, frame_idx""".stripMargin
 
+  // -- m6: thumbnail resize — decode → first frame (zero-padded to
+  //    width×height) → 8×1 nearest-neighbor downsample, the standard
+  //    resize stage of an image-curation pipeline run through the same
+  //    batched decode seam. With w=256, outW=8 the sample stride is 32:
+  //    out pixel x = plane[32·x], zero where the payload is shorter. The
+  //    thumbnail is emitted as a ':'-joined string (a stable row shape
+  //    the oracle hash can compare without array-type coercion).
+  private val m6Thumbnails: Q = (s, dir) => {
+    implicit val sp = s
+    val media = MediaPipeline.toMedia(Tables.documents(s, dir))
+    MediaPipeline.resizedThumbnails(media, MediaPipeline.FakeDecoder,
+        outW = 8, outH = 1)
+      .toDF()
+      .select(col("id"), col("out_w"), col("out_h"),
+        expr("array_join(transform(pixels, x -> CAST(x AS STRING)), ':')")
+          .as("px"))
+      .orderBy("id")
+  }
+
+  private val m6Sql =
+    """SELECT doc_id AS id, CAST(8 AS INT) AS out_w, CAST(1 AS INT) AS out_h,
+      |       list_aggregate(list_transform(range(0, 8), x ->
+      |         CAST(CASE WHEN x*32 < octet_length(encode(text))
+      |              THEN ascii(substr(text, CAST(x*32 + 1 AS INT), 1))
+      |              ELSE 0 END AS VARCHAR)), 'string_agg', ':') AS px
+      |FROM documents ORDER BY id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "m1_media_features" -> m1MediaFeatures,
     "m2_media_batch_stats" -> m2BatchStats,
     "m3_phash_neardup" -> m3PhashNearDup,
     "m4_phash_clusters" -> m4PhashClusters,
-    "m5_frame_sample" -> m5FrameSample)
+    "m5_frame_sample" -> m5FrameSample,
+    "m6_thumbnails" -> m6Thumbnails)
 
   def oracles: Map[String, String] = Map(
     "m1_media_features" -> m1Sql,
     "m2_media_batch_stats" -> m2Sql,
     "m3_phash_neardup" -> m3Sql,
     "m4_phash_clusters" -> m4Sql,
-    "m5_frame_sample" -> m5Sql)
+    "m5_frame_sample" -> m5Sql,
+    "m6_thumbnails" -> m6Sql)
 }
