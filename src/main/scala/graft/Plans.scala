@@ -150,7 +150,9 @@ object Plans {
     "m6_thumbnails" ->
       "Thumbnail resize: decode + nearest-neighbor downsample in the scan-side mapPartitions; output rows carry 8 sampled pixels per image, so the exchange moves thumbnails, not planes.",
     "st5_user_profile" ->
-      "Keyed-state batch face: flatMapGroupsWithState plans as one hash exchange on user_id + per-group state fold — the same operator the stream runs, with integer-cents accumulation making the fold order-proof.")
+      "Keyed-state batch face: flatMapGroupsWithState plans as one hash exchange on user_id + per-group state fold — the same operator the stream runs, with integer-cents accumulation making the fold order-proof.",
+    "c1_curation_funnel" ->
+      "Curation funnel: six staged tables persist once each and feed both their successor and a 1-row count; the seven scalars meet in broadcast cross-joins, so the only data-sized shuffles are the stages' own dedup groupBy and band joins.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

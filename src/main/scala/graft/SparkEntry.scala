@@ -23,7 +23,8 @@ object SparkEntry {
     operators.Spatial,
     operators.Skew,
     operators.Sketch,
-    operators.GraphQueries)
+    operators.GraphQueries,
+    operators.CorpusCuration)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

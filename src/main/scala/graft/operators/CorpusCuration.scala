@@ -1,5 +1,8 @@
 package graft.operators
 
+import graft.{QueryPack, Tables}
+import graft.functions.TextPrims
+import graft.functions.TextPrims.DuckD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,7 +30,7 @@ import org.apache.spark.sql.functions._
   *     iterative label-propagation joins. Still no driver-side
   *     union-find.
   */
-object CorpusCuration {
+object CorpusCuration extends QueryPack {
 
   /** Eagerly-counted funnel, one count per stage (each is an action —
     * call on samples/tests, not inside a production job). */
@@ -125,4 +128,109 @@ object CorpusCuration {
   def chunkStage(docs: DataFrame, cfg: Config): DataFrame =
     TextAnalysis.chunked(docs, cfg.chunkSize, cfg.chunkStride)
       .select("doc_id", "chunk_id", "chunk", "lang", "source")
+
+  // -- c1: the WHOLE funnel as one oracle-checked query — every stage's
+  //    surviving-row count in a single row, cross-engine verified. This
+  //    is the composition a pretraining prep job actually ships; a count
+  //    diverging at any stage (a float boundary in the quality score, a
+  //    band-hash mismatch, a sampling-modulus slip) fails the hash here
+  //    even though each stage's own query passes in isolation. Train =
+  //    doc_id % 7 ≠ 0, held-out = the % 7 = 0 slice (d7's convention).
+  //    Plan shape: intermediate stages persist once and feed both their
+  //    successor and a 1-row count aggregate; the seven scalar rows meet
+  //    in broadcast cross-joins — no data-sized shuffle beyond the
+  //    stages' own.
+  private val c1CurationFunnel: Q = (s, dir) => {
+    val all = Tables.documents(s, dir)
+    val docs = all.filter(col("doc_id") % 7 =!= 0).persist()
+    val heldOut = all.filter(col("doc_id") % 7 === 0)
+    val cfg = Config()
+    val q = qualityStage(docs, cfg).persist()
+    val e = exactDedupStage(q).persist()
+    val n = nearDedupStage(e, cfg).persist()
+    val c = decontamStage(n, heldOut, cfg).persist()
+    val sm = sampleStage(c, cfg).persist()
+    val ch = chunkStage(sm, cfg)
+    def cnt(df: DataFrame, name: String): DataFrame =
+      broadcast(df.groupBy().agg(count(lit(1)).as(name)))
+    cnt(docs, "n_input")
+      .crossJoin(cnt(q, "n_quality"))
+      .crossJoin(cnt(e, "n_exact"))
+      .crossJoin(cnt(n, "n_neardedup"))
+      .crossJoin(cnt(c, "n_clean"))
+      .crossJoin(cnt(sm, "n_sampled"))
+      .crossJoin(cnt(ch, "n_chunks"))
+  }
+
+  private val c1Sql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    val jt = Dedup.jacThreshold
+    def jac(a: String, b: String) =
+      s"""CAST(len(list_intersect($a.hs, $b.hs)) AS DOUBLE) /
+         |        CAST(len($a.hs) + len($b.hs) - len(list_intersect($a.hs, $b.hs)) AS DOUBLE)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 7 <> 0),
+       |qs AS (
+       |  SELECT doc_id, text, lang, source,
+       |         len($toks) AS n_tok,
+       |         len(list_distinct($toks)) AS n_uniq,
+       |         len(list_filter($toks, t -> list_contains([${TextAnalysis.stopListSql}], t))) AS n_stop,
+       |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+       |  FROM base),
+       |q AS (
+       |  SELECT doc_id, text, lang, source, n_tok FROM qs
+       |  WHERE n_tok > 0
+       |    AND 0.4*(CAST(n_stop AS DOUBLE)/CAST(n_tok AS DOUBLE))
+       |      + 0.3*least(1.0, CAST(n_tok AS DOUBLE)/100.0)
+       |      + 0.3*(CAST(alpha_chars AS DOUBLE)/CAST(length(text) AS DOUBLE)) >= 0.25
+       |    AND 1.0 - CAST(n_uniq AS DOUBLE)/CAST(n_tok AS DOUBLE) <= 0.9),
+       |e AS (
+       |  SELECT * FROM q
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+       |${Dedup.lshCtes("e", "t")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM tbd a JOIN tbd b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |losers AS (
+       |  SELECT DISTINCT c.doc_b FROM cand c
+       |  JOIN tsg sa ON sa.doc_id = c.doc_a
+       |  JOIN tsg sb ON sb.doc_id = c.doc_b
+       |  WHERE ${jac("sa", "sb")} >= $jt),
+       |n AS (
+       |  SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_b FROM losers)),
+       |ho AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+       |${Dedup.lshCtes("n", "v")},
+       |${Dedup.lshCtes("ho", "w")},
+       |fcand AS (
+       |  SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+       |  FROM vbd a JOIN wbd b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh),
+       |flagged AS (
+       |  SELECT DISTINCT f.train_doc FROM fcand f
+       |  JOIN vsg sa ON sa.doc_id = f.train_doc
+       |  JOIN wsg sb ON sb.doc_id = f.eval_doc
+       |  WHERE ${jac("sa", "sb")} >= $jt),
+       |c AS (
+       |  SELECT * FROM n WHERE doc_id NOT IN (SELECT train_doc FROM flagged)),
+       |sm AS (
+       |  SELECT * FROM c
+       |  WHERE (doc_id * 2654435761) % 1000003 % 100 <
+       |        CASE WHEN lang = 'en' THEN 90 ELSE 100 END)
+       |SELECT
+       |  (SELECT count(*) FROM base) AS n_input,
+       |  (SELECT count(*) FROM q) AS n_quality,
+       |  (SELECT count(*) FROM e) AS n_exact,
+       |  (SELECT count(*) FROM n) AS n_neardedup,
+       |  (SELECT count(*) FROM c) AS n_clean,
+       |  (SELECT count(*) FROM sm) AS n_sampled,
+       |  (SELECT CAST(sum((n_tok + 39)//40) AS BIGINT) FROM sm) AS n_chunks""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "c1_curation_funnel" -> c1CurationFunnel)
+
+  def oracles: Map[String, String] = Map(
+    "c1_curation_funnel" -> c1Sql)
 }

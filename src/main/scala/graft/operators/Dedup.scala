@@ -212,6 +212,26 @@ object Dedup extends QueryPack {
       .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
   }
 
+  /** The shingle→signature→band CTE chain over an arbitrary source CTE
+    * `src` (which must expose doc_id + text), with caller-chosen prefix
+    * so several chains can coexist in one oracle query (the curation
+    * funnel runs two: train-side and held-out-side). Emits three CTE
+    * definitions `${pfx}h` / `${pfx}sg` / `${pfx}bd`; callers join bands
+    * on `${pfx}bd` and shingle sets on `${pfx}sg`. */
+  private[operators] def lshCtes(src: String, pfx: String): String = {
+    val sigs = minhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      s"${TextPrims.minhashOne("hs", a, b, DuckD)} AS sig$k"
+    }
+    val bandSelects = (0 until nBands).map { i =>
+      s"SELECT doc_id, $i AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh FROM ${pfx}sg"
+    }
+    s"""${pfx}h AS (
+       |  SELECT doc_id, list_distinct(${shingleHashes(DuckD)}) AS hs FROM $src),
+       |${pfx}sg AS (SELECT doc_id, hs, ${sigs.mkString(",\n       ")}
+       |       FROM ${pfx}h WHERE len(hs) > 0),
+       |${pfx}bd AS (${bandSelects.mkString("\n  UNION ALL\n  ")})""".stripMargin
+  }
+
   private val d4LshPairs: Q = (s, dir) =>
     nearDupPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
 

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis extends QueryPack {
 
   private val stopwords = Seq("the", "a", "of", "to", "and")
-  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+  private[operators] val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   // -- t1: token counting — whitespace tokens plus a BPE-ish regex token
   //    count (words / numbers / single punctuation marks).
