@@ -152,7 +152,11 @@ object Plans {
     "st5_user_profile" ->
       "Keyed-state batch face: flatMapGroupsWithState plans as one hash exchange on user_id + per-group state fold — the same operator the stream runs, with integer-cents accumulation making the fold order-proof.",
     "c1_curation_funnel" ->
-      "Curation funnel: six staged tables persist once each and feed both their successor and a 1-row count; the seven scalars meet in broadcast cross-joins, so the only data-sized shuffles are the stages' own dedup groupBy and band joins.")
+      "Curation funnel: six staged tables persist once each and feed both their successor and a 1-row count; the seven scalars meet in broadcast cross-joins, so the only data-sized shuffles are the stages' own dedup groupBy and band joins.",
+    "gr4_sssp" ->
+      "Weighted SSSP: each of the 3 bounded rounds is one frontier⋈edges hash join + a min-plus aggregate over exact integers — associative and idempotent, so partial aggregation and shuffle order are free on any layout.",
+    "d17_containment" ->
+      "Containment dedup: the same banded candidate equi-join as d4 — never all-pairs — with the exact check scoring |∩|/min instead of Jaccard; the top-15 is a sort of candidate-sized scalars.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

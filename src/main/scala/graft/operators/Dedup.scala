@@ -516,6 +516,64 @@ object Dedup extends QueryPack {
        |FROM j""".stripMargin
   }
 
+  // -- d17: containment near-dups — the ASYMMETRIC overlap d4's Jaccard
+  //    structurally misses: a short document pasted inside a much longer
+  //    one has |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B|, far
+  //    below any sane symmetric threshold (the crawl-dedup case: boiler-
+  //    plate page wrapping a syndicated article). Same banded candidate
+  //    generation — containment ≥ c implies Jaccard ≥ c·|A|/|B| > 0, so
+  //    strongly-contained pairs still collide in minhash bands often
+  //    enough to surface — then the exact check scores |∩|/min(|A|,|B|) and reports the 15
+  //    strongest containment pairs among those d4 does NOT already
+  //    report (jac < threshold) — the extra coverage, rank-ordered.
+  //    Output keeps only pairs d4 does NOT report (jac < threshold):
+  //    this query is precisely the extra coverage.
+  private val d17Containment: Q = (s, dir) => {
+    val base = signatures(Tables.documents(s, dir)).persist()
+    val banded = bandsOf(base)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = base.select(col("doc_id"), col("hs"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", TextKernels.intersectCountUdf(col("hs_a"), col("hs_b")))
+      .withColumn("n_a", expr("size(hs_a)").cast("long"))
+      .withColumn("n_b", expr("size(hs_b)").cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .withColumn("jac",
+        col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jac") < expr(jacThreshold))
+      .select("doc_a", "doc_b", "n_a", "n_b", "containment")
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      .limit(15)
+  }
+
+  private val d17Sql =
+    s"""WITH ${lshCtes("documents", "t")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM tbd a JOIN tbd b
+       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sc AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         len(list_intersect(sa.hs, sb.hs)) AS inter,
+       |         len(sa.hs) AS n_a, len(sb.hs) AS n_b
+       |  FROM cand c
+       |  JOIN tsg sa ON sa.doc_id = c.doc_a
+       |  JOIN tsg sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |       CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+       |FROM sc
+       |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) < $jacThreshold
+       |ORDER BY containment DESC, doc_a, doc_b LIMIT 15""".stripMargin
+
   // -- d5: SimHash — 16-bit majority-vote fingerprint over token hashes
   //    (frequency-sensitive, order-insensitive); near-identical docs land
   //    at small Hamming distance.
@@ -1033,6 +1091,7 @@ object Dedup extends QueryPack {
     "d12_url_dedup"        -> d12UrlDedup,
     "d15_lsh_recall"       -> d15LshRecall,
     "d16_lsh_tuned"        -> d16LshTuned,
+    "d17_containment"      -> d17Containment,
     "d11_budget_sample"    -> d11BudgetSample,
     "d9_edit_distance"     -> d9EditDistance,
     "d1_exact_dedup_stats" -> d1ExactStats,
@@ -1048,6 +1107,7 @@ object Dedup extends QueryPack {
   def oracles: Map[String, String] = Map(
     "d15_lsh_recall"       -> d15Sql,
     "d16_lsh_tuned"        -> d16Sql,
+    "d17_containment"      -> d17Sql,
     "d14_dup_spans"        -> d14Sql,
     "d13_line_dedup"       -> d13Sql,
     "d12_url_dedup"        -> d12Sql,

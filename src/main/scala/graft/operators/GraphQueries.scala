@@ -269,12 +269,80 @@ object GraphQueries extends QueryPack {
        |GROUP BY 1 ORDER BY hop""".stripMargin
   }
 
+  // -- gr4: bounded-hop WEIGHTED shortest paths (min-plus frontier) —
+  //    gr3 with a cost model: suppliers that co-occur on many orders are
+  //    "close" (weight = max(1, 10 − shared-order count)), and distance
+  //    is the cheapest ≤3-edge path from the smallest supplier id. Each
+  //    round is one frontier⋈edges hash join + a min aggregate; min-plus
+  //    over exact integers is associative and idempotent, so partial
+  //    aggregation and shuffle order cannot change the result on any
+  //    cluster layout (the gr1/gr3 determinism rule). Bounded rounds
+  //    keep the unrolled oracle exact; an unbounded SSSP would iterate
+  //    the same plan to a fixpoint. Output: the 15 cheapest-to-reach
+  //    nodes, total-ordered by (dist, node).
+  private val ssspIters = 3
+  private val gr4Sssp: Q = (s, dir) => {
+    val members = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pairs = members.as("a")
+      .join(members.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("w", greatest(lit(1L), lit(10L) - col("n_shared")))
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .persist()
+    val source = edges.agg(min(col("src")).as("node"))
+      .withColumn("dist", lit(0L))
+    var reached = source.select(col("node"), col("dist"))
+    for (_ <- 1 to ssspIters) {
+      val expanded = reached
+        .join(edges, reached("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      reached = reached.unionByName(expanded)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+    reached.orderBy(col("dist"), col("node")).limit(15)
+  }
+
+  private val gr4Sql = {
+    val expand = (1 to ssspIters).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.dist + e.w AS dist
+         |    FROM d${i - 1} r JOIN edges e ON e.src = r.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH members AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |pairs AS (
+       |  SELECT a.sk AS u, b.sk AS v,
+       |         greatest(1, 10 - count(*)) AS w
+       |  FROM members a JOIN members b ON a.ok = b.ok AND a.sk < b.sk
+       |  GROUP BY a.sk, b.sk),
+       |edges AS (
+       |  SELECT u AS src, v AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst, w FROM pairs),
+       |d0 AS (
+       |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM edges),
+       |$expand
+       |SELECT node, dist FROM d$ssspIters
+       |ORDER BY dist, node LIMIT 15""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "gr1_pagerank"  -> gr1PageRank,
     "gr2_triangles" -> gr2Triangles,
-    "gr3_bfs_hops"  -> gr3Bfs)
+    "gr3_bfs_hops"  -> gr3Bfs,
+    "gr4_sssp"      -> gr4Sssp)
   def oracles: Map[String, String] = Map(
     "gr1_pagerank"  -> gr1Sql,
     "gr2_triangles" -> gr2Sql,
-    "gr3_bfs_hops"  -> gr3Sql)
+    "gr3_bfs_hops"  -> gr3Sql,
+    "gr4_sssp"      -> gr4Sql)
 }

@@ -69,4 +69,35 @@ class GraphQueries2Spec extends SparkSpecBase {
     // histogram covers every node exactly once
     assert(got.map(_._2).sum == nodes.size.toLong)
   }
+
+  test("gr4 weighted distances match a brute-force min-plus relaxation") {
+    // rebuild the weighted edge set: w = max(1, 10 - shared-order count)
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val shared = rows.groupBy(_._1).values.flatMap { grp =>
+      val sks = grp.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.size)
+        yield (sks(i), sks(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wAdj = shared.toSeq.flatMap { case ((u, v), n) =>
+      val w = math.max(1L, 10L - n)
+      Seq((u, v, w), (v, u, w))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)) }
+    val src = wAdj.keySet.min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (u, du) =>
+        wAdj.getOrElse(u, Seq.empty).map { case (v, w) => (v, du + w) }
+      } ++ dist.toSeq
+      dist = relaxed.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    }
+    val expected = dist.toSeq.map { case (n, d) => (d, n) }
+      .sorted.take(15).map { case (d, n) => (n, d) }
+    val got = SparkEntry.queries("gr4_sssp")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // the source heads the list at distance 0
+    assert(got.head == ((src, 0L)))
+  }
 }
