@@ -156,7 +156,9 @@ object Plans {
     "gr4_sssp" ->
       "Weighted SSSP: each of the 3 bounded rounds is one frontier⋈edges hash join + a min-plus aggregate over exact integers — associative and idempotent, so partial aggregation and shuffle order are free on any layout.",
     "d17_containment" ->
-      "Containment dedup: the same banded candidate equi-join as d4 — never all-pairs — with the exact check scoring |∩|/min instead of Jaccard; the top-15 is a sort of candidate-sized scalars.")
+      "Containment dedup: the same banded candidate equi-join as d4 — never all-pairs — with the exact check scoring |∩|/min instead of Jaccard; the top-15 is a sort of candidate-sized scalars.",
+    "w13_range_frame" ->
+      "RANGE-interval frame: one hash exchange on user_id + one within-group sort serves both the count and the cents sum — the 30-minute frame bound is evaluated per row against the sorted run, no self-join.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -599,6 +599,35 @@ object WindowedScalar extends QueryPack {
       |FROM daily d LEFT JOIN news n ON n.day = d.day
       |ORDER BY d.day""".stripMargin
 
+  // -- w13: RANGE-interval window frame — the value-bounded frame the
+  //    ROWS family can't express: each event's trailing 30-minute
+  //    activity (count + spend) for its user, frame edges defined by
+  //    TIME distance, not row offsets. Peers (equal ts_ms) share one
+  //    frame on both engines by the RANGE definition, so ties cost
+  //    nothing in determinism. Money sums ride as integer cents (the
+  //    st5 rule); one hash exchange on user_id + one within-group sort.
+  private val w13RangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-1800000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_30m", count(lit(1)).over(w))
+      .withColumn("cents_30m", sum(col("cents")).over(w))
+      .select("event_id", "user_id", "ts_ms", "n_30m", "cents_30m")
+      .orderBy("event_id")
+  }
+
+  private val w13Sql =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |       count(*) OVER w AS n_30m,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_30m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // -- w10: weekly cohort retention — the product-analytics matrix: each
   //    user's cohort is their first-seen ISO week; retention at week N is
   //    the fraction of the cohort active N weeks later. Everything
@@ -719,6 +748,7 @@ object WindowedScalar extends QueryPack {
   def queries: Map[String, Q] = Map(
     "j10_scd2_asof"      -> j10Scd2Asof,
     "w12_new_vs_returning" -> w12NewVsReturning,
+    "w13_range_frame"    -> w13RangeFrame,
     "w11_scd2_history"   -> w11Scd2,
     "w10_retention"      -> w10Retention,
     "w9_gap_fill"        -> w9GapFill,
@@ -742,6 +772,7 @@ object WindowedScalar extends QueryPack {
   def oracles: Map[String, String] = Map(
     "j10_scd2_asof"      -> j10Sql,
     "w12_new_vs_returning" -> w12Sql,
+    "w13_range_frame"    -> w13Sql,
     "w11_scd2_history"   -> w11Sql,
     "w10_retention"      -> w10Sql,
     "w9_gap_fill"        -> w9Sql,
