@@ -158,7 +158,9 @@ object Plans {
     "d17_containment" ->
       "Containment dedup: the same banded candidate equi-join as d4 — never all-pairs — with the exact check scoring |∩|/min instead of Jaccard; the top-15 is a sort of candidate-sized scalars.",
     "w13_range_frame" ->
-      "RANGE-interval frame: one hash exchange on user_id + one within-group sort serves both the count and the cents sum — the 30-minute frame bound is evaluated per row against the sorted run, no self-join.")
+      "RANGE-interval frame: one hash exchange on user_id + one within-group sort serves both the count and the cents sum — the 30-minute frame bound is evaluated per row against the sorted run, no self-join.",
+    "dq3_volume_anomaly" ->
+      "Volume anomaly: the daily table is dimension-sized, the three trailing-frame sums share ONE window sort, and the 2σ alarm is algebraically integer — (7c−s)² > 4(7ss−s²) — so no float comparison sits at the decision boundary.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

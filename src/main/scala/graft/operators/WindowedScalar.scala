@@ -628,6 +628,55 @@ object WindowedScalar extends QueryPack {
       |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // -- dq3: volume-anomaly monitoring — the freshness/volume alarm a
+  //    production pipeline runs nightly: per event type, flag days whose
+  //    event count sits more than 2σ from the trailing-7-day mean. The
+  //    2σ test is algebraically cleared of ALL floating point:
+  //    |c − s/7| > 2σ  ⇔  (7c − s)² > 4·(7·ss − s²) with s = Σcᵢ,
+  //    ss = Σcᵢ² over the trailing ROWS frame — every comparison is
+  //    exact BIGINT, so engines can't disagree at the alarm boundary
+  //    (where a float formulation is least trustworthy). One shuffle on
+  //    event_type; the daily table is dimension-sized at any corpus.
+  private val dq3VolumeAnomaly: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .filter(col("n7") === 7)
+      .withColumn("dev2", (lit(7) * col("n") - col("s")) *
+                          (lit(7) * col("n") - col("s")))
+      .withColumn("var49", lit(4) * (lit(7) * col("ss") - col("s") * col("s")))
+      .filter(col("dev2") > col("var49"))
+      .select(col("event_type"), col("day"), col("n"), col("s").as("sum7"),
+        col("dev2"), col("var49"))
+      .orderBy("event_type", "day")
+  }
+
+  private val dq3Sql =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, day, n,
+      |         count(*) OVER w AS n7,
+      |         sum(n) OVER w AS s,
+      |         sum(n*n) OVER w AS ss
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, n, CAST(s AS BIGINT) AS sum7,
+      |       CAST((7*n - s)*(7*n - s) AS BIGINT) AS dev2,
+      |       CAST(4*(7*ss - s*s) AS BIGINT) AS var49
+      |FROM r
+      |WHERE n7 = 7 AND (7*n - s)*(7*n - s) > 4*(7*ss - s*s)
+      |ORDER BY event_type, day""".stripMargin
+
   // -- w10: weekly cohort retention — the product-analytics matrix: each
   //    user's cohort is their first-seen ISO week; retention at week N is
   //    the fraction of the cohort active N weeks later. Everything
@@ -749,6 +798,7 @@ object WindowedScalar extends QueryPack {
     "j10_scd2_asof"      -> j10Scd2Asof,
     "w12_new_vs_returning" -> w12NewVsReturning,
     "w13_range_frame"    -> w13RangeFrame,
+    "dq3_volume_anomaly" -> dq3VolumeAnomaly,
     "w11_scd2_history"   -> w11Scd2,
     "w10_retention"      -> w10Retention,
     "w9_gap_fill"        -> w9GapFill,
@@ -773,6 +823,7 @@ object WindowedScalar extends QueryPack {
     "j10_scd2_asof"      -> j10Sql,
     "w12_new_vs_returning" -> w12Sql,
     "w13_range_frame"    -> w13Sql,
+    "dq3_volume_anomaly" -> dq3Sql,
     "w11_scd2_history"   -> w11Sql,
     "w10_retention"      -> w10Sql,
     "w9_gap_fill"        -> w9Sql,
