@@ -241,6 +241,30 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("late round-8 shapes: w13 single window exchange, st5 keyed fold, " +
+       "dq3 no product joins") {
+    // w13: both frame aggregates (count + cents sum) must share one
+    // window over one hash exchange on user_id — a second Exchange or a
+    // self-join formulation would double the shuffle at 100 TB.
+    val w13 = executedPlan("w13_range_frame")
+    val w13Exchanges = "Exchange hashpartitioning".r
+      .findAllIn(w13).size
+    assert(w13Exchanges == 1, s"w13 expected 1 hash exchange:\n${w13.take(2500)}")
+    assert("\\bWindow\\b".r.findAllIn(w13).size == 1,
+      s"w13 expected a single Window operator:\n${w13.take(2500)}")
+    // st5: the batch-mode keyed-state operator is MapGroups over ONE
+    // hash exchange on the grouping key — state scales with keys.
+    val st5 = executedPlan("st5_user_profile")
+    assert(st5.contains("MapGroups"), s"st5 lost MapGroups:\n${st5.take(2500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(st5).size == 1,
+      s"st5 expected 1 hash exchange:\n${st5.take(2500)}")
+    // dq3: dimension-sized daily table + windows — never a product join.
+    val dq3 = executedPlan("dq3_volume_anomaly")
+    assert(!dq3.contains("CartesianProduct") &&
+           !dq3.contains("BroadcastNestedLoopJoin"),
+      s"dq3 planned a product join:\n${dq3.take(2500)}")
+  }
+
   test("round-8 scale shapes: t15 top-3 on GroupedTopK, gr2 all equi-joins") {
     // t15's per-doc top-3 is written as the row_number()<=k idiom; the
     // RowNumberTopKRewrite rule must plan it onto the bounded-heap
