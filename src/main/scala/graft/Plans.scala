@@ -160,7 +160,11 @@ object Plans {
     "w13_range_frame" ->
       "RANGE-interval frame: one hash exchange on user_id + one within-group sort serves both the count and the cents sum — the 30-minute frame bound is evaluated per row against the sorted run, no self-join.",
     "dq3_volume_anomaly" ->
-      "Volume anomaly: the daily table is dimension-sized, the three trailing-frame sums share ONE window sort, and the 2σ alarm is algebraically integer — (7c−s)² > 4(7ss−s²) — so no float comparison sits at the decision boundary.")
+      "Volume anomaly: the daily table is dimension-sized, the three trailing-frame sums share ONE window sort, and the 2σ alarm is algebraically integer — (7c−s)² > 4(7ss−s²) — so no float comparison sits at the decision boundary.",
+    "v18_rand_proj" ->
+      "JL projection: the ±1 sign matrix is an 8-row BROADCAST side (BroadcastNestedLoopJoin over the tiny side), the integer dot product folds inside the scan stage — zero data-sized exchanges before the output sort.",
+    "gr5_kcore" ->
+      "k-core peel (hybrid, the CC discipline): the count() that materializes the symmetrized pair graph picks the path — one executor task peels a small graph (distributed rounds are pure stage overhead there), big graphs run degree-aggregate + two semi-joins per round, localCheckpoint-truncated; integer counts make both paths bit-identical.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

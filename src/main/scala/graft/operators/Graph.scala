@@ -160,6 +160,79 @@ object Graph {
     labels
   }
 
+  /** Bounded k-core peel: `rounds` iterations of "drop every node whose
+    * current degree is < k" over the undirected graph, reporting the
+    * per-round removal counts plus the surviving core size (round = -1).
+    * Same hybrid shape as [[connectedComponents]]: the count() that
+    * materializes the symmetrized edge table also picks the path —
+    * below the threshold the whole peel runs in ONE executor task
+    * (every distributed round costs a fixed number of stages that dwarf
+    * the actual work on a small graph); above it, each round is one
+    * degree aggregate + two semi-joins, localCheckpoint-truncated so the
+    * plan stays flat. Counts are exact integers on both paths.
+    * @return DataFrame(round: long, n_nodes: long), rounds 1..R then -1 */
+  def kCorePeel(edges: DataFrame, src: String, dst: String, k: Int,
+                rounds: Int,
+                localThreshold: Long = localFinishEdges): DataFrame = {
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (sym.count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val out = sym
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          var es = it.toArray
+          var nodes = es.iterator.map(_._1).toSet
+          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          for (r <- 1 to rounds) {
+            val deg = scala.collection.mutable.LongMap.empty[Long]
+            es.foreach { case (a, _) => deg(a) = deg.getOrElse(a, 0L) + 1L }
+            val kept = nodes.filter(n => deg.getOrElse(n, 0L) >= k)
+            res += ((r.toLong, (nodes.size - kept.size).toLong))
+            es = es.filter(e => kept(e._1) && kept(e._2))
+            nodes = kept
+          }
+          res += ((-1L, nodes.size.toLong))
+          res.iterator
+        }
+        .toDF("round", "n_nodes")
+      sym.unpersist()
+      return out
+    }
+
+    var cur = sym.select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint()
+    var nodes = cur.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (i <- 1 to rounds) {
+      val deg = cur.groupBy("src").agg(count(lit(1)).as("d"))
+      val kept = nodes
+        .join(deg.where(col("d") >= k),
+          nodes("node") === deg("src"), "left_semi")
+        .localCheckpoint()
+      val removed = nodes.join(kept, Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(i.toLong).as("round"), col("n_nodes"))
+      out = if (out == null) removed else out.unionByName(removed)
+      cur = cur
+        .join(kept, cur("src") === kept("node"), "left_semi")
+        .join(kept.select(col("node").as("kn")),
+          col("dst") === col("kn"), "left_semi")
+        .localCheckpoint()
+      nodes = kept
+    }
+    sym.unpersist()
+    out.unionByName(
+      nodes.agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1L).as("round"), col("n_nodes")))
+  }
+
   /** Free the executor storage behind any localCheckpoint leaves in `df`'s
     * plan. The labels returned by [[connectedComponents]] are backed by a
     * checkpointed RDD whose blocks survive both `Dataset.unpersist()` and

@@ -335,14 +335,74 @@ object GraphQueries extends QueryPack {
        |ORDER BY dist, node LIMIT 15""".stripMargin
   }
 
+  // -- gr5: k-core decomposition by iterative degree peeling over the d4
+  //    near-dup pair graph (gr2's substrate). Round i drops every node
+  //    whose CURRENT degree is < k; edges touching a dropped node go with
+  //    it, which can push surviving neighbors under k — the next round
+  //    catches them. What survives all rounds approximates the k-core:
+  //    the maximal subgraph where everyone keeps ≥ k neighbors — the
+  //    "dense near-dup community" signal, stronger than a CC cluster
+  //    (chains die in round 1) and cheaper than gr2's triangles.
+  //    Each round is ONE degree aggregate plus two semi-joins on the
+  //    shrinking edge set — all hash-partitioned on node ids, counts are
+  //    integers, so shuffle order is free and the plan is the same at
+  //    1000 executors. Bounded rounds keep the unrolled oracle exact; an
+  //    unbounded peel iterates the identical round plan to a fixpoint.
+  //    Output: nodes removed per round + the surviving core size under
+  //    round = -1 (the gr3 histogram convention).
+  private val peelRounds = 3
+  private val coreK = 2
+  private val gr5Kcore: Q = (s, dir) => {
+    val pairs = Dedup.nearDupPairs(Tables.documents(s, dir))
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    Graph.kCorePeel(pairs, "u", "v", coreK, peelRounds).orderBy("round")
+  }
+
+  private val gr5Sql = {
+    val rounds = (1 to peelRounds).map { i =>
+      s"""dg$i AS (SELECT src, count(*) AS c FROM e${i - 1} GROUP BY src),
+         |k$i AS (
+         |  SELECT n.node FROM n${i - 1} n
+         |  JOIN dg$i d ON d.src = n.node AND d.c >= $coreK),
+         |r$i AS (
+         |  SELECT CAST($i AS BIGINT) AS round,
+         |         (SELECT count(*) FROM n${i - 1})
+         |           - (SELECT count(*) FROM k$i) AS n_nodes),
+         |e$i AS (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.node
+         |  JOIN k$i b ON e.dst = b.node),
+         |n$i AS (SELECT node FROM k$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.d4Ctes},
+       |pairs AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM j
+       |  WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE)
+       |    >= ${Dedup.jacThreshold}),
+       |e0 AS (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM pairs),
+       |n0 AS (SELECT DISTINCT src AS node FROM e0),
+       |$rounds
+       |SELECT round, n_nodes FROM (
+       |  ${(1 to peelRounds).map(i => s"SELECT * FROM r$i").mkString("\n  UNION ALL ")}
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT) AS round,
+       |         (SELECT count(*) FROM n$peelRounds) AS n_nodes)
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "gr1_pagerank"  -> gr1PageRank,
     "gr2_triangles" -> gr2Triangles,
     "gr3_bfs_hops"  -> gr3Bfs,
-    "gr4_sssp"      -> gr4Sssp)
+    "gr4_sssp"      -> gr4Sssp,
+    "gr5_kcore"     -> gr5Kcore)
   def oracles: Map[String, String] = Map(
     "gr1_pagerank"  -> gr1Sql,
     "gr2_triangles" -> gr2Sql,
     "gr3_bfs_hops"  -> gr3Sql,
-    "gr4_sssp"      -> gr4Sql)
+    "gr4_sssp"      -> gr4Sql,
+    "gr5_kcore"     -> gr5Sql)
 }

@@ -1146,7 +1146,59 @@ object Similarity extends QueryPack {
        |SELECT query_id, rank, neighbor_id, cos
        |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // -- v18: Johnson–Lindenstrauss random projection — the dimensionality-
+  //    reduction step of a reduce-then-search pipeline (64-dim float →
+  //    8-dim code; JL says pairwise distances survive to within
+  //    O(1/sqrt(out_dims)) distortion). The projection matrix is ±1
+  //    (Achlioptas' database-friendly construction), each sign derived
+  //    from one md5 hex digit of "j_d" — both engines rebuild the matrix
+  //    from arithmetic alone, zero shipped state. Components scale to
+  //    integer micro-units before the dot product, so each projected
+  //    coordinate is an exact BIGINT sum: associative, partial-aggregable,
+  //    bit-identical at any parallelism.
+  //    Plan shape: one corpus scan × a BROADCAST 8-row sign matrix; the
+  //    zip_with/aggregate fold runs inside codegen and nothing but the
+  //    (n·8)-row result ever reaches an exchange — at 100 TB this is scan
+  //    throughput, the shape that lets the reduced table feed a cheaper
+  //    downstream index build (v2's LSH or v4's IVF) at 1/8 the width.
+  private val projDims = 8
+  private val v18RandProj: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val dim = emb.agg(max(size(col("embedding"))).as("dim"))
+    val signs = s.range(projDims).toDF("j")
+      .crossJoin(dim)
+      .select(col("j"), expr(
+        "transform(sequence(0, dim - 1), d -> " +
+        "CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), '_', " +
+        "CAST(d AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2 = 0 " +
+        "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)").as("sg"))
+    emb.crossJoin(broadcast(signs))
+      .select(col("vec_id"), col("j"),
+        expr("aggregate(zip_with(embedding, sg, (v, g) -> " +
+             "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) * g), " +
+             "CAST(0 AS BIGINT), (a, x) -> a + x)").as("proj_e6"))
+      .orderBy("vec_id", "j")
+  }
+
+  private val v18Sql =
+    s"""WITH dim AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+       |signs AS (
+       |  SELECT j, list_transform(range(0, dim), d ->
+       |    CASE WHEN (strpos('0123456789abcdef',
+       |           substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+       |                  1, 1)) - 1) % 2 = 0
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS sg
+       |  FROM range(0, $projDims) t(j), dim)
+       |SELECT e.vec_id, s.j,
+       |       CAST(list_sum(list_transform(range(0, len(e.embedding)), i ->
+       |         CAST(floor(CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+       |              * 1000000.0) AS BIGINT)
+       |           * s.sg[CAST(i AS INT) + 1])) AS BIGINT) AS proj_e6
+       |FROM embeddings e, signs s
+       |ORDER BY vec_id, j""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "v18_rand_proj"     -> v18RandProj,
     "v17_filtered_ann"  -> v17FilteredAnn,
     "v16_index_stats"   -> v16IndexStats,
     "v15_ivfpq_recall"  -> v15IvfPqRecall,
@@ -1166,6 +1218,7 @@ object Similarity extends QueryPack {
     "v12_pq_codes"      -> v12PqCodes)
 
   def oracles: Map[String, String] = Map(
+    "v18_rand_proj"     -> v18Sql,
     "v17_filtered_ann"  -> v17Sql,
     "v16_index_stats"   -> v16Sql,
     "v15_ivfpq_recall"  -> v15Sql,

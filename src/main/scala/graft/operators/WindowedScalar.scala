@@ -156,6 +156,33 @@ object WindowedScalar extends QueryPack {
       |FROM orders WHERE o_custkey < 200
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  // -- w14: the distribution window functions — percent_rank (relative
+  //    rank in [0,1]) and cume_dist (fraction of peers at-or-below),
+  //    completing the ranking family w7 opened. Both are deterministic
+  //    over the tie-bearing DATE ordering because tied rows share the
+  //    value, and both are exact cross-engine: each is one IEEE division
+  //    of two integers ((rank−1)/(n−1), rows_le/n) — a single exactly-
+  //    specified op, no accumulation. Same scale shape as w7: one
+  //    shuffle on the group key, both functions share the window sort.
+  private val w14Distribution: Q = (s, dir) => {
+    val byDate = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("pr", percent_rank().over(byDate))
+      .withColumn("cd", cume_dist().over(byDate))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val w14Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       percent_rank() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate) AS pr,
+      |       cume_dist() OVER (PARTITION BY o_custkey
+      |                         ORDER BY o_orderdate) AS cd
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   // -- a12: count + recovered-fraction arithmetic
   //    (compare_idl_python.py:373-391): fraction of lineitems shipped late
   //    per returnflag, as 100·(1 − (n − n_late)/n).
@@ -810,6 +837,7 @@ object WindowedScalar extends QueryPack {
     "w4_grouped_topk"    -> w4GroupedTopK,
     "w6_running_total"   -> w6RunningTotal,
     "w7_rank_family"     -> w7RankFamily,
+    "w14_distribution"   -> w14Distribution,
     "o4_first_per_group" -> o4FirstPerGroup,
     "o5_global_topk"     -> o5TopK,
     "a12_count_fraction" -> a12CountFraction,
@@ -835,6 +863,7 @@ object WindowedScalar extends QueryPack {
     "w4_grouped_topk"    -> w4Sql,
     "w6_running_total"   -> w6Sql,
     "w7_rank_family"     -> w7Sql,
+    "w14_distribution"   -> w14Sql,
     "o4_first_per_group" -> o4Sql,
     "o5_global_topk"     -> o5Sql,
     "a12_count_fraction" -> a12Sql,

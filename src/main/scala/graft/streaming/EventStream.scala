@@ -57,6 +57,19 @@ object EventStream {
       .withWatermark(eventTime, horizon)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream–static enrichment: left-join the event stream against a
+    * (small) dimension table. The static side carries no watermark and no
+    * state — Spark re-plans it into each micro-batch, and because the
+    * dimension is dimension-sized the join broadcasts: events never
+    * shuffle for the lookup. This is the production "attach user segment
+    * to every event" pattern; the batch face is an ordinary broadcast
+    * join, so the same call serves the oracle path. Unmatched events
+    * survive (left join) — an enrichment must never drop traffic because
+    * the dimension lags. */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame,
+                          key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Per-user running profile for the custom-state operator. */
   case class UserProfile(userId: Long, nEvents: Long, totalValue: Double,
                          lastTsMs: Long)

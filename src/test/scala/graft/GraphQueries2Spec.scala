@@ -100,4 +100,29 @@ class GraphQueries2Spec extends SparkSpecBase {
     // the source heads the list at distance 0
     assert(got.head == ((src, 0L)))
   }
+
+  test("gr5 peel counts match a brute-force k-core peel of the pair graph") {
+    val pairEdges = operators.Dedup
+      .nearDupPairs(Tables.documents(spark, sfDir))
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var es = pairEdges.flatMap(e => Seq(e, e.swap))
+    var nodes = es.map(_._1)
+    val removed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (i <- 1 to 3) {
+      val deg = es.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val kept = nodes.filter(n => deg.getOrElse(n, 0) >= 2)
+      removed += ((i.toLong, (nodes.size - kept.size).toLong))
+      es = es.filter(e => kept(e._1) && kept(e._2))
+      nodes = kept
+    }
+    val expected =
+      (removed :+ ((-1L, nodes.size.toLong))).sortBy(_._1).toSeq
+    val got = SparkEntry.queries("gr5_kcore")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // conservation: removed + core == all nodes ever seen
+    assert(got.map(_._2).sum ==
+      pairEdges.flatMap(p => Seq(p._1, p._2)).size.toLong)
+  }
 }

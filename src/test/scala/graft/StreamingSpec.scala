@@ -203,9 +203,9 @@ class StreamingSpec extends SparkSpecBase {
         .parquet(landing.resolve(name).toString)
     drop("b1", Seq((10L, 1L, 5.0), (11L, 3L, 7.0)))  // user 3: no dim row
     val schema = spark.read.parquet(landing.resolve("b1").toString).schema
-    val q = spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true").parquet(landing.toString)
-      .join(dim, Seq("user_id"), "left")
+    val src = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(landing.toString)
+    val q = EventStream.enrichWithDimension(src, dim, "user_id")
       .writeStream.format("memory").queryName("ssjoin")
       .outputMode("append").start()
     q.processAllAvailable()

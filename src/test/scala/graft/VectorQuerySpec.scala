@@ -23,6 +23,29 @@ class VectorQuerySpec extends SparkSpecBase {
     assert(cluster.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("v18 JL projection matches a brute-force ±1 md5 matrix recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Long, d: Int): Long = {
+      val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1L else -1L
+    }
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val expected = (for {
+      (id, emb) <- vecs
+      j <- 0L until 8L
+    } yield (id, j, emb.zipWithIndex.map { case (v, d) =>
+      math.floor(v.toDouble * 1e6).toLong * sign(j, d)
+    }.sum)).sortBy(t => (t._1, t._2)).toSeq
+    val got = run("v18_rand_proj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the matrix is not degenerate: both signs occur in row 0
+    assert((0 until 64).map(sign(0L, _)).toSet == Set(1L, -1L))
+  }
+
   test("v12 PQ: one in-range code per (vector, subspace), non-negative err") {
     val rows = run("v12_pq_codes").collect().map { r =>
       (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))
