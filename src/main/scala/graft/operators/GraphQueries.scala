@@ -209,16 +209,27 @@ object GraphQueries extends QueryPack {
   //    (how much of the graph each BFS round absorbs), with nodes never
   //    reached within 3 hops counted under hop = -1 — the "is the graph
   //    one tight component?" diagnostic at a glance.
+  // Shared by gr3/gr4: the per-order co-supplier pair list, expanded
+  // IN-PLAN from one grouped set instead of a members self-join — one
+  // wide shuffle of lineitem (map-side-combined collect_set on the order
+  // key) instead of three (distinct members, re-shuffle both join sides).
+  // The expansion is bounded by order size (single-digit suppliers per
+  // order at every SF), so the generator can never blow up the way a
+  // hub-keyed self-join can; one (u, v) row per order with u < v.
+  private def coSupplierPairsPerOrder(s: org.apache.spark.sql.SparkSession,
+                                      dir: String) =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("sks"))
+      .select(explode(expr(
+        "flatten(transform(array_sort(sks), (x, i) -> " +
+        "transform(slice(array_sort(sks), i + 2, size(sks)), y -> " +
+        "struct(x AS u, y AS v))))")).as("p"))
+      .select(col("p.u"), col("p.v"))
+
   private val bfsIters = 3
   private val gr3Bfs: Q = (s, dir) => {
-    val members = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    val pairs = members.as("a")
-      .join(members.as("b"),
-        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("u"), col("b.sk").as("v"))
-      .distinct()
+    val pairs = coSupplierPairsPerOrder(s, dir).distinct()
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
       .persist()
@@ -282,13 +293,8 @@ object GraphQueries extends QueryPack {
   //    nodes, total-ordered by (dist, node).
   private val ssspIters = 3
   private val gr4Sssp: Q = (s, dir) => {
-    val members = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    val pairs = members.as("a")
-      .join(members.as("b"),
-        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+    val pairs = coSupplierPairsPerOrder(s, dir)
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_shared"))
       .withColumn("w", greatest(lit(1L), lit(10L) - col("n_shared")))
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"), col("w"))
