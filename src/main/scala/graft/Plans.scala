@@ -161,6 +161,8 @@ object Plans {
       "RANGE-interval frame: one hash exchange on user_id + one within-group sort serves both the count and the cents sum — the 30-minute frame bound is evaluated per row against the sorted run, no self-join.",
     "dq3_volume_anomaly" ->
       "Volume anomaly: the daily table is dimension-sized, the three trailing-frame sums share ONE window sort, and the 2σ alarm is algebraically integer — (7c−s)² > 4(7ss−s²) — so no float comparison sits at the decision boundary.",
+    "v19_embed_gram" ->
+      "Gram sufficient statistics: one corpus scan × a broadcast 36-row (i,j) frame; map-side partial aggregation collapses every partition to 36 decimal sums before the single exchange — the moment-table shape that trains a whitening transform without a second pass.",
     "v18_rand_proj" ->
       "JL projection: the ±1 sign matrix is an 8-row BROADCAST side (BroadcastNestedLoopJoin over the tiny side), the integer dot product folds inside the scan stage — zero data-sized exchanges before the output sort.",
     "gr5_kcore" ->

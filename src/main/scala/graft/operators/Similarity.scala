@@ -1197,7 +1197,52 @@ object Similarity extends QueryPack {
        |FROM embeddings e, signs s
        |ORDER BY vec_id, j""".stripMargin
 
+  // -- v19: exact Gram-matrix sufficient statistics over the leading 8
+  //    embedding dimensions — Σ eᵢ·eⱼ for i ≤ j, the one-pass moment
+  //    table a whitening/PCA transform trains from (the covariance
+  //    follows from it and the v4 means). Components scale to integer
+  //    micro-units (the v18 rule), so each product is an exact BIGINT
+  //    and the cross-vector sum accumulates in DECIMAL(38,0): exact,
+  //    associative, partial-aggregable — at 1e9 vectors a BIGINT sum
+  //    would overflow but the decimal never does, and shuffle order
+  //    still can't change a digit. Plan shape: one corpus scan × a
+  //    broadcast 36-row (i,j) frame, map-side partial aggregation
+  //    collapses every partition to 36 rows before the only exchange.
+  //    The sums cross to the output as strings (scale-0 decimal prints
+  //    identically on both engines; DuckDB's HUGEINT sum is also exact).
+  private val gramDims = 8
+  private val v19EmbedGram: Q = (s, dir) => {
+    val pairsDf = s.range(gramDims).toDF("i")
+      .crossJoin(s.range(gramDims).toDF("j"))
+      .where(col("i") <= col("j"))
+    Tables.embeddings(s, dir)
+      .crossJoin(broadcast(pairsDf))
+      .select(col("i"), col("j"),
+        (expr("CAST(floor(CAST(element_at(embedding, CAST(i AS INT) + 1) " +
+              "AS DOUBLE) * 1000000.0) AS BIGINT)") *
+         expr("CAST(floor(CAST(element_at(embedding, CAST(j AS INT) + 1) " +
+              "AS DOUBLE) * 1000000.0) AS BIGINT)")).as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(38,0)")).cast("string").as("gram_e12"))
+      .orderBy("i", "j")
+  }
+
+  private val v19Sql =
+    s"""WITH pairs AS (
+       |  SELECT ti.i, tj.j
+       |  FROM range(0, $gramDims) ti(i), range(0, $gramDims) tj(j)
+       |  WHERE ti.i <= tj.j)
+       |SELECT p.i, p.j,
+       |       CAST(sum(
+       |         CAST(floor(CAST(e.embedding[CAST(p.i AS INT) + 1] AS DOUBLE)
+       |              * 1000000.0) AS BIGINT)
+       |         * CAST(floor(CAST(e.embedding[CAST(p.j AS INT) + 1] AS DOUBLE)
+       |              * 1000000.0) AS BIGINT)) AS VARCHAR) AS gram_e12
+       |FROM embeddings e, pairs p
+       |GROUP BY p.i, p.j ORDER BY p.i, p.j""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "v19_embed_gram"    -> v19EmbedGram,
     "v18_rand_proj"     -> v18RandProj,
     "v17_filtered_ann"  -> v17FilteredAnn,
     "v16_index_stats"   -> v16IndexStats,
@@ -1218,6 +1263,7 @@ object Similarity extends QueryPack {
     "v12_pq_codes"      -> v12PqCodes)
 
   def oracles: Map[String, String] = Map(
+    "v19_embed_gram"    -> v19Sql,
     "v18_rand_proj"     -> v18Sql,
     "v17_filtered_ann"  -> v17Sql,
     "v16_index_stats"   -> v16Sql,

@@ -46,6 +46,20 @@ class VectorQuerySpec extends SparkSpecBase {
     assert((0 until 64).map(sign(0L, _)).toSet == Set(1L, -1L))
   }
 
+  test("v19 Gram sums match a brute-force big-integer recompute") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 1e6).toLong))
+    val expected = (for { i <- 0 until 8; j <- i until 8 } yield
+      (i.toLong, j.toLong,
+       vecs.map(e => BigInt(e(i)) * BigInt(e(j))).sum.toString)).toSeq
+    val got = run("v19_embed_gram").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expected)
+    // diagonal entries are sums of squares — strictly positive
+    assert(got.filter(t => t._1 == t._2).forall(t => BigInt(t._3) > 0))
+  }
+
   test("v12 PQ: one in-range code per (vector, subspace), non-negative err") {
     val rows = run("v12_pq_codes").collect().map { r =>
       (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))
