@@ -141,7 +141,16 @@ object Dedup extends QueryPack {
     * threshold) — d4's machinery as a reusable operator. */
   def nearDupPairs(docs: org.apache.spark.sql.DataFrame,
                    threshold: String = jacThreshold)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    nearDupPairsWithBase(docs, threshold)._1
+
+  /** [[nearDupPairs]] plus the PERSISTED signature table it builds on —
+    * for callers (the graph pack) that release query-local caches once
+    * their dimension-sized result is materialized and so need a handle
+    * on every cached intermediate, not just their own. */
+  def nearDupPairsWithBase(docs: org.apache.spark.sql.DataFrame,
+                           threshold: String = jacThreshold)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // The signature table is referenced 3× (banding + both join legs);
     // persisted so the text kernels run once per doc, not three times
     // (the harness clears the cache between queries).
@@ -152,8 +161,8 @@ object Dedup extends QueryPack {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    exactJaccard(cand, base, "doc_a", "doc_b", threshold)
-      .select("doc_a", "doc_b", "jac")
+    (exactJaccard(cand, base, "doc_a", "doc_b", threshold)
+      .select("doc_a", "doc_b", "jac"), base)
   }
 
   /** Near-dup pairs between a NEW batch's signature table and an
@@ -323,13 +332,21 @@ object Dedup extends QueryPack {
   //    pairs banding never proposed — the silent quality risk of every
   //    production LSH dedup. Ground truth needs all-pairs exact
   //    Jaccard, which is quadratic BY NATURE, so the audit prices it on
-  //    a deterministic 1-in-4 id sample (v10's move on the dedup
-  //    modality): the quadratic term is bounded by the sample, the
-  //    banding side reuses the production bandsOf machinery unchanged,
-  //    and recall transfers because banding sees each pair
-  //    independently. One output row: sample size, truth pairs, caught
-  //    pairs, recall (an exact-integer ratio — same IEEE divide both
-  //    engines).
+  //    a FIXED-SIZE deterministic sample: the bottom-k doc_ids (k =
+  //    d15SampleK) under md5 order (a hash-uniform draw both engines compute
+  //    identically, no shipped state). A fixed cap — not a proportional
+  //    1-in-k — is the load-bearing choice at scale: a proportional
+  //    sample keeps the all-pairs truth side O((n/k)²), still quadratic,
+  //    so at 100 TB the audit itself would never finish; the cap makes
+  //    the truth cost a CONSTANT (~k²/2 pairs) at any corpus size, while
+  //    the sample stays corpus-representative because md5 order is
+  //    independent of content. The banding side reuses the production
+  //    bandsOf machinery unchanged, and recall transfers because banding
+  //    sees each pair independently. Spark plans the bottom-k as a
+  //    TakeOrderedAndProject — per-partition top-k then one k-row merge,
+  //    never a full sort. One output row: sample size, truth pairs,
+  //    caught pairs, recall (an exact-integer ratio — same IEEE divide
+  //    both engines).
   //    What it reveals on this corpus: recall ≈ 5–8%. That is the
   //    banding S-curve speaking — P(candidate) = 1−(1−j^2)^6 is ~4% at
   //    j = 0.08 and only crosses 50% near j ≈ 0.32 — i.e. d4's exact
@@ -338,11 +355,23 @@ object Dedup extends QueryPack {
   //    not an exhaustive catalog of weak ones. Exactly the distinction
   //    a production dedup needs made visible before anyone trusts
   //    "no near-dups remain" at 100 TB.
-  private val d15SampleMod = 4
+  private val d15SampleK = 1000
+
+  /** The audit's fixed-size document sample: bottom-[[d15SampleK]] doc_ids
+    * under md5 order (ties impossible in practice; doc_id breaks them
+    * deterministically anyway). Shared by d15 and d16 so both audits
+    * price the same truth set. */
+  private def d15Sample(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(d15SampleK)
+
+  /** The matching DuckDB-side sample subquery (same md5 bottom-k). */
+  private val d15SampleSql =
+    s"(SELECT * FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $d15SampleK) documents"
 
   private val d15LshRecall: Q = (s, dir) => {
-    val sub = Tables.documents(s, dir)
-      .filter(col("doc_id") % d15SampleMod === 0)
+    val sub = d15Sample(s, dir)
     val base = signatures(sub).persist()
     val allPairs = base.select(col("doc_id").as("doc_a")).join(
       base.select(col("doc_id").as("doc_b")),
@@ -376,7 +405,7 @@ object Dedup extends QueryPack {
     }
     s"""WITH h AS (
        |  SELECT doc_id, ${shingleHashes(DuckD)} AS hs
-       |  FROM documents WHERE doc_id % $d15SampleMod = 0),
+       |  FROM $d15SampleSql),
        |s AS (SELECT doc_id, hs, ${sigs.mkString(",\n       ")}
        |      FROM h WHERE len(hs) > 0),
        |truth AS (
@@ -427,8 +456,7 @@ object Dedup extends QueryPack {
   }
 
   private val d16LshTuned: Q = (s, dir) => {
-    val sub = Tables.documents(s, dir)
-      .filter(col("doc_id") % d15SampleMod === 0)
+    val sub = d15Sample(s, dir)
     val base = signatures(sub).persist()
     val allPairs = base.select(col("doc_id").as("doc_a")).join(
       base.select(col("doc_id").as("doc_b")),
@@ -478,7 +506,7 @@ object Dedup extends QueryPack {
     }
     s"""WITH h AS (
        |  SELECT doc_id, ${shingleHashes(DuckD)} AS hs
-       |  FROM documents WHERE doc_id % $d15SampleMod = 0),
+       |  FROM $d15SampleSql),
        |s AS (SELECT doc_id, hs, ${sigs.mkString(",\n       ")}
        |      FROM h WHERE len(hs) > 0),
        |truth AS (

@@ -81,10 +81,14 @@ class RobustStatsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSeq
     val Seq((nDocs, nTruth, nCaught, recall)) = run()
-    // sample really is the 1-in-4 id slice (with ≥1 shingle)
+    // sample really is the fixed-size md5 bottom-k slice (with ≥1
+    // shingle); at sf0.001's 500 docs the 1000-cap covers the corpus, so
+    // the audit prices ALL pairs here while staying constant-cost at any
+    // larger SF
     val subset = operators.Dedup
       .signatures(Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 4 === 0))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(1000))
       .count()
     assert(nDocs == subset)
     // caught is a subset of truth; the ratio is their exact quotient
