@@ -179,7 +179,10 @@ object Plans {
       "changes; plan-shape invariants are additionally pinned by " +
       "PlanShapeSpec/GroupedTopKSpec.\n")
     headline.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // graph queries eagerly materialize-and-release; dump their
+      // PRE-finish plan (the registered one is a checkpoint scan)
+      val df = operators.GraphQueries.planOnly
+        .getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       df.collect() // finalize AQE so the printed plan is the executed one
       sb.append(s"\n## $name\n\n$note\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.take(6000))

@@ -174,6 +174,9 @@ object Graph {
   def kCorePeel(edges: DataFrame, src: String, dst: String, k: Int,
                 rounds: Int,
                 localThreshold: Long = localFinishEdges): DataFrame = {
+    // rounds = 0 would return an empty union on the local path but NPE on
+    // the distributed one — reject it uniformly instead of diverging.
+    require(rounds >= 1, s"kCorePeel needs rounds >= 1, got $rounds")
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -220,14 +223,22 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"))
         .select(lit(i.toLong).as("round"), col("n_nodes"))
       out = if (out == null) removed else out.unionByName(removed)
-      cur = cur
+      val nextCur = cur
         .join(kept, cur("src") === kept("node"), "left_semi")
         .join(kept.select(col("node").as("kn")),
           col("dst") === col("kn"), "left_semi")
         .localCheckpoint()
+      // The superseded edge table is reachable from nothing the caller
+      // ever sees (`out` references only nodes/kept), so its checkpoint
+      // blocks would leak ~rounds full edge tables per invocation — the
+      // connectedComponents discipline, applied here: free it the moment
+      // its successor is materialized (localCheckpoint() above is eager).
+      release(cur)
+      cur = nextCur
       nodes = kept
     }
     sym.unpersist()
+    release(cur) // final edge table: also unreachable from the result
     out.unionByName(
       nodes.agg(count(lit(1)).as("n_nodes"))
         .select(lit(-1L).as("round"), col("n_nodes")))

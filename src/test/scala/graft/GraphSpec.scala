@@ -66,4 +66,38 @@ class GraphSpec extends SparkSpecBase {
     // with many customers), so the top of the ranking is supplier-heavy
     assert(a.take(5).forall(_.getAs[String]("node_kind") == "supplier"))
   }
+
+  test("repeated graph queries release their storage (no accumulation)") {
+    // The gr pack materializes its dimension-sized result eagerly, then
+    // unpersists every query-local cache and checkpoint; after the caller
+    // releases the returned frame, executor storage must be back where it
+    // started — in a long-lived session, re-running graph analytics must
+    // not grow by one edge table per invocation.
+    // Suites share one SparkSession and run CONCURRENTLY, so another
+    // suite's persists can land between the snapshots — the assertion is
+    // therefore rate-based: a real leak adds ≥1 entry per run (6 runs →
+    // ≥6), concurrent noise is a bounded handful.
+    def run(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      operators.Graph.release(df)
+    }
+    run("gr1_pagerank") // steady state (JIT, shared codegen caches)
+    val before = spark.sparkContext.getPersistentRDDs
+    val runs = Seq("gr1_pagerank", "gr5_kcore", "gr1_pagerank",
+      "gr5_kcore", "gr1_pagerank", "gr5_kcore")
+    runs.foreach(run)
+    // releases run with blocking = false — wait out in-flight removals
+    // before declaring a leak
+    val deadline = System.currentTimeMillis + 10000
+    var after = spark.sparkContext.getPersistentRDDs
+    while (after.size > before.size && System.currentTimeMillis < deadline) {
+      Thread.sleep(200); after = spark.sparkContext.getPersistentRDDs
+    }
+    val leaked = (after.keySet -- before.keySet)
+      .map(id => s"$id:${after(id).toString.take(120)}")
+    assert(after.size - before.size < runs.size,
+      s"graph queries leaked ${after.size - before.size} persistent " +
+        s"RDDs over ${runs.size} runs: ${leaked.mkString("; ")}")
+  }
 }

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
 class PlanShapeSpec extends SparkSpecBase {
 
   private def executedPlan(name: String): String =
-    SparkEntry.queries(name)(spark, sfDir)
+    // graph queries materialize-and-release eagerly; pin their PRE-finish
+    // plan (the registered one is just a checkpoint scan)
+    operators.GraphQueries.planOnly
+      .getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       .queryExecution.executedPlan.toString
 
   test("s1: filters are pushed to the scan and the schema is pruned") {
