@@ -1156,26 +1156,37 @@ object Similarity extends QueryPack {
   //    integer micro-units before the dot product, so each projected
   //    coordinate is an exact BIGINT sum: associative, partial-aggregable,
   //    bit-identical at any parallelism.
-  //    Plan shape: one corpus scan × a BROADCAST 8-row sign matrix; the
-  //    zip_with/aggregate fold runs inside codegen and nothing but the
-  //    (n·8)-row result ever reaches an exchange — at 100 TB this is scan
-  //    throughput, the shape that lets the reduced table feed a cheaper
-  //    downstream index build (v2's LSH or v4's IVF) at 1/8 the width.
+  //    Plan shape: ONE corpus scan × a BROADCAST 8-row sign matrix (the
+  //    embedding width comes from a single-row read at plan-build time,
+  //    not a corpus-wide max aggregate); the per-row fold runs inside
+  //    codegen and nothing but the (n·8)-row result ever reaches an
+  //    exchange — at 100 TB this is scan throughput, the shape that lets
+  //    the reduced table feed a cheaper downstream index build (v2's LSH
+  //    or v4's IVF) at 1/8 the width.
+  //    The fold iterates each ROW's OWN indices (bounded by the sign
+  //    vector), exactly like the oracle's list_transform over
+  //    range(0, len(embedding)) — a zip_with against the corpus-max-width
+  //    sign vector would null-pad shorter rows and poison their sum to
+  //    NULL where the oracle sums the row's real components. The corpus
+  //    contract is fixed-width embeddings (TESTDATA.md); the one-row dim
+  //    read leans on it, and variable-width data would surface as a
+  //    cross-engine diff here rather than silently truncating.
   private val projDims = 8
   private val v18RandProj: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val dim = emb.agg(max(size(col("embedding"))).as("dim"))
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     val signs = s.range(projDims).toDF("j")
-      .crossJoin(dim)
       .select(col("j"), expr(
-        "transform(sequence(0, dim - 1), d -> " +
+        s"transform(sequence(0, $dim - 1), d -> " +
         "CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), '_', " +
         "CAST(d AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2 = 0 " +
         "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)").as("sg"))
     emb.crossJoin(broadcast(signs))
       .select(col("vec_id"), col("j"),
-        expr("aggregate(zip_with(embedding, sg, (v, g) -> " +
-             "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) * g), " +
+        expr("aggregate(transform(" +
+             "sequence(0, least(size(embedding), size(sg)) - 1), i -> " +
+             "CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE) " +
+             "* 1000000.0) AS BIGINT) * element_at(sg, i + 1)), " +
              "CAST(0 AS BIGINT), (a, x) -> a + x)").as("proj_e6"))
       .orderBy("vec_id", "j")
   }
