@@ -466,6 +466,204 @@ object Statistical extends QueryPack {
        |LEFT JOIN means me ON p.sk_1 = me.sk_1
        |ORDER BY p.sk_1""".stripMargin
 
+  // -- c2: the CTE flagship composed END-TO-END — the reference's whole
+  //    external-CTE analysis (uvis_external_cte_plots.py:1119-1292 →
+  //    596-778) as ONE oracle-checked query over the mirror tables:
+  //    rank-positional chip pairs (J2, a16's shape) → star match on the
+  //    shared part key with an exact integer flux ratio (J3) → per-chip
+  //    background subtract + overlapping flux bins (A4's bin table) →
+  //    4σ clip per (pair, bin) (A2) → per-pair regression slope (A1) →
+  //    exact Vandermonde/Gram moments over the survivors (A6). Every
+  //    stage is an already-verified operator; what this query pins is
+  //    the COMPOSITION, cross-engine: one output row hashing every
+  //    stage's surviving-row count plus the final moments.
+  //    Exactness discipline: the flux ratio rides integer MILLI-units
+  //    ((cents₂·1e3) div cents₁ — positive floor division, identical
+  //    both engines; 1e3 and not 1e6 because the clip pass squares the
+  //    ratio inside DECIMAL(18,2), whose DuckDB multiply runs in int64 —
+  //    milli-units keep the square under 2⁶³ with room to spare),
+  //    both engines), clip statistics ride decimal sums, the Gram
+  //    moments are DECIMAL(38,0) sums crossed to the output as strings
+  //    (v19's rule, HUGEINT on the DuckDB side), and the per-pair slope
+  //    doubles are summarized by ORDER STATISTICS (count/min/max), never
+  //    a float sum — a float sum over pairs would be shuffle-order-
+  //    dependent, the one thing this engine never ships.
+  //    Scale shape: suppliers are dimension-sized, so the pair table
+  //    broadcasts; the two fact-sized shuffles are the per-(supplier,
+  //    part) observation aggregate and the o1⋈o2 match join; everything
+  //    after the bin join operates on matched rows only.
+  private val c2CteFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s_nationkey"), col("s_suppkey") % 2)
+      .orderBy("s_suppkey")
+    val ranked = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("rn", row_number().over(w))
+    val pairs = ranked.filter(col("s_suppkey") % 2 === 0)
+      .select(col("rn"), col("s_nationkey"), col("s_suppkey").as("sk_1"))
+      .join(ranked.filter(col("s_suppkey") % 2 === 1)
+        .select(col("rn"), col("s_nationkey"), col("s_suppkey").as("sk_2")),
+        Seq("rn", "s_nationkey"))
+      .select("sk_1", "sk_2")
+      .persist()
+
+    // star observations: one row per (supplier, part), exact integer
+    // aggregates so the match is deterministic on any shuffle order
+    val obs = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("x"),
+           sum((Exact.dec2(col("l_extendedprice")) * 100).cast("long"))
+             .as("cents"))
+    val o1 = obs.select(col("l_suppkey").as("sk_1"), col("l_partkey"),
+      col("x"), col("cents").as("cents1"))
+    val o2 = obs.select(col("l_suppkey").as("sk_2"), col("l_partkey"),
+      col("cents").as("cents2"))
+    val matched = o1.join(broadcast(pairs), "sk_1")
+      .join(o2, Seq("sk_2", "l_partkey"))
+      .withColumn("ye3", expr("(cents2 * 1000) div cents1"))
+      .persist()
+
+    val bg = matched.groupBy("sk_1").agg(min(col("cents1")).as("bg_cents"))
+    val net = matched.join(bg, "sk_1")
+      .withColumn("net_d",
+        (col("cents1") - col("bg_cents")).cast("double") / lit(100.0))
+    val binDf = bins.toDF("bin", "lo", "hi")
+    val binned = net.join(broadcast(binDf),
+        col("net_d") >= col("lo").cast("double") &&
+        col("net_d") < col("hi").cast("double"))
+      .select(col("sk_1"), col("sk_2"), col("bin"), col("x"), col("ye3"),
+        col("ye3").cast(DecimalType(18, 2)).as("vdec"),
+        col("ye3").cast("double").as("vd"))
+      .persist()
+    val clipped = clipPass(binned, Seq("sk_1", "bin"), 4.0).persist()
+
+    // per-pair regression slope over the clipped (qty, ratio) rows
+    val m = clipped.groupBy("sk_1", "sk_2").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("vdec")).as("sy"),
+      sum((col("vdec") * col("x")).cast(DecimalType(38, 2))).as("sxy"),
+      sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).as("syy"))
+    val dn = col("n").cast("double")
+    val dsx = col("sx").cast("double"); val dsxx = col("sxx").cast("double")
+    val dsy = col("sy").cast("double")
+    val dsxy = col("sxy").cast("string").cast("double")
+    val sxxc = dsxx - dsx * dsx / dn
+    val sxyc = dsxy - dsx * dsy / dn
+    val sAgg = broadcast(m.filter(col("n") >= 3)
+      .withColumn("sxxc", sxxc).withColumn("slope", sxyc / col("sxxc"))
+      .filter(col("sxxc") > 0)
+      .agg(count(lit(1)).as("n_slopes"),
+        min(col("slope")).as("min_slope"),
+        max(col("slope")).as("max_slope")))
+
+    // A6's sufficient statistics over the survivors: Σ xⁱ·y(e6)ʲ exact
+    def gij(i: Int, j: Int): Column = {
+      val y = col("ye3").cast(DecimalType(19, 0))
+      val xi = i match {
+        case 0 => lit(1L); case 1 => col("x"); case _ => col("x") * col("x")
+      }
+      val yj = j match {
+        case 0 => lit(1L).cast(DecimalType(19, 0)); case 1 => y
+        case _ => y * y
+      }
+      sum((yj * xi).cast(DecimalType(38, 0))).cast("string").as(s"g$i$j")
+    }
+    val gAgg = broadcast(clipped.agg(
+      count(lit(1)).as("n_clip"),
+      gij(1, 0), gij(0, 1), gij(1, 1), gij(2, 0), gij(0, 2),
+      gij(2, 1), gij(1, 2), gij(2, 2)))
+
+    def cnt(df: DataFrame, name: String): DataFrame =
+      broadcast(df.groupBy().agg(count(lit(1)).as(name)))
+    cnt(pairs, "n_pairs")
+      .crossJoin(cnt(matched, "n_matched"))
+      .crossJoin(cnt(binned, "n_binned"))
+      .crossJoin(gAgg)
+      .crossJoin(sAgg)
+  }
+
+  private val c2Sql =
+    s"""WITH ranked AS (
+       |  SELECT s_suppkey, s_nationkey, s_suppkey % 2 AS par,
+       |         row_number() OVER (PARTITION BY s_nationkey, s_suppkey % 2
+       |                            ORDER BY s_suppkey) AS rn
+       |  FROM supplier),
+       |pairs AS (
+       |  SELECT a.s_suppkey AS sk_1, b.s_suppkey AS sk_2
+       |  FROM ranked a JOIN ranked b
+       |    ON a.rn = b.rn AND a.s_nationkey = b.s_nationkey
+       |  WHERE a.par = 0 AND b.par = 1),
+       |obs AS (
+       |  SELECT l_suppkey, l_partkey,
+       |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+       |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+       |           AS BIGINT)) AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+       |matched AS (
+       |  SELECT p.sk_1, p.sk_2, o1.l_partkey, o1.x, o1.cents AS cents1,
+       |         (o2.cents * 1000) // o1.cents AS ye3
+       |  FROM pairs p
+       |  JOIN obs o1 ON o1.l_suppkey = p.sk_1
+       |  JOIN obs o2 ON o2.l_suppkey = p.sk_2
+       |              AND o2.l_partkey = o1.l_partkey),
+       |bg AS (SELECT sk_1, min(cents1) AS bg_cents FROM matched GROUP BY sk_1),
+       |net AS (
+       |  SELECT m.sk_1, m.sk_2, m.x, m.ye3,
+       |         CAST(m.cents1 - b.bg_cents AS DOUBLE) / 100.0 AS net_d
+       |  FROM matched m JOIN bg b USING (sk_1)),
+       |bint(bin, lo, hi) AS (VALUES
+       |  ${bins.map { case (b, l, h) => s"('$b', $l, $h)" }.mkString(",\n  ")}),
+       |c0 AS (
+       |  SELECT n.sk_1, n.sk_2, bt.bin, n.x, n.ye3,
+       |         CAST(n.ye3 AS DECIMAL(18,2)) AS vdec,
+       |         CAST(n.ye3 AS DOUBLE) AS vd
+       |  FROM net n JOIN bint bt
+       |    ON n.net_d >= CAST(bt.lo AS DOUBLE)
+       |   AND n.net_d < CAST(bt.hi AS DOUBLE)),
+       |${clipPassSql("c0", "sk_1, bin", "4.0", "cs1", "c1")},
+       |m AS (
+       |  SELECT sk_1, sk_2, count(*) AS n,
+       |         sum(x) AS sx, sum(x*x) AS sxx,
+       |         sum(vdec) AS sy,
+       |         sum(CAST(vdec*x AS DECIMAL(38,2))) AS sxy,
+       |         sum(CAST(vdec*vdec AS DECIMAL(38,4))) AS syy
+       |  FROM c1 GROUP BY sk_1, sk_2),
+       |d AS (
+       |  SELECT sk_1, n, CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+       |         CAST(sxx AS DOUBLE) AS dsxx, CAST(sy AS DOUBLE) AS dsy,
+       |         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy
+       |  FROM m WHERE n >= 3),
+       |c AS (
+       |  SELECT sk_1,
+       |         dsxx - dsx*dsx/dn AS sxxc,
+       |         dsxy - dsx*dsy/dn AS sxyc
+       |  FROM d),
+       |sl AS (SELECT sk_1, sxyc/sxxc AS slope FROM c WHERE sxxc > 0),
+       |sagg AS (
+       |  SELECT count(*) AS n_slopes, min(slope) AS min_slope,
+       |         max(slope) AS max_slope
+       |  FROM sl),
+       |gagg AS (
+       |  SELECT count(*) AS n_clip,
+       |    CAST(sum(CAST(x AS HUGEINT)) AS VARCHAR) AS g10,
+       |    CAST(sum(CAST(ye3 AS HUGEINT)) AS VARCHAR) AS g01,
+       |    CAST(sum(CAST(x AS HUGEINT)*ye3) AS VARCHAR) AS g11,
+       |    CAST(sum(CAST(x AS HUGEINT)*x) AS VARCHAR) AS g20,
+       |    CAST(sum(CAST(ye3 AS HUGEINT)*ye3) AS VARCHAR) AS g02,
+       |    CAST(sum(CAST(x AS HUGEINT)*x*ye3) AS VARCHAR) AS g21,
+       |    CAST(sum(CAST(ye3 AS HUGEINT)*ye3*x) AS VARCHAR) AS g12,
+       |    CAST(sum(CAST(ye3 AS HUGEINT)*ye3*x*x) AS VARCHAR) AS g22
+       |  FROM c1)
+       |SELECT (SELECT count(*) FROM pairs) AS n_pairs,
+       |       (SELECT count(*) FROM matched) AS n_matched,
+       |       (SELECT count(*) FROM c0) AS n_binned,
+       |       g.n_clip, g.g10, g.g01, g.g11, g.g20, g.g02, g.g21, g.g12,
+       |       g.g22, s.n_slopes, s.min_slope, s.max_slope
+       |FROM gagg g, sagg s""".stripMargin
+
   // -- a6-moments: the distributed half of polyfit2d — exact Vandermonde
   //    moment accumulation Σ z·x^j·y^i per group (what the Aggregator's
   //    buffer holds), oracle-checkable because it is pure integer/decimal
@@ -837,7 +1035,8 @@ object Statistical extends QueryPack {
     "a6_fit_recovery"     -> a6FitRecovery,
     "a7_model_eval"       -> a7ModelEval,
     "a14_cte_vs_time"     -> a14CteVsTime,
-    "a16_pair_product"    -> a16PairProduct)
+    "a16_pair_product"    -> a16PairProduct,
+    "c2_cte_funnel"       -> c2CteFunnel)
 
   def oracles: Map[String, String] = Map(
     "a18_theilsen"        -> a18Sql,
@@ -851,5 +1050,6 @@ object Statistical extends QueryPack {
     "a6_fit_recovery"     -> a6RecoverySql,
     "a7_model_eval"       -> a7Sql,
     "a14_cte_vs_time"     -> a14Sql,
-    "a16_pair_product"    -> a16Sql)
+    "a16_pair_product"    -> a16Sql,
+    "c2_cte_funnel"       -> c2Sql)
 }
