@@ -244,6 +244,313 @@ object Graph {
         .select(lit(-1L).as("round"), col("n_nodes")))
   }
 
+  // ---------------------------------------------------------------------
+  // Run-to-FIXPOINT variants. The bounded-round forms above (and the gr
+  // query pack's 3-round unrolls) exist for exact SQL oracles; a
+  // production caller asks for "the" BFS/SSSP/k-core/PageRank, i.e. the
+  // converged answer. Each fixpoint driver below is the
+  // connectedComponents loop discipline applied to its algorithm:
+  //   - hybrid: below `localThreshold` edges the whole iteration runs in
+  //     ONE executor task (each distributed round costs a fixed number of
+  //     shuffle stages that dwarf the real work on a small graph);
+  //   - distributed: one hash join + one associative min/sum aggregate
+  //     per round, localCheckpoint-truncated lineage, superseded state
+  //     released as soon as its successor materializes;
+  //   - termination DETECTED (changed-count = 0 / max-delta ≤ tol), with
+  //     a maxIters throw — a truncated answer is a WRONG answer, never a
+  //     fallback.
+  // All arithmetic is integer (min-plus / integer-unit ranks), so both
+  // paths — and any cluster layout — produce bit-identical results.
+  // ---------------------------------------------------------------------
+
+  /** Single-source shortest distances iterated to FIXPOINT — min-plus
+    * frontier relaxation (Bellman–Ford with a frontier: each round
+    * relaxes only edges out of nodes whose distance improved last
+    * round). BFS hop distance is the `weight = None` special case.
+    *
+    * @param edges    DIRECTED edge list (symmetrize first for an
+    *                 undirected graph, as the gr3/gr4 queries do)
+    * @param weight   optional positive integer weight column; None → 1
+    * @param source   source node id; default = smallest src id
+    * @return (node, dist) for every node REACHABLE from the source
+    */
+  def ssspFixpoint(edges: DataFrame, src: String, dst: String,
+                   weight: Option[String] = None,
+                   source: Option[Long] = None,
+                   maxIters: Int = 200,
+                   localThreshold: Long = localFinishEdges): DataFrame = {
+    val e = weight match {
+      case Some(w) => edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"), col(w).cast("long").as("w"))
+      case None => edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"), lit(1L).as("w"))
+    }
+    val eP = e.repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = eP.count()
+    val spark = edges.sparkSession
+    val s0: Long = source.getOrElse(eP.agg(min(col("a"))).head().getLong(0))
+
+    if (nEdges <= localThreshold) {
+      import spark.implicits._
+      val out = eP.as[(Long, Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val adj = scala.collection.mutable.LongMap
+            .empty[List[(Long, Long)]]
+          it.foreach { case (a, b, w) =>
+            adj(a) = (b, w) :: adj.getOrElse(a, Nil)
+          }
+          val dist = scala.collection.mutable.LongMap[Long](s0 -> 0L)
+          var frontier = List(s0)
+          var iter = 0
+          while (frontier.nonEmpty) {
+            iter += 1
+            if (iter > maxIters) throw new IllegalStateException(
+              s"ssspFixpoint did not converge in $maxIters rounds")
+            val improved = scala.collection.mutable.LongMap.empty[Long]
+            frontier.foreach { n =>
+              val dn = dist(n)
+              adj.getOrElse(n, Nil).foreach { case (m, w) =>
+                val cand = dn + w
+                if (cand < dist.getOrElse(m, Long.MaxValue) &&
+                    cand < improved.getOrElse(m, Long.MaxValue))
+                  improved(m) = cand
+              }
+            }
+            frontier = improved.iterator.collect {
+              case (m, d) if d < dist.getOrElse(m, Long.MaxValue) =>
+                dist(m) = d; m
+            }.toList
+          }
+          dist.iterator
+        }
+        .toDF("node", "dist")
+      val outDone = out.localCheckpoint()
+      eP.unpersist()
+      return outDone
+    }
+
+    var dist = spark.range(1).select(lit(s0).as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    var changed = 1L
+    while (changed > 0) {
+      iter += 1
+      if (iter > maxIters) throw new IllegalStateException(
+        s"ssspFixpoint did not converge in $maxIters rounds")
+      val relax = frontier.join(eP, frontier("node") === eP("a"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min(col("nd")).as("nd"))
+      val merged = dist.select(col("node"), col("dist").as("old"))
+        .join(relax, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("old"), lit(Long.MaxValue)).as("old"),
+          least(coalesce(col("old"), col("nd")),
+                coalesce(col("nd"), col("old"))).as("dist"))
+        .withColumn("_chg", col("dist") < col("old"))
+        .localCheckpoint()
+      changed = merged.filter(col("_chg")).count()
+      release(dist) // superseded distance table (frontier shares its RDD)
+      dist = merged.select("node", "dist")
+      frontier = merged.filter(col("_chg")).select("node", "dist")
+    }
+    eP.unpersist()
+    dist
+  }
+
+  /** BFS hop distances to fixpoint — [[ssspFixpoint]] with unit weights. */
+  def bfsFixpoint(edges: DataFrame, src: String, dst: String,
+                  source: Option[Long] = None,
+                  maxIters: Int = 200,
+                  localThreshold: Long = localFinishEdges): DataFrame =
+    ssspFixpoint(edges, src, dst, None, source, maxIters, localThreshold)
+
+  /** [[kCorePeel]] iterated until a round removes NOBODY — the true
+    * k-core. Output matches kCorePeel's convention ((round, n_removed)
+    * rows 1..T, then the surviving core size under round = -1), where T
+    * is the LAST round that removed anyone (0 rows of rounds if the
+    * whole graph is already a k-core). */
+  def kCoreFixpoint(edges: DataFrame, src: String, dst: String, k: Int,
+                    maxIters: Int = 200,
+                    localThreshold: Long = localFinishEdges): DataFrame = {
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (sym.count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val out = sym
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          var es = it.toArray
+          var nodes = es.iterator.map(_._1).toSet
+          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var r = 0
+          var removed = -1L
+          while (removed != 0L) {
+            r += 1
+            if (r > maxIters) throw new IllegalStateException(
+              s"kCoreFixpoint did not converge in $maxIters rounds")
+            val deg = scala.collection.mutable.LongMap.empty[Long]
+            es.foreach { case (a, _) => deg(a) = deg.getOrElse(a, 0L) + 1L }
+            val kept = nodes.filter(n => deg.getOrElse(n, 0L) >= k)
+            removed = (nodes.size - kept.size).toLong
+            if (removed > 0L) {
+              res += ((r.toLong, removed))
+              es = es.filter(e => kept(e._1) && kept(e._2))
+              nodes = kept
+            }
+          }
+          res += ((-1L, nodes.size.toLong))
+          res.iterator
+        }
+        .toDF("round", "n_nodes")
+        .localCheckpoint()
+      sym.unpersist()
+      return out
+    }
+
+    var cur = sym.select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint()
+    var nodes = cur.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var out: DataFrame = null
+    var iter = 0
+    var removed = -1L
+    while (removed != 0L) {
+      iter += 1
+      if (iter > maxIters) throw new IllegalStateException(
+        s"kCoreFixpoint did not converge in $maxIters rounds")
+      val deg = cur.groupBy("src").agg(count(lit(1)).as("d"))
+      val kept = nodes
+        .join(deg.where(col("d") >= k),
+          nodes("node") === deg("src"), "left_semi")
+        .localCheckpoint()
+      removed = nodes.count() - kept.count()
+      if (removed > 0L) {
+        val row = nodes.sparkSession.range(1)
+          .select(lit(iter.toLong).as("round"), lit(removed).as("n_nodes"))
+        out = if (out == null) row else out.unionByName(row)
+        val nextCur = cur
+          .join(kept, cur("src") === kept("node"), "left_semi")
+          .join(kept.select(col("node").as("kn")),
+            col("dst") === col("kn"), "left_semi")
+          .localCheckpoint()
+        release(cur)   // superseded edge table (kCorePeel's discipline)
+        release(nodes) // counts are already driver-side scalars here
+        cur = nextCur
+        nodes = kept
+      } else {
+        release(kept)
+      }
+    }
+    val core = nodes.count()
+    sym.unpersist()
+    release(cur)
+    release(nodes)
+    val finalRow = edges.sparkSession.range(1)
+      .select(lit(-1L).as("round"), lit(core).as("n_nodes"))
+    if (out == null) finalRow else out.unionByName(finalRow)
+  }
+
+  /** Integer-unit PageRank (the gr1 semantics: ranks in 1e-12 units,
+    * floor-division contributions, damping 0.15/0.85) iterated until the
+    * largest per-node change is ≤ `tolE12` units. Exact-equality
+    * termination (tol = 0) is NOT offered: floor rounding can leave the
+    * integer iteration cycling within a few units of the real fixpoint,
+    * so a tolerance is the honest contract.
+    * @param edges DIRECTED edges; every node must have outdegree ≥ 1
+    *              (the gr1 construction guarantees it by symmetrizing) */
+  def pageRankFixpoint(edges: DataFrame, src: String, dst: String,
+                       tolE12: Long = 1000L,
+                       maxIters: Int = 500,
+                       localThreshold: Long = localFinishEdges): DataFrame = {
+    val unit = 1000000000000L
+    val dampBase = 150000000000L
+    val e = edges.select(col(src).cast("long").as("a"),
+      col(dst).cast("long").as("b"))
+    val eP = e.repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = eP.count()
+    val spark = edges.sparkSession
+
+    if (nEdges <= localThreshold) {
+      import spark.implicits._
+      val out = eP.as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val adj = scala.collection.mutable.LongMap.empty[List[Long]]
+          it.foreach { case (a, b) => adj(a) = b :: adj.getOrElse(a, Nil) }
+          var ranks = scala.collection.mutable.LongMap.empty[Long]
+          adj.keysIterator.foreach(n => ranks(n) = unit)
+          var iter = 0
+          var maxDelta = Long.MaxValue
+          while (maxDelta > tolE12) {
+            iter += 1
+            if (iter > maxIters) throw new IllegalStateException(
+              s"pageRankFixpoint did not converge in $maxIters rounds")
+            val sums = scala.collection.mutable.LongMap.empty[Long]
+            adj.foreach { case (n, outs) =>
+              val cpe = ranks(n) / outs.size // all values positive
+              outs.foreach(m => sums(m) = sums.getOrElse(m, 0L) + cpe)
+            }
+            val next = scala.collection.mutable.LongMap.empty[Long]
+            adj.keysIterator.foreach { n =>
+              next(n) = dampBase + (85L * sums.getOrElse(n, 0L)) / 100L
+            }
+            maxDelta = adj.keysIterator
+              .map(n => math.abs(next(n) - ranks(n)))
+              .foldLeft(0L)(math.max)
+            ranks = next
+          }
+          ranks.iterator
+        }
+        .toDF("node", "rank_e12")
+        .localCheckpoint()
+      eP.unpersist()
+      return out
+    }
+
+    val deg = eP.groupBy("a").agg(count(lit(1)).as("outdeg"))
+      .select(col("a").as("node"), col("outdeg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("node"), lit(unit).as("r"))
+      .localCheckpoint()
+    var iter = 0
+    var maxDelta = Long.MaxValue
+    while (maxDelta > tolE12) {
+      iter += 1
+      if (iter > maxIters) throw new IllegalStateException(
+        s"pageRankFixpoint did not converge in $maxIters rounds")
+      val contrib = ranks.join(deg, "node")
+        .select(col("node"), expr("r div outdeg").as("cpe"))
+      val sums = eP
+        .join(contrib, eP("a") === contrib("node"))
+        .groupBy(col("b"))
+        .agg(sum(col("cpe")).as("sc"))
+        .select(col("b").as("node"), col("sc"))
+      // left-outer from the node set: a node with no in-edges keeps the
+      // damping base (the local path's getOrElse(0) — paths must agree)
+      val next = ranks.select(col("node"), col("r").as("old"))
+        .join(sums, Seq("node"), "left_outer")
+        .select(col("node"), col("old"),
+          (lit(dampBase) +
+            expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+            .as("nr"))
+        .withColumn("_delta", abs(col("nr") - col("old")))
+        .localCheckpoint()
+      maxDelta = next.agg(max(col("_delta"))).head().getLong(0)
+      release(ranks)
+      ranks = next.select(col("node"), col("nr").as("r"))
+    }
+    eP.unpersist()
+    val out = ranks.select(col("node"), col("r").as("rank_e12"))
+    out
+  }
+
   /** Free the executor storage behind any localCheckpoint leaves in `df`'s
     * plan. The labels returned by [[connectedComponents]] are backed by a
     * checkpointed RDD whose blocks survive both `Dataset.unpersist()` and

@@ -401,6 +401,57 @@ object GraphQueries extends QueryPack {
   //    round = -1 (the gr3 histogram convention).
   private val peelRounds = 3
   private val coreK = 2
+  // -- gr6: BFS run to FIXPOINT — gr3's frontier loop with NO round
+  //    bound ([[Graph.bfsFixpoint]]'s converged-count termination, the
+  //    production contract: "the" hop histogram, not 3 rounds of it).
+  //    The oracle expresses the same fixpoint as a recursive CTE whose
+  //    (node, hop) tuples are bounded by the node count (hop ≤ |V| covers
+  //    any diameter), so DuckDB's UNION-dedup recursion terminates; the
+  //    min(hop) per node on bounded tuples equals the loop's converged
+  //    distances. Unreachable nodes report hop = -1 (gr3's convention).
+  private def gr6Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val pairs = coSupplierPairsPerOrder(s, dir).distinct()
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val reached = Graph.bfsFixpoint(edges, "src", "dst")
+      .select(col("node"), col("dist").as("hop"))
+    val result = nodes.join(reached, Seq("node"), "left_outer")
+      .select(coalesce(col("hop"), lit(-1L)).as("hop"))
+      .groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hop"))
+    (result, Seq(edges, nodes))
+  }
+
+  private val gr6Bfs: Q = (s, dir) => {
+    val (r, cached) = gr6Build(s, dir); finish(r, cached: _*)
+  }
+
+  private val gr6Sql =
+    s"""WITH RECURSIVE members AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |pairs AS (
+       |  SELECT DISTINCT a.sk AS u, b.sk AS v
+       |  FROM members a JOIN members b ON a.ok = b.ok AND a.sk < b.sk),
+       |edges AS (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |r(node, hop) AS (
+       |  SELECT min(node), CAST(0 AS BIGINT) FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.hop + 1
+       |  FROM r JOIN edges e ON e.src = r.node
+       |  WHERE r.hop + 1 <= (SELECT count(*) FROM nodes)),
+       |best AS (SELECT node, min(hop) AS hop FROM r GROUP BY node)
+       |SELECT coalesce(b.hop, CAST(-1 AS BIGINT)) AS hop,
+       |       count(*) AS n_nodes
+       |FROM nodes n LEFT JOIN best b ON n.node = b.node
+       |GROUP BY 1 ORDER BY hop""".stripMargin
+
   private def gr5Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val (rawPairs, sigBase) =
       Dedup.nearDupPairsWithBase(Tables.documents(s, dir))
@@ -465,11 +516,13 @@ object GraphQueries extends QueryPack {
     "gr2_triangles" -> gr2Triangles,
     "gr3_bfs_hops"  -> gr3Bfs,
     "gr4_sssp"      -> gr4Sssp,
-    "gr5_kcore"     -> gr5Kcore)
+    "gr5_kcore"     -> gr5Kcore,
+    "gr6_bfs_fixpoint" -> gr6Bfs)
   def oracles: Map[String, String] = Map(
     "gr1_pagerank"  -> gr1Sql,
     "gr2_triangles" -> gr2Sql,
     "gr3_bfs_hops"  -> gr3Sql,
     "gr4_sssp"      -> gr4Sql,
-    "gr5_kcore"     -> gr5Sql)
+    "gr5_kcore"     -> gr5Sql,
+    "gr6_bfs_fixpoint" -> gr6Sql)
 }

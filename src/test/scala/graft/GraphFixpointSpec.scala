@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Run-to-fixpoint graph drivers (Graph.{bfs,sssp,kCore,pageRank}Fixpoint)
+  * against graphs that NEED more rounds than the gr query pack's bounded
+  * 3-round unrolls — proving (a) the fixpoint equals the bounded unroll
+  * once converged / a brute-force model, (b) termination is DETECTED
+  * (changed-count = 0 / max-delta ≤ tol) rather than assumed, and (c) the
+  * maxIters guard throws instead of returning a truncated answer.
+  * Every case runs BOTH execution paths — the single-task local finish
+  * and the distributed loop (localThreshold = 0) — and pins that they
+  * agree bit-for-bit: the arithmetic is integer, so no layout may differ.
+  */
+class GraphFixpointSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def sym(pairs: Seq[(Long, Long)]): DataFrame = {
+    val e = pairs.toDF("u", "v")
+    e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+  }
+
+  private def toMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("BFS fixpoint covers a diameter-6 path the 3-round unroll cannot") {
+    val edges = sym((0L until 6L).map(i => (i, i + 1)))
+    val expected = (0L to 6L).map(i => i -> i).toMap // hop = node id
+    val local = toMap(Graph.bfsFixpoint(edges, "src", "dst"))
+    val looped = toMap(
+      Graph.bfsFixpoint(edges, "src", "dst", localThreshold = 0L))
+    assert(local == expected, s"local path: $local")
+    assert(looped == expected, "local and distributed paths disagree")
+    // the graph genuinely needs more than 3 rounds: a 3-round unroll
+    // (gr3's bounded contract) leaves hops 4..6 unreached
+    assert(expected.values.count(_ > 3) == 3)
+    // truncation is an ERROR, never a silently wrong answer
+    intercept[IllegalStateException] {
+      Graph.bfsFixpoint(edges, "src", "dst", maxIters = 3,
+        localThreshold = 0L)
+    }
+  }
+
+  test("SSSP fixpoint: weighted relaxation beats the direct edge") {
+    // 0-1-2-3 path (1+5+2 = 8) vs a direct 0-3 edge of weight 10: the
+    // cheaper multi-hop route must win, which takes >1 relaxation round
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 5L), (2L, 3L, 2L), (0L, 3L, 10L))
+      .toDF("u", "v", "w")
+    val edges = e.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val expected = Map(0L -> 0L, 1L -> 1L, 2L -> 6L, 3L -> 8L)
+    val local = toMap(
+      Graph.ssspFixpoint(edges, "src", "dst", weight = Some("w")))
+    val looped = toMap(Graph.ssspFixpoint(edges, "src", "dst",
+      weight = Some("w"), localThreshold = 0L))
+    assert(local == expected, s"local path: $local")
+    assert(looped == expected, "local and distributed paths disagree")
+  }
+
+  test("k-core fixpoint peels a 10-path in 5 rounds and matches the " +
+       "bounded peel's converged prefix") {
+    // kCore{Peel,Fixpoint} symmetrize internally — pass raw pairs
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    // a path has no 2-core: endpoints (degree 1) die round after round —
+    // 5 rounds of 2 removals each, then an empty core
+    val expected = (1L to 5L).map(r => r -> 2L).toMap + (-1L -> 0L)
+    val local = toMap(Graph.kCoreFixpoint(edges, "src", "dst", k = 2))
+    val looped = toMap(Graph.kCoreFixpoint(edges, "src", "dst", k = 2,
+      localThreshold = 0L))
+    assert(local == expected, s"local path: $local")
+    assert(looped == expected, "local and distributed paths disagree")
+    // the fixpoint equals the bounded unroll once converged: a 7-round
+    // kCorePeel reports the same removals plus trailing zero-rounds
+    val peel = toMap(
+      Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 7))
+    assert(peel.filter { case (r, n) => r == -1L || n != 0L } == expected)
+    // and 3 bounded rounds were NOT enough (6 of 10 nodes still alive)
+    val p3 = toMap(Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 3))
+    assert(p3(-1L) == 4L)
+  }
+
+  test("k-core fixpoint detects an already-converged graph in one look") {
+    val triangle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val expected = Map(-1L -> 3L) // no removal rounds at all
+    assert(toMap(Graph.kCoreFixpoint(triangle, "src", "dst", k = 2))
+      == expected)
+    assert(toMap(Graph.kCoreFixpoint(triangle, "src", "dst", k = 2,
+      localThreshold = 0L)) == expected)
+  }
+
+  /** The gr1 integer-PageRank update rule, iterated driver-side — the
+    * independent model both execution paths must reproduce exactly. */
+  private def prModel(adj: Map[Long, Seq[Long]], tol: Long)
+      : (Map[Long, Long], Int) = {
+    val unit = 1000000000000L
+    val damp = 150000000000L
+    var ranks = adj.keys.map(_ -> unit).toMap
+    var iters = 0
+    var maxDelta = Long.MaxValue
+    while (maxDelta > tol) {
+      iters += 1
+      val sums = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      adj.foreach { case (n, outs) =>
+        val cpe = ranks(n) / outs.size
+        outs.foreach(m => sums(m) += cpe)
+      }
+      val next = adj.keys.map(n => n -> (damp + 85L * sums(n) / 100L)).toMap
+      maxDelta = adj.keys.map(n => math.abs(next(n) - ranks(n))).max
+      ranks = next
+    }
+    (ranks, iters)
+  }
+
+  test("PageRank fixpoint matches the integer model on both paths and " +
+       "needs more than 3 rounds") {
+    // star: center 0 ↔ leaves 1..3 — rank oscillates between center and
+    // leaves, converging geometrically (many rounds, not a lucky 1)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val adj: Map[Long, Seq[Long]] =
+      Map(0L -> Seq(1L, 2L, 3L)) ++ (1L to 3L).map(l => l -> Seq(0L))
+    val edges = sym(pairs)
+
+    val (tight, tightIters) = prModel(adj, tol = 1000L)
+    assert(tightIters > 3, s"star converged in $tightIters rounds")
+    val local = toMap(Graph.pageRankFixpoint(edges, "src", "dst"))
+    assert(local == tight, s"local != model: $local vs $tight")
+
+    // the distributed loop runs the identical integer rule — verified at
+    // a looser tolerance to keep the round count spec-friendly
+    val (loose, looseIters) = prModel(adj, tol = 100000000000L)
+    assert(looseIters > 3)
+    val looped = toMap(Graph.pageRankFixpoint(edges, "src", "dst",
+      tolE12 = 100000000000L, localThreshold = 0L))
+    assert(looped == loose, s"distributed != model: $looped vs $loose")
+  }
+}
