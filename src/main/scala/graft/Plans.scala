@@ -50,7 +50,7 @@ object Plans {
     "st3_hopping_window" ->
       "Hopping windows: Expand×2 then partial aggregate — shuffle carries window×type partials, not events.",
     "d9_edit_distance" ->
-      "Levenshtein bounded thrice: exact-dup classes collapse to one representative pre-banding, band join limits PAIRS, 120-char prefix limits per-pair DP.",
+      "Levenshtein bounded thrice: PREFIX-exact classes (md5 of the scored 120 chars — the boilerplate-header flood the sf1 headroom run measured at 79× under the weaker full-text key) collapse to one representative pre-banding, band join limits PAIRS, the fixed prefix limits per-pair DP.",
     "k1_kmv_distinct" ->
       "KMV sketch: GroupedTopK partial→exchange→final keeps k rows per group in flight — the distributed sketch-union shape.",
     "w8_percentiles" ->
@@ -166,7 +166,9 @@ object Plans {
     "v18_rand_proj" ->
       "JL projection: the ±1 sign matrix is an 8-row BROADCAST side (BroadcastNestedLoopJoin over the tiny side), the integer dot product folds inside the scan stage — zero data-sized exchanges before the output sort.",
     "gr5_kcore" ->
-      "k-core peel (hybrid, the CC discipline): the count() that materializes the symmetrized pair graph picks the path — one executor task peels a small graph (distributed rounds are pure stage overhead there), big graphs run degree-aggregate + two semi-joins per round, localCheckpoint-truncated; integer counts make both paths bit-identical.")
+      "k-core peel (hybrid, the CC discipline): the count() that materializes the symmetrized pair graph picks the path — one executor task peels a small graph (distributed rounds are pure stage overhead there), big graphs run degree-aggregate + two semi-joins per round, localCheckpoint-truncated; integer counts make both paths bit-identical.",
+    "c2_cte_funnel" ->
+      "CTE flagship composed end-to-end: the pair table broadcasts (suppliers are dimension-sized); the two fact shuffles are the per-(supplier,part) observation aggregate and the o1⋈o2 match join; everything after the bin join runs on matched rows only, and the stage counts + Gram moments meet in broadcast cross-joins of 1-row aggregates.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -712,18 +712,25 @@ object Dedup extends QueryPack {
   /** The d9 pipeline over any (doc_id, text) table — split out so the
     * flood-guard property is spec-testable on a planted duplicate class.
     *
-    * Exact-dup precondition, ENFORCED: a class of c byte-identical
-    * documents shares every band key, flooding one bucket into O(c²)
+    * Exact-PREFIX-dup precondition, ENFORCED: a class of c documents
+    * sharing the scored 120-char prefix floods band buckets into O(c²)
     * Levenshtein pairs (1k dups = 499,500 zero-distance DPs). Banding
-    * can't help — identical texts agree on every signature — so the
-    * guard is d1's move: collapse each exact class to its smallest
-    * doc_id BEFORE banding (one md5-keyed aggregate, the same shuffle
-    * d1 pays). Pairs inside an exact class carry no information
-    * (dist = 0 by definition); cross-class pairs survive via the
+    * can't help — near-identical texts agree on their signatures — so
+    * the guard is d1's move: collapse each PREFIX-exact class to its
+    * smallest doc_id BEFORE banding (one md5-keyed aggregate, the same
+    * shuffle d1 pays). The collapse keys on md5(prefix), not md5(text):
+    * the DP only ever sees the prefix, so same-prefix pairs carry no
+    * information (dist = 0 by definition) even when tails differ — and
+    * the real-crawl failure mode is EXACTLY tails-differ: boilerplate
+    * page headers shared by millions of documents. The sf1 headroom run
+    * measured the weaker full-text key at 79× on a dup-dense corpus;
+    * the prefix key restores ~linear cost because class size never
+    * reaches the pairwise stage. Cross-class pairs survive via the
     * representative. */
   private[graft] def editDistancePairs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val reps = docs.groupBy(md5(col("text")).as("_h"))
+    val reps = docs
+      .groupBy(md5(substring(col("text"), 1, d9Prefix)).as("_h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .drop("_h")
     val base = docs.join(reps, Seq("doc_id"))
@@ -775,7 +782,8 @@ object Dedup extends QueryPack {
       s"SELECT doc_id, $i AS band_id, (sig${2 * i}*131 + sig${2 * i + 1}) % $P AS bh FROM sigs"
     }
     s"""WITH reps AS (
-       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |  SELECT min(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(substr(text, 1, $d9Prefix))),
        |s AS (
        |  SELECT d.doc_id, substr(d.text, 1, $d9Prefix) AS pfx, $sh7 AS sh7
        |  FROM documents d JOIN reps USING (doc_id)),

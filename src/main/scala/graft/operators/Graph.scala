@@ -94,6 +94,11 @@ object Graph {
           ids.iterator.map(id => (id, find(id)))
         }
         .toDF("id", "component")
+        // Materialize NOW, while sym is still cached: the single-task
+        // plan runs under coalesce(1), so a lazy return would recompute
+        // the whole (possibly expensive) edge derivation single-threaded
+        // at first use — measured 20× on the sf1 near-dup pair graph.
+        .localCheckpoint()
       sym.unpersist()
       return comp
     }
@@ -204,6 +209,8 @@ object Graph {
           res.iterator
         }
         .toDF("round", "n_nodes")
+        // materialize before unpersisting sym (see connectedComponents)
+        .localCheckpoint()
       sym.unpersist()
       return out
     }

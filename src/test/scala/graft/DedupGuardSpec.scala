@@ -30,4 +30,21 @@ class DedupGuardSpec extends SparkSpecBase {
     assert(pairs.exists(r =>
       r.getLong(0) == 100001L && r.getLong(1) == 100002L))
   }
+
+  test("d9 collapses a shared-prefix different-tail class (boilerplate " +
+       "header, the real-crawl flood)") {
+    import spark.implicits._
+    // every doc shares the first >120 chars (a site header) but has a
+    // unique tail — md5(text) would collapse NOTHING here, yet the DP
+    // only ever sees the identical prefix, so the class is pairwise
+    // information-free; the md5(prefix) guard must reduce it to one
+    // representative and emit no pairs at all
+    val header = "boilerplate site header text repeated on every page " * 3
+    val docs = (0L until 500L)
+      .map(i => (i, header + s" unique article body number $i"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.editDistancePairs(docs).collect()
+    assert(pairs.isEmpty,
+      s"prefix-class flood: ${pairs.length} pairs from one boilerplate class")
+  }
 }
