@@ -36,9 +36,12 @@ object Bench {
   }
 
   /** Render the bench record (pure, spec-covered). `partial` marks an
-    * in-progress file write so a killed run leaves an honest record. */
+    * in-progress file write so a killed run leaves an honest record.
+    * `extra` is a pre-serialized JSON fragment (",\"key\":…") appended
+    * before the closing brace — the scale-headroom embed below. */
   def renderJson(stats: Seq[(String, Rec)], failed: Seq[String],
-                 sfDir: String, partial: Boolean): String = {
+                 sfDir: String, partial: Boolean,
+                 extra: String = ""): String = {
     def fmtD(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val results = stats.map { case (k, r) => k -> r.median }
     val qs = results.sortBy(_._1)
@@ -64,7 +67,19 @@ object Bench {
     val part = if (partial) s""","partial":true""" else ""
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""stats":$statsJson,"failed":$fl,"spread_flagged":$flagged,""" +
-      s""""sf":"$sfDir"$part$note}"""
+      s""""sf":"$sfDir"$part$note$extra}"""
+  }
+
+  /** Scale-headroom embed: if `scale_notes.json` exists (a committed,
+    * hand-validated record of sf1-vs-sf0.1 per-query scaling from
+    * tools/ScaleUp corpora), inline it so the round's bench JSON carries
+    * the measured headroom evidence alongside the same-SF timings. */
+  def scaleNotesExtra(): String = {
+    val p = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_SCALE_NOTES", "/root/repo/scale_notes.json"))
+    if (!java.nio.file.Files.exists(p)) return ""
+    val body = java.nio.file.Files.readString(p).trim
+    if (body.startsWith("{")) s""","scale_headroom":$body""" else ""
   }
 
   private def gcMillis(): Long =
@@ -142,7 +157,7 @@ object Bench {
       "/root/repo/bench_results.json")
     def writeRecord(stats: Seq[(String, Rec)], partial: Boolean): Unit = {
       if (filter.isDefined) return // dev subset: never touch the record
-      val json = renderJson(stats, failed, sfDir, partial)
+      val json = renderJson(stats, failed, sfDir, partial, scaleNotesExtra())
       try Files.writeString(Paths.get(out), json + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $out: ${e.getMessage}")
@@ -177,7 +192,8 @@ object Bench {
       writeRecord(stats.toSeq, partial = true)
     }
 
-    val json = renderJson(stats.toSeq, failed, sfDir, partial = false)
+    val json = renderJson(stats.toSeq, failed, sfDir, partial = false,
+      scaleNotesExtra())
     println(json)
     // The driver's log capture truncates long stdout tails (BENCH_r05
     // preserved only 63/92 per-query times); the file is the durable,
