@@ -140,11 +140,11 @@ object Plans {
     "t15_tfidf_topterms" ->
       "TF-IDF keywords: explode→(doc,term) partial-aggregated count, df re-aggregated from it (vocabulary-sized), N broadcast; per-doc top-3 plans through the row_number≤k rewrite onto GroupedTopK — no global sort.",
     "d15_lsh_recall" ->
-      "LSH recall audit: the quadratic exact-truth side is bounded to the 1-in-4 id sample (BNLJ over sampled ids only); the candidate side reuses the production band equi-join; one scalar row out.",
+      "LSH recall audit: the exact-truth side is all-pairs over a FIXED-SIZE sample (bottom-1000 doc_ids by md5, planned as TakeOrderedAndProject - per-partition top-k, one k-row merge, no full sort), so truth cost is a CONSTANT ~k^2/2 pairs at any corpus size; the candidate side reuses the production band equi-join; one scalar row out.",
     "dq2_mad_outliers" ->
       "Median/MAD outliers: two per-group window sorts + three narrow aggregates, all partitioned on event_type — exact selection-based medians with no global sort and no interpolation arithmetic.",
     "d16_lsh_tuned" ->
-      "Banding retune: one signature scan feeds BOTH band layouts; each candidate set is a band equi-join persisted once and read twice (count + recall join) — recall 5%→69% priced against the 46× candidate volume in a single plan.",
+      "Banding retune: one signature scan over d15's fixed-size (bottom-1000-by-md5) sample feeds BOTH band layouts; each candidate set is a band equi-join persisted once and read twice (count + recall join) — recall ~5%→~70% priced against the candidate-volume increase in a single plan, truth cost constant at any corpus size.",
     "m5_frame_sample" ->
       "Frame sampling: the 1→N generator runs inside the batched mapPartitions decode stage — payload binaries never shuffle; only (id, frame_idx, n_px, mean_luma) stat rows reach the sort.",
     "m6_thumbnails" ->
@@ -154,7 +154,7 @@ object Plans {
     "c1_curation_funnel" ->
       "Curation funnel: six staged tables persist once each and feed both their successor and a 1-row count; the seven scalars meet in broadcast cross-joins, so the only data-sized shuffles are the stages' own dedup groupBy and band joins.",
     "gr4_sssp" ->
-      "Weighted SSSP: each of the 3 bounded rounds is one frontier⋈edges hash join + a min-plus aggregate over exact integers — associative and idempotent, so partial aggregation and shuffle order are free on any layout.",
+      "Weighted SSSP through the hybrid bounded driver: below the edge threshold the 3 min-plus rounds run in ONE executor task (the printed plan is the top-15 over the materialized distance table); above it, each round is one frontier⋈edges hash join + a min-plus aggregate over exact integers — associative and idempotent, so partial aggregation and shuffle order are free on any layout.",
     "d17_containment" ->
       "Containment dedup: the same banded candidate equi-join as d4 — never all-pairs — with the exact check scoring |∩|/min instead of Jaccard; the top-15 is a sort of candidate-sized scalars.",
     "w13_range_frame" ->

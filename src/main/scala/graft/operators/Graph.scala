@@ -270,22 +270,32 @@ object Graph {
   // paths — and any cluster layout — produce bit-identical results.
   // ---------------------------------------------------------------------
 
-  /** Single-source shortest distances iterated to FIXPOINT — min-plus
-    * frontier relaxation (Bellman–Ford with a frontier: each round
-    * relaxes only edges out of nodes whose distance improved last
-    * round). BFS hop distance is the `weight = None` special case.
+  /** Single-source shortest distances — min-plus frontier relaxation
+    * (Bellman–Ford with a frontier: each round relaxes only edges out
+    * of nodes whose distance improved last round). BFS hop distance is
+    * the `weight = None` special case.
+    *
+    * With `rounds = None` the loop runs to FIXPOINT (terminates when a
+    * round improves nothing; maxIters throw). With `rounds = Some(k)`
+    * it runs exactly k rounds (or until the frontier empties): after k
+    * frontier rounds dist(v) = min over ≤ k-edge paths — precisely the
+    * bounded-unroll semantics of the gr3/gr4 oracles, so those queries
+    * route through here and inherit the hybrid local finish (the
+    * distributed unroll costs ~2 stages/round of pure overhead on a
+    * dimension-sized graph; measured 7-12 s vs ~2 s at sf0.1).
     *
     * @param edges    DIRECTED edge list (symmetrize first for an
     *                 undirected graph, as the gr3/gr4 queries do)
     * @param weight   optional positive integer weight column; None → 1
     * @param source   source node id; default = smallest src id
-    * @return (node, dist) for every node REACHABLE from the source
+    * @return (node, dist) for every node REACHED within the round bound
     */
   def ssspFixpoint(edges: DataFrame, src: String, dst: String,
                    weight: Option[String] = None,
                    source: Option[Long] = None,
                    maxIters: Int = 200,
-                   localThreshold: Long = localFinishEdges): DataFrame = {
+                   localThreshold: Long = localFinishEdges,
+                   rounds: Option[Int] = None): DataFrame = {
     val e = weight match {
       case Some(w) => edges.select(col(src).cast("long").as("a"),
         col(dst).cast("long").as("b"), col(w).cast("long").as("w"))
@@ -310,10 +320,11 @@ object Graph {
           val dist = scala.collection.mutable.LongMap[Long](s0 -> 0L)
           var frontier = List(s0)
           var iter = 0
-          while (frontier.nonEmpty) {
+          while (frontier.nonEmpty && !rounds.contains(iter)) {
             iter += 1
-            if (iter > maxIters) throw new IllegalStateException(
-              s"ssspFixpoint did not converge in $maxIters rounds")
+            if (rounds.isEmpty && iter > maxIters)
+              throw new IllegalStateException(
+                s"ssspFixpoint did not converge in $maxIters rounds")
             val improved = scala.collection.mutable.LongMap.empty[Long]
             frontier.foreach { n =>
               val dn = dist(n)
@@ -342,10 +353,11 @@ object Graph {
     var frontier = dist
     var iter = 0
     var changed = 1L
-    while (changed > 0) {
+    while (changed > 0 && !rounds.contains(iter)) {
       iter += 1
-      if (iter > maxIters) throw new IllegalStateException(
-        s"ssspFixpoint did not converge in $maxIters rounds")
+      if (rounds.isEmpty && iter > maxIters)
+        throw new IllegalStateException(
+          s"ssspFixpoint did not converge in $maxIters rounds")
       val relax = frontier.join(eP, frontier("node") === eP("a"))
         .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy("node").agg(min(col("nd")).as("nd"))

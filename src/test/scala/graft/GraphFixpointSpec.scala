@@ -61,6 +61,24 @@ class GraphFixpointSpec extends SparkSpecBase {
     assert(looped == expected, "local and distributed paths disagree")
   }
 
+  test("bounded rounds = min over ≤k-edge paths, on both paths") {
+    // after 1 round the direct 0-3 edge (10) wins; the fixpoint's
+    // cheaper 3-hop route (8) needs all 3 rounds — the gr3/gr4 contract
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 5L), (2L, 3L, 2L), (0L, 3L, 10L))
+      .toDF("u", "v", "w")
+    val edges = e.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    def run(k: Int, thresh: Long) = toMap(Graph.ssspFixpoint(
+      edges, "src", "dst", weight = Some("w"),
+      localThreshold = thresh, rounds = Some(k)))
+    val oneRound = Map(0L -> 0L, 1L -> 1L, 3L -> 10L)
+    val converged = Map(0L -> 0L, 1L -> 1L, 2L -> 6L, 3L -> 8L)
+    for (thresh <- Seq(Long.MaxValue, 0L)) {
+      assert(run(1, thresh) == oneRound, s"k=1 thresh=$thresh")
+      assert(run(3, thresh) == converged, s"k=3 thresh=$thresh")
+    }
+  }
+
   test("k-core fixpoint peels a 10-path in 5 rounds and matches the " +
        "bounded peel's converged prefix") {
     // kCore{Peel,Fixpoint} symmetrize internally — pass raw pairs
