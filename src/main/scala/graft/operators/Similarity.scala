@@ -1252,7 +1252,99 @@ object Similarity extends QueryPack {
        |FROM embeddings e, pairs p
        |GROUP BY p.i, p.j ORDER BY p.i, p.j""".stripMargin
 
+  // -- v20: Matryoshka / truncated-dimension recall audit — can search
+  //    run on the first 16 of 64 dims (4× cheaper scans, 4× smaller
+  //    index) without losing the true neighbors? Exact top-3 under the
+  //    full-dim cosine vs exact top-3 under the head-16 cosine for the
+  //    sampled queries, intersected per query (v10's audit shape with
+  //    the second ranking swapped in). ONE corpus scan scores BOTH
+  //    metrics — the head dot product just folds fewer components —
+  //    and both selections run through GroupedTopK, so the audit is
+  //    priced per sampled query at any corpus size. Arithmetic is the
+  //    v1 deterministic double pipeline on both engines.
+  //    What it shows on THIS corpus: recall ≈ 0 — the synthetic
+  //    embeddings are iid random, so the leading 16 dims carry no
+  //    privileged information and head-cosine neighbors are unrelated
+  //    to full-cosine neighbors among ~n near-orthogonal vectors.
+  //    That is the audit doing its job: truncation is only safe for
+  //    representations TRAINED nested (Matryoshka); this query is the
+  //    measurement that would veto the 4× shortcut here.
+  private val mrlDims = 16
+  private val v20MatryoshkaRecall: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("norm", DotProduct.norm(col("embedding")))
+      .withColumn("head", expr(s"slice(embedding, 1, $mrlDims)"))
+      .withColumn("hnorm", DotProduct.norm(col("head")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("norm").as("qnorm"),
+        col("head").as("qh"), col("hnorm").as("qhnorm"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("norm").as("cnorm"),
+      col("head").as("ch"), col("hnorm").as("chnorm"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        DotProduct.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("hcos",
+        DotProduct.dot(col("qh"), col("ch")) / (col("qhnorm") * col("chnorm")))
+      .select("query_id", "neighbor_id", "cos", "hcos")
+      .persist() // one scan, two rankings
+    val full = graft.plans.GroupedTopK.topK(
+        scored.select("query_id", "neighbor_id", "cos"),
+        Seq("query_id"), 3, col("cos").desc, col("neighbor_id").asc)
+      .select("query_id", "neighbor_id")
+    // rename BOTH head columns: full and head share the persisted
+    // `scored` lineage, so same-name join references would be ambiguous
+    val head = graft.plans.GroupedTopK.topK(
+        scored.select("query_id", "neighbor_id", "hcos"),
+        Seq("query_id"), 3, col("hcos").desc, col("neighbor_id").asc)
+      .select(col("query_id").as("head_query"),
+        col("neighbor_id").as("head_neighbor"))
+    full.join(head,
+        col("query_id") === col("head_query") &&
+        col("neighbor_id") === col("head_neighbor"), "left")
+      .groupBy("query_id")
+      .agg(count(col("head_neighbor")).as("n_match"))
+      .withColumn("recall", col("n_match").cast("double") / 3.0)
+      .orderBy("query_id")
+  }
+
+  private val v20Sql =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotD("embedding", "embedding")}) AS norm,
+       |         sqrt(${dotDN("embedding", "embedding", mrlDims)}) AS hnorm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm,
+       |         hnorm AS qhnorm
+       |  FROM n WHERE vec_id < 5),
+       |bp AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         ${dotD("q.qe", "c.embedding")} / (q.qnorm * c.norm) AS cos,
+       |         ${dotDN("q.qe", "c.embedding", mrlDims)}
+       |           / (q.qhnorm * c.hnorm) AS hcos
+       |  FROM q JOIN n c ON c.vec_id <> q.query_id),
+       |fullr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM bp) t WHERE rank <= 3),
+       |headr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY hcos DESC, neighbor_id) AS rank
+       |    FROM bp) t WHERE rank <= 3)
+       |SELECT f.query_id, count(h.neighbor_id) AS n_match,
+       |       CAST(count(h.neighbor_id) AS DOUBLE) / 3.0 AS recall
+       |FROM fullr f LEFT JOIN headr h
+       |  ON h.query_id = f.query_id AND h.neighbor_id = f.neighbor_id
+       |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "v20_matryoshka_recall" -> v20MatryoshkaRecall,
     "v19_embed_gram"    -> v19EmbedGram,
     "v18_rand_proj"     -> v18RandProj,
     "v17_filtered_ann"  -> v17FilteredAnn,
@@ -1275,6 +1367,7 @@ object Similarity extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "v19_embed_gram"    -> v19Sql,
+    "v20_matryoshka_recall" -> v20Sql,
     "v18_rand_proj"     -> v18Sql,
     "v17_filtered_ann"  -> v17Sql,
     "v16_index_stats"   -> v16Sql,

@@ -716,7 +716,49 @@ object TextAnalysis extends QueryPack {
        |ORDER BY doc_id, rank""".stripMargin
   }
 
+  // -- t16: sequence-packing efficiency audit — the planning query
+  //    behind t9's packer: for context length C, per source, what does
+  //    one-doc-per-sequence padding cost (padded_slots, waste fraction)
+  //    versus the bin-packing lower bound (ceil of the token sum)? The
+  //    number a pretraining-data owner checks BEFORE spending a packing
+  //    pass. Integer arithmetic end to end — ceil(x/C) = (x + C−1) div C,
+  //    partial-aggregated map-side — one scan + one sources-cardinality
+  //    shuffle; the waste fraction is the only divide (exact ints in).
+  private val packC = 512
+  private val t16PackEfficiency: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("source"),
+        expr(s"size(${TextPrims.tokens("text", SparkD)})").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(expr(s"(tok + ${packC - 1}) div $packC")).as("padded_slots"))
+      .withColumn("packed_slots",
+        expr(s"(total_tokens + ${packC - 1}) div $packC"))
+      .withColumn("waste_frac",
+        lit(1.0) - col("total_tokens").cast("double") /
+          (col("padded_slots") * packC).cast("double"))
+      .orderBy("source")
+  }
+
+  private val t16Sql =
+    s"""WITH t AS (
+       |  SELECT source, len(${TextPrims.tokens("text", DuckD)}) AS tok
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       |       CAST(sum((tok + ${packC - 1}) // $packC) AS BIGINT)
+       |         AS padded_slots,
+       |       (CAST(sum(tok) AS BIGINT) + ${packC - 1}) // $packC
+       |         AS packed_slots,
+       |       CAST(1 AS DOUBLE)
+       |         - CAST(sum(tok) AS DOUBLE)
+       |           / CAST(sum((tok + ${packC - 1}) // $packC) * $packC
+       |                  AS DOUBLE) AS waste_frac
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t16_pack_efficiency" -> t16PackEfficiency,
     "t15_tfidf_topterms" -> tTfidf,
     "t14_bm25"        -> tBm25,
     "t13_novelty"     -> tNovelty,
@@ -735,6 +777,7 @@ object TextAnalysis extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "t15_tfidf_topterms" -> tTfidfSql,
+    "t16_pack_efficiency" -> t16Sql,
     "t14_bm25"        -> tBm25Sql,
     "t13_novelty"     -> tNoveltySql,
     "t12_ngram_score" -> tNgramScoreSql,
