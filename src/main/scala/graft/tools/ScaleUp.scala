@@ -22,15 +22,25 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleUp <baseDir> <outDir> <factor>
   */
 object ScaleUp {
-
-  private def stride(df: DataFrame, key: String): Long =
-    df.agg(max(col(key))).head().getLong(0) + 1L
-
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = GraftSession.local()
+    ScaleUpCore.run(spark, base, out, factor)
+    spark.stop()
+  }
+}
+
+/** The generator body, separated from the session-owning main so
+  * ScaleUpSpec can drive it inside the shared test session. */
+object ScaleUpCore {
+
+  private def stride(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).head().getLong(0) + 1L
+
+  def run(spark: SparkSession, base: String, out: String,
+          factor: Int): Unit = {
     def rd(t: String) = spark.read.parquet(s"$base/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -80,6 +90,5 @@ object ScaleUp {
     wr(rep(emb, "vec_id" -> vecS), "embeddings")
 
     println(s"[scaleup] wrote ${factor}x $base -> $out")
-    spark.stop()
   }
 }
