@@ -205,6 +205,32 @@ object TextKernels {
     out
   }
 
+  /** ALL word-n-gram hashes in position order, duplicates kept — the
+    * general-n face of [[wordTrigramHashesAll]] with identical
+    * arithmetic (tokens joined by '_' under the rolling polyhash), so
+    * the DuckDB mirror is polyhash(tok1 || '_' || … || tokN). Used by
+    * the exact n-gram decontamination query (d19, n = 13). */
+  def wordNgramHashesAll(text: String, n: Int): Array[Long] = {
+    val t = tokensOf(text)
+    if (t.length < n) return Array.empty
+    val out = new Array[Long](t.length - n + 1)
+    var i = 0
+    while (i <= t.length - n) {
+      var h = polyhash(t(i))
+      var k = 1
+      while (k < n) {
+        h = (h * 31 + '_') % P
+        val s = t(i + k)
+        var j = 0
+        while (j < s.length) { h = (h * 31 + s.charAt(j)) % P; j += 1 }
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
   /** Hashed n-gram feature buckets for the linear scorer (t12): all word
     * unigrams then all adjacent bigrams (duplicates kept — a bag, not a
     * set), each polyhashed mod `nBuckets`. Identical arithmetic to the
@@ -244,6 +270,8 @@ object TextKernels {
   // (ArrayData.toLongArray) — no per-element boxing at the UDF boundary.
   val wordTrigramHashesAllUdf: UserDefinedFunction =
     udf((t: String) => wordTrigramHashesAll(t))
+  def wordNgramHashesAllUdf(n: Int): UserDefinedFunction =
+    udf((t: String) => wordNgramHashesAll(t, n))
   def ngramBucketsUdf(nBuckets: Long): UserDefinedFunction =
     udf((t: String) => ngramBuckets(t, nBuckets))
   val sortedIntersectUdf: UserDefinedFunction =

@@ -1121,7 +1121,64 @@ object Dedup extends QueryPack {
        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -- d19: EXACT n-gram decontamination — the published standard
+  //    (GPT-2/3-style 13-gram overlap) beside d7's MinHash flavor: a
+  //    train document is contaminated if any 13 CONSECUTIVE tokens
+  //    appear verbatim anywhere in the held-out set. Where d7 trades
+  //    recall for cost through banding, this check has zero false
+  //    negatives at the chosen n — which is exactly why published
+  //    decontamination protocols use it. Scale shape: grams travel as
+  //    8-byte polyhashes (the d13/d14 rule — no 13-token strings ever
+  //    shuffle), the eval gram set is eval-corpus-sized, and the check
+  //    is one hash semi-join + two map-side-combined counts. Output:
+  //    each contaminated train doc with its distinct-gram count, the
+  //    number of contaminated grams, and the contaminated fraction
+  //    (one IEEE divide of two exact integers).
+  private val decontamN = 13
+  private val d19NgramDecontam: Q = (s, dir) => {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextKernels.wordNgramHashesAllUdf(decontamN)(col("text")))
+          .as("gh"))
+      .distinct()
+    val trainG = grams.filter(col("doc_id") % 7 =!= 0)
+    val evalG = grams.filter(col("doc_id") % 7 === 0)
+      .select("gh").distinct()
+    val counts = trainG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val contaminated = trainG.join(evalG, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    counts.join(contaminated, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_grams").cast("double")).as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val d19Sql = {
+    val toks = TextPrims.tokens("text", DuckD)
+    def tok(i: String) = s"toks[CAST($i AS INT)]"
+    val gram = (1 to decontamN).map(i => tok(s"p+$i"))
+      .mkString(" || '_' || ")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |         ${TextPrims.polyhash(s"($gram)", DuckD)} AS gh
+       |  FROM t, LATERAL unnest(range(0, len(toks) - ${decontamN - 1}))
+       |    AS u(p)),
+       |tr AS (SELECT doc_id, gh FROM g WHERE doc_id % 7 <> 0),
+       |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 7 = 0),
+       |cnt AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+       |ct AS (
+       |  SELECT doc_id, count(*) AS n_contaminated
+       |  FROM tr WHERE gh IN (SELECT gh FROM ev) GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_grams, ct.n_contaminated,
+       |       CAST(ct.n_contaminated AS DOUBLE) / CAST(c.n_grams AS DOUBLE)
+       |         AS contam_frac
+       |FROM cnt c JOIN ct USING (doc_id) ORDER BY c.doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "d19_ngram_decontam"   -> d19NgramDecontam,
     "d14_dup_spans"        -> d14DupSpans,
     "d13_line_dedup"       -> d13LineDedup,
     "d12_url_dedup"        -> d12UrlDedup,
@@ -1144,6 +1201,7 @@ object Dedup extends QueryPack {
     "d15_lsh_recall"       -> d15Sql,
     "d16_lsh_tuned"        -> d16Sql,
     "d17_containment"      -> d17Sql,
+    "d19_ngram_decontam"   -> d19Sql,
     "d14_dup_spans"        -> d14Sql,
     "d13_line_dedup"       -> d13Sql,
     "d12_url_dedup"        -> d12Sql,
