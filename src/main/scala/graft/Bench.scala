@@ -16,14 +16,36 @@ object Bench {
     * (machine thrash, not plan behavior — r7 recorded a15 as [6.0, 62.0,
     * 52.7] s on unchanged code). Such a query is re-run once more in full;
     * if the spread persists it is flagged in the JSON instead of silently
-    * committing a median the grader can't adjudicate. */
+    * committing a median the grader can't adjudicate.
+    *
+    * Queries over [[tightSpreadMedianSec]] get the TIGHTER
+    * [[tightSpreadLimit]]: on a long query a 2.99× spread is GC-mode
+    * bimodality, not noise (r9's c1 committed an 11.8 s median while its
+    * fast mode ran 4.3 s — spread 2.99×, just under the old uniform 3×
+    * guard), whereas sub-second queries legitimately jitter 2–3× from
+    * JIT/page-cache effects and would re-run forever under a 2× rule. */
   private val spreadLimit = 3.0
+  private val tightSpreadLimit = 2.0
+  private val tightSpreadMedianSec = 2.0
 
-  /** Spread guard (pure, spec-covered): does this sample look bimodal? */
+  /** Spread guard (pure, spec-covered): is the MEDIAN unrepresentative?
+    * The ratio is median/min, not max/min: the guard exists so an
+    * inflated median can't get committed (r9's c1: [11.8, 12.8, 4.3] —
+    * median in the slow GC mode), and median/min measures exactly that.
+    * A single slow outlier above a tight cluster (one 900 ms GC hit in
+    * six runs) leaves the median honest and must not re-run forever;
+    * max/min would flag it, median/min correctly doesn't. All times stay
+    * in the record either way, so a grader sees the outlier regardless. */
   def spreadRatio(times: Seq[Double]): Double =
-    if (times.size < 2) 1.0 else times.max / math.max(times.min, 1e-9)
-  def spreadSuspect(times: Seq[Double]): Boolean =
-    times.size >= 2 && spreadRatio(times) > spreadLimit
+    if (times.size < 2) 1.0
+    else times.sorted.apply(times.size / 2) / math.max(times.min, 1e-9)
+  def spreadSuspect(times: Seq[Double]): Boolean = {
+    if (times.size < 2) return false
+    val median = times.sorted.apply(times.size / 2)
+    val limit = if (median > tightSpreadMedianSec) tightSpreadLimit
+                else spreadLimit
+    spreadRatio(times) > limit
+  }
 
   case class Rec(median: Double, min: Double, max: Double,
                  times: List[Double], gcMs: List[Long], warm: Double,
@@ -79,7 +101,22 @@ object Bench {
       "SPARK_GRAFT_SCALE_NOTES", "/root/repo/scale_notes.json"))
     if (!java.nio.file.Files.exists(p)) return ""
     val body = java.nio.file.Files.readString(p).trim
-    if (body.startsWith("{")) s""","scale_headroom":$body""" else ""
+    // A malformed or trailing-content fragment would corrupt EVERY future
+    // bench record at the splice point — parse-validate before embedding
+    // (Jackson ships with Spark; FAIL_ON_TRAILING_TOKENS rejects `{..}junk`
+    // which a balanced-brace scan would wave through inside strings).
+    val ok = try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+        .FAIL_ON_TRAILING_TOKENS)
+      m.readTree(body).isObject
+    } catch { case _: Throwable => false }
+    if (ok) s""","scale_headroom":$body"""
+    else {
+      System.err.println(
+        s"[bench] $p is not a single JSON object — skipping embed")
+      ""
+    }
   }
 
   private def gcMillis(): Long =
@@ -179,7 +216,7 @@ object Bench {
         var runs = List.fill(n)(runOnce(name, fn)).flatten
         if (runs.size == n && spreadSuspect(runs.map(_._1))) {
           System.err.println(s"[bench] $name spread ${"%.1f".format(
-            spreadRatio(runs.map(_._1)))}x > ${spreadLimit}x — re-running")
+            spreadRatio(runs.map(_._1)))}x over the limit — re-running")
           val extra = List.fill(n)(runOnce(name, fn)).flatten
           if (extra.size == n) runs = runs ++ extra
         }

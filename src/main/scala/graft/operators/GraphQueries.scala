@@ -455,6 +455,231 @@ object GraphQueries extends QueryPack {
        |FROM nodes n LEFT JOIN best b ON n.node = b.node
        |GROUP BY 1 ORDER BY hop""".stripMargin
 
+  // -- gr7: WEIGHTED SSSP run to FIXPOINT — gr4's min-plus relaxation
+  //    with no round bound ([[Graph.ssspFixpoint]]'s changed-count
+  //    termination), over the bipartite customer↔supplier trading graph
+  //    (gr1's node encoding: customer c → 2c, supplier s → 2s+1; weight =
+  //    max(1, 10 − lineitem count of the pair), so heavily-traded pairs
+  //    are "close"). The bipartite substrate gives real multi-hop
+  //    structure (the co-supplier graph is near-complete at small SFs).
+  //    The oracle runs Bellman–Ford as a recursive CTE over the FULL
+  //    distance vector — one row per node per iteration, a changed flag
+  //    for termination — the exact shape of the engine's loop, so it
+  //    converges in O(diameter) rounds instead of enumerating walk costs.
+  //    Output: the distance histogram with a sum-of-node-ids checksum per
+  //    distance (pins WHICH nodes sit at each distance, not just how
+  //    many, while staying dimension-sized at any SF).
+  private val distSentinel = 1000000000000000L // "unreached" in the oracle
+  private def gr7Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val pairs = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .agg(greatest(lit(1L), lit(10L) - count(lit(1))).as("w"))
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .persist()
+    val result = Graph.ssspFixpoint(edges, "src", "dst", weight = Some("w"))
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+      .orderBy("dist")
+    (result, Seq(edges))
+  }
+
+  private val gr7Sssp: Q = (s, dir) => {
+    val (r, cached) = gr7Build(s, dir); finish(r, cached: _*)
+  }
+
+  // DuckDB 1.x INLINES every reference to a CTE — a second reference to
+  // the recursive table re-RUNS the recursion, and a reference to the
+  // expensive prefix inside the recursive term re-runs it per iteration
+  // (measured 128 s vs 6 s on gr8). Hence the MATERIALIZED hints and the
+  // single-reference discipline (QUALIFY instead of a max-iter self-join)
+  // in all three fixpoint oracles.
+  private val gr7Sql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT o_custkey*2 AS u, l_suppkey*2+1 AS v,
+       |         greatest(1, 10 - count(*)) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst, w FROM pairs
+       |  UNION ALL SELECT v AS src, u AS dst, w FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |src0 AS MATERIALIZED (SELECT min(node) AS s FROM nodes),
+       |pr(iter, node, dist, chg) AS (
+       |  SELECT CAST(0 AS BIGINT), node,
+       |         CASE WHEN node = (SELECT s FROM src0) THEN CAST(0 AS BIGINT)
+       |              ELSE CAST($distSentinel AS BIGINT) END, 1
+       |  FROM nodes
+       |  UNION ALL
+       |  SELECT p.iter + 1, p.node, least(p.dist, coalesce(s.nd, p.dist)),
+       |         CASE WHEN coalesce(s.nd, p.dist) < p.dist THEN 1 ELSE 0 END
+       |  FROM pr p
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, min(q.dist + e.w) AS nd
+       |    FROM pr q JOIN edges e ON e.src = q.node
+       |    WHERE q.dist < $distSentinel
+       |    GROUP BY e.dst) s ON s.node = p.node
+       |  WHERE (SELECT max(chg) FROM pr) = 1
+       |    AND p.iter < (SELECT count(*) FROM nodes)),
+       |rr AS MATERIALIZED (
+       |  SELECT node, dist FROM pr QUALIFY iter = max(iter) OVER ())
+       |SELECT dist, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum
+       |FROM rr WHERE dist < $distSentinel
+       |GROUP BY dist ORDER BY dist""".stripMargin
+
+  // -- gr8: k-core run to FIXPOINT — gr5's peel with no round bound
+  //    ([[Graph.kCoreFixpoint]]: iterate until a round removes nobody),
+  //    same substrate (the d4 near-dup pair graph) and k. The oracle
+  //    carries BOTH node and edge rows in the recursion state ('n'/'e'
+  //    tagged): tracking nodes as distinct-src-of-edges would diverge
+  //    from the engine on kept-but-isolated nodes (a node that passes the
+  //    degree test while all its neighbors die keeps membership for one
+  //    more round). The recursive term's early-stop gate (continue only
+  //    while the round removes someone) reproduces the loop's detected
+  //    termination; the post-recursion kept-at-end probe disambiguates
+  //    "stable" from "emptied" (the latter owes one final removal round
+  //    and a zero core).
+  private def gr8Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val (rawPairs, sigBase) =
+      Dedup.nearDupPairsWithBase(Tables.documents(s, dir))
+    val pairs = rawPairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    (Graph.kCoreFixpoint(pairs, "u", "v", coreK).orderBy("round"),
+      Seq(sigBase))
+  }
+
+  private val gr8Kcore: Q = (s, dir) => {
+    val (r, cached) = gr8Build(s, dir); finish(r, cached: _*)
+  }
+
+  private val gr8Sql =
+    s"""WITH RECURSIVE ${Dedup.d4Ctes},
+       |pairs AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM j
+       |  WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE)
+       |    >= ${Dedup.jacThreshold}),
+       |e0 AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL SELECT v AS src, u AS dst FROM pairs),
+       |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0),
+       |r(iter, kind, a, b) AS (
+       |  SELECT CAST(0 AS BIGINT), 'e', src, dst FROM e0
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT), 'n', node,
+       |         CAST((SELECT count(*) FROM n0) AS BIGINT) FROM n0
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    WITH cur AS (SELECT * FROM r),
+       |    kept AS (
+       |      SELECT n.a AS node, n.b AS bnd FROM cur n
+       |      JOIN (SELECT a AS src, count(*) AS c FROM cur
+       |            WHERE kind = 'e' GROUP BY a) d
+       |        ON d.src = n.a AND d.c >= $coreK
+       |      WHERE n.kind = 'n'),
+       |    nxt AS (
+       |      SELECT e.iter + 1 AS iter, 'e' AS kind, e.a, e.b
+       |      FROM cur e
+       |      JOIN kept ka ON ka.node = e.a
+       |      JOIN kept kb ON kb.node = e.b
+       |      WHERE e.kind = 'e'
+       |      UNION ALL
+       |      SELECT cur.iter + 1, 'n', cur.a, cur.b
+       |      FROM cur JOIN kept ON cur.a = kept.node
+       |      WHERE cur.kind = 'n')
+       |    SELECT iter, kind, a, b FROM nxt
+       |    WHERE (SELECT count(*) FROM cur WHERE kind = 'n') >
+       |          (SELECT count(*) FROM kept)
+       |      AND iter <= (SELECT max(b) FROM cur WHERE kind = 'n'))),
+       |rr AS MATERIALIZED (SELECT * FROM r),
+       |nc AS MATERIALIZED (
+       |  SELECT iter, count(*) AS n FROM rr WHERE kind = 'n' GROUP BY iter),
+       |mi AS MATERIALIZED (SELECT coalesce(max(iter), -1) AS mi FROM rr),
+       |keptEnd AS MATERIALIZED (
+       |  SELECT count(*) AS n FROM rr n
+       |  JOIN (SELECT a AS src, count(*) AS c FROM rr
+       |        WHERE kind = 'e' AND iter = (SELECT mi FROM mi) GROUP BY a) d
+       |    ON d.src = n.a AND d.c >= $coreK
+       |  WHERE n.kind = 'n' AND n.iter = (SELECT mi FROM mi)),
+       |lastN AS MATERIALIZED (
+       |  SELECT coalesce((SELECT n FROM nc WHERE iter = (SELECT mi FROM mi)),
+       |                  0) AS n),
+       |rounds AS (
+       |  SELECT iter AS round, lag(n) OVER (ORDER BY iter) - n AS n_nodes
+       |  FROM nc QUALIFY round >= 1
+       |  UNION ALL
+       |  SELECT (SELECT mi FROM mi) + 1, (SELECT n FROM lastN)
+       |  WHERE (SELECT mi FROM mi) >= 0 AND (SELECT n FROM keptEnd) = 0
+       |    AND (SELECT n FROM lastN) > 0
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT),
+       |         CASE WHEN (SELECT n FROM keptEnd) = 0 THEN 0
+       |              ELSE (SELECT n FROM lastN) END)
+       |SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes
+       |FROM rounds ORDER BY round""".stripMargin
+
+  // -- gr9: integer PageRank run to FIXPOINT — gr1's 1e-12-unit integer
+  //    formulation iterated until the largest per-node change is ≤ 1e9
+  //    units (1e-3 of the initial rank; ~60 damped rounds), over gr1's
+  //    customer↔supplier graph. [[Graph.pageRankFixpoint]]'s tolerance
+  //    termination is reproduced in the oracle by carrying each round's
+  //    per-node delta and gating the recursive term on the previous
+  //    round's max delta — ranks at the first converged iteration are
+  //    the answer on both engines, bit-identical because every operation
+  //    is integer (floor-div contributions, integer damping).
+  private val prTolE12 = 1000000000L
+  private val prMaxIters = 200
+  private def gr9Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val pairs = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .persist()
+    val result = Graph
+      .pageRankFixpoint(edges, "src", "dst", tolE12 = prTolE12,
+        maxIters = prMaxIters)
+      .orderBy(col("rank_e12").desc, col("node"))
+      .limit(20)
+    (result, Seq(edges))
+  }
+
+  private val gr9PageRank: Q = (s, dir) => {
+    val (r, cached) = gr9Build(s, dir); finish(r, cached: _*)
+  }
+
+  private val gr9Sql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL SELECT p AS src, c AS dst FROM pairs),
+       |deg AS MATERIALIZED (
+       |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |pr(iter, node, r, delta) AS (
+       |  SELECT CAST(0 AS BIGINT), src, CAST($unitE12 AS BIGINT),
+       |         CAST($unitE12 AS BIGINT) FROM deg
+       |  UNION ALL
+       |  SELECT p.iter + 1, p.node,
+       |         $dampBaseE12 + (85 * coalesce(s.sc, 0)) // 100,
+       |         abs($dampBaseE12 + (85 * coalesce(s.sc, 0)) // 100 - p.r)
+       |  FROM pr p
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(sum(q.r // d.outdeg) AS BIGINT) AS sc
+       |    FROM pr q JOIN edges e ON e.src = q.node
+       |    JOIN deg d ON d.src = e.src
+       |    GROUP BY e.dst) s ON s.node = p.node
+       |  WHERE (SELECT max(delta) FROM pr) > $prTolE12
+       |    AND p.iter < $prMaxIters)
+       |SELECT node, r AS rank_e12 FROM pr
+       |QUALIFY iter = max(iter) OVER ()
+       |ORDER BY rank_e12 DESC, node LIMIT 20""".stripMargin
+
   private def gr5Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val (rawPairs, sigBase) =
       Dedup.nearDupPairsWithBase(Tables.documents(s, dir))
@@ -520,12 +745,18 @@ object GraphQueries extends QueryPack {
     "gr3_bfs_hops"  -> gr3Bfs,
     "gr4_sssp"      -> gr4Sssp,
     "gr5_kcore"     -> gr5Kcore,
-    "gr6_bfs_fixpoint" -> gr6Bfs)
+    "gr6_bfs_fixpoint" -> gr6Bfs,
+    "gr7_sssp_fixpoint" -> gr7Sssp,
+    "gr8_kcore_fixpoint" -> gr8Kcore,
+    "gr9_pagerank_fixpoint" -> gr9PageRank)
   def oracles: Map[String, String] = Map(
     "gr1_pagerank"  -> gr1Sql,
     "gr2_triangles" -> gr2Sql,
     "gr3_bfs_hops"  -> gr3Sql,
     "gr4_sssp"      -> gr4Sql,
     "gr5_kcore"     -> gr5Sql,
-    "gr6_bfs_fixpoint" -> gr6Sql)
+    "gr6_bfs_fixpoint" -> gr6Sql,
+    "gr7_sssp_fixpoint" -> gr7Sql,
+    "gr8_kcore_fixpoint" -> gr8Sql,
+    "gr9_pagerank_fixpoint" -> gr9Sql)
 }

@@ -1175,19 +1175,32 @@ object Similarity extends QueryPack {
   private val v18RandProj: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    // The one-row dim read leans on the fixed-width corpus contract
+    // (TESTDATA.md). Assert it per row instead of trusting it: a longer
+    // row would otherwise silently truncate to the first row's width, and
+    // an empty embedding would make sequence(0, -1) count DOWN and throw
+    // an opaque element_at(..., 0) error. assert_true is codegen'd and
+    // costs one comparison per row inside the same projection.
+    val checked = emb.withColumn("_w",
+      assert_true(size(col("embedding")) === lit(dim),
+        lit(s"v18: embedding width != $dim — fixed-width contract broken")))
     val signs = s.range(projDims).toDF("j")
       .select(col("j"), expr(
         s"transform(sequence(0, $dim - 1), d -> " +
         "CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), '_', " +
         "CAST(d AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2 = 0 " +
         "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)").as("sg"))
-    emb.crossJoin(broadcast(signs))
+    checked.crossJoin(broadcast(signs))
       .select(col("vec_id"), col("j"),
-        expr("aggregate(transform(" +
+        // Adding coalesce(_w::bigint, 0) — always 0, the assert yields
+        // NULL on success — keeps the check referenced; a bare `_w`
+        // column would be pruned away, assert and all.
+        (expr("aggregate(transform(" +
              "sequence(0, least(size(embedding), size(sg)) - 1), i -> " +
              "CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE) " +
              "* 1000000.0) AS BIGINT) * element_at(sg, i + 1)), " +
-             "CAST(0 AS BIGINT), (a, x) -> a + x)").as("proj_e6"))
+             "CAST(0 AS BIGINT), (a, x) -> a + x)") +
+          coalesce(col("_w").cast("long"), lit(0L))).as("proj_e6"))
       .orderBy("vec_id", "j")
   }
 

@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   * rows share a salt; that only narrows the spread for exact-duplicate
   * floods, which exact dedup (d1) removes upstream anyway.
   *
-  * Measured honestly (graft.SkewProbe, sf0.1, 99:1 hot key, 5
+  * Measured honestly (round-5 SkewProbe harness, retired r10 —
+  * sf0.1, 99:1 hot key, 5
   * alternating reps, broadcast disabled for the join probe): plain
   * BEATS salted at this scale — agg plain med 0.39 s vs salted 0.49 s,
   * join plain med 0.83 s vs salted 0.96 s. For algebraic aggregates
@@ -79,8 +80,8 @@ object Skew extends QueryPack {
   //      BENCH records their cost and CORRECTNESS proves bit-equality
   //      with the plain formulations (the oracle SQL *is* the plain
   //      groupBy/join — salting must be invisible in the result).
-  //      graft.SkewProbe measures salted-vs-plain head-to-head under
-  //      forced sort-merge (the no-broadcast regime salting exists for).
+  //      The retired round-5 SkewProbe harness measured salted-vs-plain
+  //      head-to-head under forced sort-merge (numbers in the scaladoc).
 
   /** ~99% of lineitem rows collapse onto one 'hot' key; the rest spread
     * over k0..k6. */

@@ -149,7 +149,7 @@ object Statistical extends QueryPack {
   //    pass to avoid 2^passes lineage blowup — at 100 TB, caching the
   //    corpus three times loses to shuffling it once, and the linear plan
   //    has no cache-eviction failure mode. Measured head-to-head
-  //    (graft.A2Probe, 6 alternating reps each at sf0.1): window
+  //    (round-5 A2Probe harness, retired r10 — 6 alternating reps at sf0.1): window
   //    min/med/mean 2.90/3.31/3.18 s vs join 3.99/4.46/4.52 s — the
   //    window plan is ~30% faster locally too (the r04 full-bench 5.96 s
   //    reading was suite-context noise). The arithmetic is the same

@@ -626,51 +626,59 @@ object WindowedScalar extends QueryPack {
       |FROM daily d LEFT JOIN news n ON n.day = d.day
       |ORDER BY d.day""".stripMargin
 
-  // -- w15: weekly retention cohort matrix — THE product-analytics
-  //    composition over an event log: cohort = a user's first active
-  //    week, offset = active week − cohort week, cell = users of that
-  //    cohort active at that offset, plus cohort size and the retention
-  //    fraction. Scale shape: ONE distinct over (user, week) is the
-  //    only event-sized shuffle; every later aggregate runs on the
-  //    user-week table or smaller, and the output is a small triangular
-  //    matrix. Weeks are epoch-week integers (the w12 epoch-day rule ÷7
-  //    — alignment constant cancels in the offset), and the fraction is
-  //    a single IEEE divide of two exact integers.
-  private val w15Retention: Q = (s, dir) => {
+  // -- w16: weekly GROWTH ACCOUNTING — the WAU decomposition w10's
+  //    cohort matrix cannot express (it replaced r9's w15, a semantic
+  //    near-duplicate of w10): each active (user, week) is classified by
+  //    the user's PREVIOUS active week — `new` (no previous), `retained`
+  //    (active last week too), `resurrected` (returning after ≥ 1 idle
+  //    week) — and each week additionally reports `churning`: actives
+  //    who will NOT return next week (next active week > week+1 or
+  //    never). new + retained + resurrected = WAU by construction, the
+  //    invariant growth teams reconcile dashboards against. Scale shape:
+  //    ONE distinct over (user, week), then lag+lead over a single hash
+  //    exchange on user_id; the output is |weeks| rows. All counts are
+  //    integers; week = epoch-ms div 604800000 (the w12 epoch-day rule,
+  //    representation-independent across engines).
+  private val w16GrowthAccounting: Q = (s, dir) => {
     val uw = Tables.events(s, dir)
       .select(col("user_id"),
         expr("unix_millis(ts) div 604800000").as("week"))
       .distinct()
-    val cohorts = uw.groupBy("user_id").agg(min(col("week")).as("cohort"))
-    val sizes = cohorts.groupBy("cohort")
-      .agg(count(lit(1)).as("cohort_size"))
-    uw.join(cohorts, "user_id")
-      .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
-      .agg(count(lit(1)).as("n_active"))
-      .join(sizes, "cohort")
-      .select(col("cohort"), col("offset"), col("n_active"),
-        col("cohort_size"),
-        (col("n_active").cast("double") /
-          col("cohort_size").cast("double")).as("retention"))
-      .orderBy("cohort", "offset")
+    val w = Window.partitionBy("user_id").orderBy("week")
+    uw.withColumn("prev_w", lag(col("week"), 1).over(w))
+      .withColumn("next_w", lead(col("week"), 1).over(w))
+      .groupBy("week")
+      .agg(
+        count(lit(1)).as("wau"),
+        sum(when(col("prev_w").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev_w") === col("week") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev_w").isNotNull && col("prev_w") < col("week") - 1,
+          1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("next_w").isNull || col("next_w") > col("week") + 1,
+          1L).otherwise(0L)).as("n_churning"))
+      .orderBy("week")
   }
 
-  private val w15Sql =
+  private val w16Sql =
     """WITH uw AS (
       |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
       |  FROM events),
-      |co AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id),
-      |sz AS (SELECT cohort, count(*) AS cohort_size FROM co GROUP BY cohort),
-      |cell AS (
-      |  SELECT c.cohort, u.week - c.cohort AS "offset",
-      |         count(*) AS n_active
-      |  FROM uw u JOIN co c ON u.user_id = c.user_id
-      |  GROUP BY c.cohort, u.week - c.cohort)
-      |SELECT l.cohort, l."offset", l.n_active, s.cohort_size,
-      |       CAST(l.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
-      |         AS retention
-      |FROM cell l JOIN sz s ON s.cohort = l.cohort
-      |ORDER BY l.cohort, l."offset"""".stripMargin
+      |cls AS (
+      |  SELECT week,
+      |         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_w,
+      |         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_w
+      |  FROM uw)
+      |SELECT week, count(*) AS wau,
+      |       CAST(sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_new,
+      |       CAST(sum(CASE WHEN prev_w = week - 1 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_retained,
+      |       CAST(sum(CASE WHEN prev_w IS NOT NULL AND prev_w < week - 1
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+      |       CAST(sum(CASE WHEN next_w IS NULL OR next_w > week + 1
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+      |FROM cls GROUP BY week ORDER BY week""".stripMargin
 
   // -- w13: RANGE-interval window frame — the value-bounded frame the
   //    ROWS family can't express: each event's trailing 30-minute
@@ -871,7 +879,7 @@ object WindowedScalar extends QueryPack {
     "j10_scd2_asof"      -> j10Scd2Asof,
     "w12_new_vs_returning" -> w12NewVsReturning,
     "w13_range_frame"    -> w13RangeFrame,
-    "w15_retention"      -> w15Retention,
+    "w16_growth_accounting" -> w16GrowthAccounting,
     "dq3_volume_anomaly" -> dq3VolumeAnomaly,
     "w11_scd2_history"   -> w11Scd2,
     "w10_retention"      -> w10Retention,
@@ -898,7 +906,7 @@ object WindowedScalar extends QueryPack {
     "j10_scd2_asof"      -> j10Sql,
     "w12_new_vs_returning" -> w12Sql,
     "w13_range_frame"    -> w13Sql,
-    "w15_retention"      -> w15Sql,
+    "w16_growth_accounting" -> w16Sql,
     "dq3_volume_anomaly" -> dq3Sql,
     "w11_scd2_history"   -> w11Sql,
     "w10_retention"      -> w10Sql,

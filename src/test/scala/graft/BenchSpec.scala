@@ -8,25 +8,34 @@ import org.scalatest.funsuite.AnyFunSuite
   * (partial) and final file writes. */
 class BenchSpec extends AnyFunSuite {
 
-  test("spread guard flags bimodal samples, passes steady ones") {
-    // r7's actual thrash sample — must be caught
+  test("spread guard flags unrepresentative medians, passes honest ones") {
+    // r7's actual thrash sample — median sits in the slow mode, caught
     assert(Bench.spreadSuspect(Seq(6.0, 62.0, 52.7)))
     assert(Bench.spreadSuspect(Seq(114.2, 49.5, 10.4)))
     // steady samples and singletons must not be
     assert(!Bench.spreadSuspect(Seq(0.8, 0.9, 1.0)))
     assert(!Bench.spreadSuspect(Seq(2.0)))
     assert(!Bench.spreadSuspect(Nil))
-    // boundary: exactly 3.0x is allowed, just above is not
-    assert(!Bench.spreadSuspect(Seq(1.0, 3.0)))
-    assert(Bench.spreadSuspect(Seq(1.0, 3.01)))
+    // sub-2s-median regime: the loose 3x boundary (JIT/page-cache jitter
+    // on cheap queries is real; a 2x rule would re-run them forever)
+    assert(!Bench.spreadSuspect(Seq(0.5, 1.5, 1.5)))
+    assert(Bench.spreadSuspect(Seq(0.5, 1.51, 1.51)))
+    // >2s-median regime: the TIGHT 2x boundary (r9's c1 committed an
+    // 11.8 s median at median/min 2.76x — GC-mode bimodality, not noise)
+    assert(Bench.spreadSuspect(Seq(4.29, 11.82, 12.81)))
+    assert(Bench.spreadSuspect(Seq(5.0, 10.1)))
+    assert(!Bench.spreadSuspect(Seq(5.0, 9.9)))
+    // a single slow OUTLIER above a tight cluster leaves the median
+    // honest — must NOT flag (r10's actual d6 sample, one 912 ms GC hit)
+    assert(!Bench.spreadSuspect(Seq(1.83, 2.01, 3.93, 1.99, 1.92, 2.02)))
   }
 
   test("mkRec computes median over all runs and carries the flag") {
     val steady = Bench.mkRec(List(1.0, 1.1, 1.2), List(0L, 0L, 0L), 1.3)
     assert(steady.median == 1.1 && !steady.spreadFlagged)
     val bimodal =
-      Bench.mkRec(List(6.0, 62.0, 52.7, 5.8, 6.1, 6.3), List.fill(6)(0L), 7.0)
-    assert(bimodal.spreadFlagged)
+      Bench.mkRec(List(6.0, 62.0, 52.7, 5.8, 61.0, 60.0), List.fill(6)(0L), 7.0)
+    assert(bimodal.median == 60.0 && bimodal.spreadFlagged)
     assert(bimodal.times.size == 6) // re-run sample retained whole
   }
 
