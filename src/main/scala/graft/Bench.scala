@@ -157,10 +157,16 @@ object Bench {
       System.err.println(s"[bench] $warmFailed warm-up failures from $warmDir")
     // The persisted IVF-PQ index for the BENCH SF must exist before the
     // timed pass, or v13/v14's first execution silently times build+probe
-    // while the notes label it probe-only.
-    try graft.operators.IvfPqIndex.ensure(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] index pre-build failed: ${e.getMessage}")
+    // while the notes label it probe-only. Skipped when a dev-filter run
+    // touches no index-serving query (a scale-headroom run of the graph
+    // pack at sf10 should not pay a 100x index build it never probes).
+    val needsIndex = Set("v13_ivf_pq_probe", "v14_ivf_pq_refined",
+      "v15_ivfpq_recall", "v16_index_stats", "v17_filtered_ann")
+    if (benchQueries.keysIterator.exists(needsIndex)) {
+      try graft.operators.IvfPqIndex.ensure(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] index pre-build failed: ${e.getMessage}")
+      }
     }
     spark.catalog.clearCache()
 

@@ -278,4 +278,42 @@ object TextKernels {
     udf((a: Array[Long], b: Array[Long]) => sortedIntersectCount(a, b))
   val intersectCountUdf: UserDefinedFunction =
     udf((a: Array[Long], b: Array[Long]) => intersectCount(a, b))
+
+  /** Bucket-LOCAL candidate verification: all (id_lo, id_hi, jaccard)
+    * pairs among one LSH band bucket's members, each member = (doc_id,
+    * shingle hashes). The arithmetic per pair is IDENTICAL to the
+    * row-per-candidate formulation ([[intersectCount]] + the same IEEE
+    * divide), but the shingle arrays ship once per (doc, bucket) instead
+    * of once per candidate pair — at 500k docs that is ~3 GB of exchange
+    * instead of ~70 GB (the sf10 run's disk-spill blowup). Duplicate
+    * pairs across shared buckets carry identical jaccards, so the
+    * caller's distinct() sees the same row set. Struct members decode
+    * positionally as tuples; arrays unwrap ONCE per member, not per pair. */
+  def bucketPairJaccards(members: Seq[(Long, Seq[Long])])
+      : Seq[(Long, Long, Double)] = {
+    val n = members.length
+    val ids = new Array[Long](n)
+    val hss = new Array[Array[Long]](n)
+    var i = 0
+    members.foreach { m => ids(i) = m._1; hss(i) = m._2.toArray; i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
+      n * (n - 1) / 2)
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        val inter = intersectCount(hss(a), hss(b))
+        val jac = inter.toDouble /
+          (hss(a).length + hss(b).length - inter).toDouble
+        if (ids(a) < ids(b)) out += ((ids(a), ids(b), jac))
+        else out += ((ids(b), ids(a), jac))
+        b += 1
+      }
+      a += 1
+    }
+    out.toSeq
+  }
+
+  val bucketPairJaccardsUdf: UserDefinedFunction =
+    udf((members: Seq[(Long, Seq[Long])]) => bucketPairJaccards(members))
 }

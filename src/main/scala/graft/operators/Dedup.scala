@@ -151,18 +151,36 @@ object Dedup extends QueryPack {
   def nearDupPairsWithBase(docs: org.apache.spark.sql.DataFrame,
                            threshold: String = jacThreshold)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    // The signature table is referenced 3× (banding + both join legs);
-    // persisted so the text kernels run once per doc, not three times
+    // The signature table is referenced 2× (banding + the member join);
+    // persisted so the text kernels run once per doc, not twice
     // (the harness clears the cache between queries).
     val base = signatures(docs).persist()
-    val banded = bandsOf(base)
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Bucket-LOCAL candidate verification instead of the textbook
+    // band-bucket self-join + per-candidate shingle joins: group each
+    // bucket's members (id + shingles) into one row and verify every
+    // pair inside the task. Same candidates, same exact-Jaccard
+    // arithmetic, same distinct'd output — but the shingle arrays move
+    // through ONE exchange keyed by bucket (once per doc per band, ~3 GB
+    // at 500k docs) instead of riding every candidate row (~70 GB there:
+    // hot buckets make candidates quadratic in bucket population, and
+    // the r10 sf10 run spilled that join to disk). The per-bucket work
+    // is bounded by the hottest bucket (2.3k members → ~2.7M pair
+    // checks, ~2 s in one task) — the LSH analog of a skewed group key,
+    // inherent to the banding semantics, not the plan.
+    val members = bandsOf(base)
+      .join(base.select(col("doc_id"), col("hs")), "doc_id")
+      .groupBy("band_id", "bh")
+      .agg(collect_list(struct(col("doc_id"), col("hs"))).as("members"))
+      .filter(size(col("members")) > 1)
+    val pairs = members
+      .select(explode(
+        graft.functions.TextKernels.bucketPairJaccardsUdf(col("members")))
+        .as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
+        col("p._3").as("jac"))
+      .filter(col("jac") >= expr(threshold))
       .distinct()
-    (exactJaccard(cand, base, "doc_a", "doc_b", threshold)
-      .select("doc_a", "doc_b", "jac"), base)
+    (pairs, base)
   }
 
   /** Near-dup pairs between a NEW batch's signature table and an

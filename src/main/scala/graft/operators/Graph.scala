@@ -47,9 +47,24 @@ object Graph {
     * round costs a fixed number of shuffle stages that dwarf the actual
     * work on a small remainder (measured here: the d10 pair graph is a
     * few thousand edges, and ~5 loop rounds cost ~6 s of pure stage
-    * overhead vs ~0.2 s for the single-task union-find). 2M edges ≈
-    * 32 MB of longs — comfortably one task, far below executor memory. */
-  private val localFinishEdges = 2000000L
+    * overhead vs ~0.2 s for the single-task union-find). 16M edges ≈
+    * 400 MB through the coalesce(1) — one task, far below executor
+    * memory; the crossover was re-measured on the r10 sf10 corpus
+    * (13.8M-edge pair graph: distributed CC 37 s vs 9 s local including
+    * the move, after the local kernels went CSR — flat arrays, no boxed
+    * sets). At real cluster scale a pair graph past this bound runs the
+    * distributed rounds regardless; the threshold only decides where
+    * "small remainder" ends. */
+  private val localFinishEdges = 16000000L
+
+  /** SSSP/BFS keep a LOWER local-finish bound than CC/peel: their
+    * bounded-round form runs only ~3 distributed rounds with a
+    * broadcast-sized frontier (cheap), so funneling a 10M-edge graph
+    * through coalesce(1) loses to the loop (measured on the r10 sf10
+    * co-supplier graph: gr3 37.8 s distributed vs 48.4 s local). CC and
+    * the peel run more full-table rounds per invocation, which is where
+    * the single-task finish pays off at higher edge counts. */
+  private val ssspLocalEdges = 2000000L
 
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIters: Int = 25,
@@ -193,21 +208,7 @@ object Graph {
         .select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)]
         .coalesce(1)
-        .mapPartitions { it =>
-          var es = it.toArray
-          var nodes = es.iterator.map(_._1).toSet
-          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          for (r <- 1 to rounds) {
-            val deg = scala.collection.mutable.LongMap.empty[Long]
-            es.foreach { case (a, _) => deg(a) = deg.getOrElse(a, 0L) + 1L }
-            val kept = nodes.filter(n => deg.getOrElse(n, 0L) >= k)
-            res += ((r.toLong, (nodes.size - kept.size).toLong))
-            es = es.filter(e => kept(e._1) && kept(e._2))
-            nodes = kept
-          }
-          res += ((-1L, nodes.size.toLong))
-          res.iterator
-        }
+        .mapPartitions(it => peelLocal(it, k, Some(rounds), 0, ""))
         .toDF("round", "n_nodes")
         // materialize before unpersisting sym (see connectedComponents)
         .localCheckpoint()
@@ -294,7 +295,7 @@ object Graph {
                    weight: Option[String] = None,
                    source: Option[Long] = None,
                    maxIters: Int = 200,
-                   localThreshold: Long = localFinishEdges,
+                   localThreshold: Long = ssspLocalEdges,
                    rounds: Option[Int] = None): DataFrame = {
     val e = weight match {
       case Some(w) => edges.select(col(src).cast("long").as("a"),
@@ -320,35 +321,91 @@ object Graph {
       val out = eP.as[(Long, Long, Long)]
         .coalesce(1)
         .mapPartitions { it =>
-          val adj = scala.collection.mutable.LongMap
-            .empty[List[(Long, Long)]]
-          it.foreach { case (a, b, w) =>
-            adj(a) = (b, w) :: adj.getOrElse(a, Nil)
+          // CSR-packed frontier relaxation (the pageRankFixpoint kernel
+          // discipline): one boxing pass to pack ids dense, then rounds
+          // are pure array arithmetic. Batch-per-round updates (`nd`
+          // staging array) preserve the bounded-round semantics exactly:
+          // after k rounds dist = min over ≤ k-edge paths, no in-round
+          // cascading.
+          val es = it.toArray
+          val n2i = scala.collection.mutable.LongMap.empty[Int]
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          def idOf(x: Long): Int =
+            n2i.getOrElseUpdate(x, { ids += x; ids.size - 1 })
+          val m = es.length
+          val srcId = new Array[Int](m)
+          val dstId = new Array[Int](m)
+          val ws = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            srcId(i) = idOf(es(i)._1); dstId(i) = idOf(es(i)._2)
+            ws(i) = es(i)._3; i += 1
           }
-          val dist = scala.collection.mutable.LongMap[Long](s0 -> 0L)
-          var frontier = List(s0)
+          // idOf(s0) AFTER the edge pass: a caller-supplied source absent
+          // from the edge set still gets a node slot, so (s0, 0) is
+          // emitted — the distributed path's seed row behaves the same.
+          val sI = idOf(s0)
+          val n = ids.size
+          val off = new Array[Int](n + 1)
+          i = 0; while (i < m) { off(srcId(i) + 1) += 1; i += 1 }
+          i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+          val tgt = new Array[Int](m)
+          val tw = new Array[Long](m)
+          val pos = java.util.Arrays.copyOf(off, n)
+          i = 0
+          while (i < m) {
+            val s = srcId(i); tgt(pos(s)) = dstId(i); tw(pos(s)) = ws(i)
+            pos(s) += 1; i += 1
+          }
+          val INF = Long.MaxValue
+          val dist = Array.fill(n)(INF)
+          val nd = Array.fill(n)(INF)
+          var frontier = new Array[Int](math.max(n, 1))
+          var nextFrontier = new Array[Int](math.max(n, 1))
+          var fLen = 0
+          if (sI >= 0) { dist(sI) = 0L; frontier(0) = sI; fLen = 1 }
+          val touched = new Array[Int](n)
           var iter = 0
-          while (frontier.nonEmpty && !rounds.contains(iter)) {
+          while (fLen > 0 && !rounds.contains(iter)) {
             iter += 1
             if (rounds.isEmpty && iter > maxIters)
               throw new IllegalStateException(
                 s"ssspFixpoint did not converge in $maxIters rounds")
-            val improved = scala.collection.mutable.LongMap.empty[Long]
-            frontier.foreach { n =>
-              val dn = dist(n)
-              adj.getOrElse(n, Nil).foreach { case (m, w) =>
-                val cand = dn + w
-                if (cand < dist.getOrElse(m, Long.MaxValue) &&
-                    cand < improved.getOrElse(m, Long.MaxValue))
-                  improved(m) = cand
+            var nTouched = 0
+            var fi = 0
+            while (fi < fLen) {
+              val u = frontier(fi)
+              val du = dist(u)
+              var j = off(u)
+              val end = off(u + 1)
+              while (j < end) {
+                val t = tgt(j)
+                val cand = du + tw(j)
+                if (cand < dist(t) && cand < nd(t)) {
+                  if (nd(t) == INF) { touched(nTouched) = t; nTouched += 1 }
+                  nd(t) = cand
+                }
+                j += 1
               }
+              fi += 1
             }
-            frontier = improved.iterator.collect {
-              case (m, d) if d < dist.getOrElse(m, Long.MaxValue) =>
-                dist(m) = d; m
-            }.toList
+            var nf = 0
+            var ti = 0
+            while (ti < nTouched) {
+              val t = touched(ti)
+              if (nd(t) < dist(t)) {
+                dist(t) = nd(t); nextFrontier(nf) = t; nf += 1
+              }
+              nd(t) = INF
+              ti += 1
+            }
+            val tmp = frontier; frontier = nextFrontier; nextFrontier = tmp
+            fLen = nf
           }
-          dist.iterator
+          val fd = dist
+          (0 until n).iterator.collect {
+            case v if fd(v) != INF => (ids(v), fd(v))
+          }
         }
         .toDF("node", "dist")
       val outDone = out.localCheckpoint()
@@ -390,7 +447,7 @@ object Graph {
   def bfsFixpoint(edges: DataFrame, src: String, dst: String,
                   source: Option[Long] = None,
                   maxIters: Int = 200,
-                  localThreshold: Long = localFinishEdges): DataFrame =
+                  localThreshold: Long = ssspLocalEdges): DataFrame =
     ssspFixpoint(edges, src, dst, None, source, maxIters, localThreshold)
 
   /** [[kCorePeel]] iterated until a round removes NOBODY — the true
@@ -412,29 +469,8 @@ object Graph {
         .select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)]
         .coalesce(1)
-        .mapPartitions { it =>
-          var es = it.toArray
-          var nodes = es.iterator.map(_._1).toSet
-          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          var r = 0
-          var removed = -1L
-          while (removed != 0L) {
-            r += 1
-            if (r > maxIters) throw new IllegalStateException(
-              s"kCoreFixpoint did not converge in $maxIters rounds")
-            val deg = scala.collection.mutable.LongMap.empty[Long]
-            es.foreach { case (a, _) => deg(a) = deg.getOrElse(a, 0L) + 1L }
-            val kept = nodes.filter(n => deg.getOrElse(n, 0L) >= k)
-            removed = (nodes.size - kept.size).toLong
-            if (removed > 0L) {
-              res += ((r.toLong, removed))
-              es = es.filter(e => kept(e._1) && kept(e._2))
-              nodes = kept
-            }
-          }
-          res += ((-1L, nodes.size.toLong))
-          res.iterator
-        }
+        .mapPartitions(it => peelLocal(it, k, None, maxIters,
+          s"kCoreFixpoint did not converge in $maxIters rounds"))
         .toDF("round", "n_nodes")
         .localCheckpoint()
       sym.unpersist()
@@ -630,6 +666,66 @@ object Graph {
     // discipline the loop applies to superseded rank tables).
     release(deg)
     out
+  }
+
+  /** Single-task k-core peel over a symmetrized boxed edge iterator —
+    * the shared local kernel behind [[kCorePeel]] (`roundLimit` set) and
+    * [[kCoreFixpoint]] (`roundLimit` = None, run until a round removes
+    * nobody, `maxIters` throw). Dense-int packing + flat arrays: the
+    * Set[Long]/boxed-tuple formulation it replaced went quadratic in GC
+    * at ~14M edges (29 s vs ~3 s here); each round is two array sweeps
+    * (degree count over alive edges, then the removal scan) — identical
+    * batch semantics to the distributed rounds. */
+  private def peelLocal(it: Iterator[(Long, Long)], k: Int,
+                        roundLimit: Option[Int], maxIters: Int,
+                        divergeMsg: String): Iterator[(Long, Long)] = {
+    val es = it.toArray
+    val n2i = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def idOf(x: Long): Int =
+      n2i.getOrElseUpdate(x, { ids += x; ids.size - 1 })
+    val m = es.length
+    val srcId = new Array[Int](m)
+    val dstId = new Array[Int](m)
+    var i = 0
+    while (i < m) { srcId(i) = idOf(es(i)._1); dstId(i) = idOf(es(i)._2); i += 1 }
+    val n = ids.size
+    val alive = Array.fill(n)(true)
+    val deg = new Array[Long](n)
+    var nAlive = n.toLong
+    def peelOneRound(): Long = {
+      java.util.Arrays.fill(deg, 0L)
+      var e = 0
+      while (e < m) {
+        if (alive(srcId(e)) && alive(dstId(e))) deg(srcId(e)) += 1L
+        e += 1
+      }
+      var removed = 0L
+      var v = 0
+      while (v < n) {
+        if (alive(v) && deg(v) < k) { alive(v) = false; removed += 1L }
+        v += 1
+      }
+      nAlive -= removed
+      removed
+    }
+    val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    roundLimit match {
+      case Some(rs) =>
+        var r = 1
+        while (r <= rs) { res += ((r.toLong, peelOneRound())); r += 1 }
+      case None =>
+        var r = 0
+        var removed = -1L
+        while (removed != 0L) {
+          r += 1
+          if (r > maxIters) throw new IllegalStateException(divergeMsg)
+          removed = peelOneRound()
+          if (removed > 0L) res += ((r.toLong, removed))
+        }
+    }
+    res += ((-1L, nAlive))
+    res.iterator
   }
 
   /** Free the executor storage behind any localCheckpoint leaves in `df`'s

@@ -19,15 +19,30 @@ import org.apache.spark.sql.functions._
   * verbatim (ANN perf does not care about tie-breaks). region/nation are
   * fixed-size dimensions and are copied once, unshifted.
   *
+  * `clusterSize` caps the near-dup CLUSTER size. With the default
+  * (= factor) every replica of a base doc is a near-dup of every other —
+  * fine at 10×, but at 100× that grows dup cliques WITH the corpus,
+  * which no crawl does (a 100× bigger crawl has ~100× more boilerplate
+  * clusters of similar size, not the same clusters 100× fatter) and
+  * makes pair-based operators quadratic in the FACTOR rather than the
+  * data: the factor-100 compounded corpus spilled >75 GB verifying
+  * 100-clique candidate pairs. With clusterSize = c, replicas split into
+  * factor/c groups; each group's text is token-transformed (every token
+  * prefixed with a group tag, so cross-group 13-gram Jaccard ≈ 0) and
+  * carries c near-dup members — cluster COUNT scales, cluster size
+  * stays crawl-like.
+  *
   * Usage: runMain graft.tools.ScaleUp <baseDir> <outDir> <factor>
+  *          [clusterSize]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val clusterSize = args.lift(3).map(_.toInt).getOrElse(factor)
     val spark = GraftSession.local()
-    ScaleUpCore.run(spark, base, out, factor)
+    ScaleUpCore.run(spark, base, out, factor, clusterSize)
     spark.stop()
   }
 }
@@ -40,7 +55,7 @@ object ScaleUpCore {
     df.agg(max(col(key))).head().getLong(0) + 1L
 
   def run(spark: SparkSession, base: String, out: String,
-          factor: Int): Unit = {
+          factor: Int, clusterSize: Int = Int.MaxValue): Unit = {
     def rd(t: String) = spark.read.parquet(s"$base/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -78,9 +93,17 @@ object ScaleUpCore {
     val docs = rd("documents")
     val docS = stride(docs, "doc_id")
     val docReps = (0 until factor).map { r =>
-      docs.withColumn("doc_id", col("doc_id") + lit(r * docS))
+      val g = r / clusterSize // near-dup group; 0 = untransformed base
+      val grouped = if (g == 0) docs
+        // Prefix every token with a group tag: all 13-gram shingles
+        // change, so cross-group Jaccard ≈ 0 and the group's members
+        // form their own crawl-sized near-dup cluster. Token count and
+        // document shape are preserved (quality/lang signals stay sane).
+        else docs.withColumn("text",
+          regexp_replace(col("text"), "(^|\\s)(\\S)", s"$$1g${g}x$$2"))
+      grouped.withColumn("doc_id", col("doc_id") + lit(r * docS))
         // perturb: replicas are near- but not exact dups of each other
-        .withColumn("text", concat(col("text"), lit(s" replica$r")))
+        .withColumn("text", concat(col("text"), lit(s" replica${r % clusterSize}")))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ unionByName _)
     wr(docReps, "documents")

@@ -54,8 +54,8 @@ class BenchRecordSpec extends AnyFunSuite {
         // ~12x at 10x data = linear×log headroom; 4x is the review
         // threshold the round-9 verdict set for per-decade ratios.
         val limit = 4.0
-        val offenders = root.path("queries").properties().asScala.toSeq
-          .flatMap { e =>
+        def offendersIn(queries: com.fasterxml.jackson.databind.JsonNode) =
+          queries.properties().asScala.toSeq.flatMap { e =>
             val names = e.getValue.fieldNames().asScala.toSeq
             val ratios = names.filter(_.startsWith("ratio_at_"))
               .map(n => e.getValue.path(n).asDouble())
@@ -63,10 +63,13 @@ class BenchRecordSpec extends AnyFunSuite {
               Some(e.getKey)
             else None
           }
+        // both decades: the 10x section at the root, the 100x one nested
+        val offenders = offendersIn(root.path("queries")) ++
+          offendersIn(root.path("factor100").path("queries"))
         assert(offenders.isEmpty,
           s"scale ratios > ${limit}x with no SCALE_HEADROOM.md entry: " +
-            s"${offenders.mkString(", ")} — name the fix or the input" +
-            s"-density cause")
+            s"${offenders.distinct.mkString(", ")} — name the fix or the " +
+            s"input-density cause")
     }
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the bucket-local LSH verification (one grouped exchange, pairs
+  * verified inside the task) to the textbook formulation it replaced
+  * (band-bucket self-join + per-candidate shingle joins): same pair
+  * set, bitwise-identical jaccards. The rewrite exists because hot
+  * buckets make candidate ROWS quadratic in bucket population and the
+  * textbook join ships both shingle arrays on every candidate row
+  * (~70 GB of exchange at 500k docs); semantics must not move. */
+class DedupBucketLocalSpec extends SparkSpecBase {
+
+  private def textbookPairs(docs: org.apache.spark.sql.DataFrame) = {
+    val base = graft.operators.Dedup.signatures(docs).persist()
+    val banded = graft.operators.Dedup.bandsOf(base)
+    val sh = base.select(col("doc_id"), col("hs"))
+    val out = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", graft.functions.TextKernels
+        .intersectCountUdf(col("hs_a"), col("hs_b")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+        (expr("size(hs_a)") + expr("size(hs_b)") - col("inter")).cast("double"))
+      .filter(col("jac") >= expr("0.08")) // Dedup.jacThreshold
+      .select("doc_a", "doc_b", "jac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    base.unpersist()
+    out
+  }
+
+  test("bucket-local pair verification == textbook band join, bit-exact") {
+    import spark.implicits._
+    // a hot bucket (exact-dup class), a genuine near-dup pair reachable
+    // through SEVERAL bands (distinct() must collapse identical jacs),
+    // and unrelated singletons
+    val hot = (0L until 40L).map(i =>
+      (i, "shared boilerplate navigation header words " * 5 + s" tail$i"))
+    val near = Seq(
+      (900L, "a modestly different document body with some edits applied here and more text to shingle"),
+      (901L, "a modestly different document body with some edits applied there and more text to shingle"))
+    val lone = Seq(
+      (950L, "completely unrelated text about astronomy detectors and charge transfer"),
+      (951L, "another unrelated body mentioning parquet readers and shuffle sizes"))
+    val docs = (hot ++ near ++ lone).toDF("doc_id", "text")
+
+    val got = graft.operators.Dedup.nearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val want = textbookPairs(docs)
+
+    assert(got.length == want.length,
+      s"pair-set size: got ${got.length}, textbook ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2, s"pair mismatch: $g vs $w")
+      // IEEE-exact: same intersect kernel, same divide on both paths
+      assert(java.lang.Double.doubleToLongBits(g._3) ==
+             java.lang.Double.doubleToLongBits(w._3),
+        s"jaccard drifted: $g vs $w")
+    }
+    // the planted near-dup survives; the hot bucket's pairs are present
+    assert(got.exists(t => t._1 == 900L && t._2 == 901L))
+    assert(got.count(t => t._1 < 40L && t._2 < 40L) > 0)
+  }
+}
