@@ -289,15 +289,14 @@ object TextKernels {
     * pairs across shared buckets carry identical jaccards, so the
     * caller's distinct() sees the same row set. Struct members decode
     * positionally as tuples; arrays unwrap ONCE per member, not per pair. */
-  def bucketPairJaccards(members: Seq[(Long, Seq[Long])])
-      : Seq[(Long, Long, Double)] = {
+  def bucketPairJaccards(members: Seq[(Long, Seq[Long])],
+                         minJac: Double): Seq[(Long, Long, Double)] = {
     val n = members.length
     val ids = new Array[Long](n)
     val hss = new Array[Array[Long]](n)
     var i = 0
     members.foreach { m => ids(i) = m._1; hss(i) = m._2.toArray; i += 1 }
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
-      n * (n - 1) / 2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     var a = 0
     while (a < n) {
       var b = a + 1
@@ -305,8 +304,16 @@ object TextKernels {
         val inter = intersectCount(hss(a), hss(b))
         val jac = inter.toDouble /
           (hss(a).length + hss(b).length - inter).toDouble
-        if (ids(a) < ids(b)) out += ((ids(a), ids(b), jac))
-        else out += ((ids(b), ids(a), jac))
+        // Threshold INSIDE the kernel: a hot bucket computes C(n,2)
+        // jaccards either way, but only survivors are boxed/exploded
+        // into rows (the sf10 hot buckets are boilerplate-driven — most
+        // of their ~2.7M pairs are sub-threshold noise the old path
+        // materialized just to filter). Same IEEE `>=` as the caller's
+        // SQL filter, which stays in place as the authoritative gate.
+        if (jac >= minJac) {
+          if (ids(a) < ids(b)) out += ((ids(a), ids(b), jac))
+          else out += ((ids(b), ids(a), jac))
+        }
         b += 1
       }
       a += 1
@@ -315,5 +322,6 @@ object TextKernels {
   }
 
   val bucketPairJaccardsUdf: UserDefinedFunction =
-    udf((members: Seq[(Long, Seq[Long])]) => bucketPairJaccards(members))
+    udf((members: Seq[(Long, Seq[Long])], minJac: Double) =>
+      bucketPairJaccards(members, minJac))
 }

@@ -172,9 +172,15 @@ object Dedup extends QueryPack {
       .groupBy("band_id", "bh")
       .agg(collect_list(struct(col("doc_id"), col("hs"))).as("members"))
       .filter(size(col("members")) > 1)
+    // The kernel pre-filters at the same threshold when it is a plain
+    // double literal (every current caller); a non-literal expression
+    // degrades to no pre-filter and the SQL gate below does all the work.
+    val kernelMin = scala.util.Try(threshold.toDouble)
+      .getOrElse(Double.NegativeInfinity)
     val pairs = members
       .select(explode(
-        graft.functions.TextKernels.bucketPairJaccardsUdf(col("members")))
+        graft.functions.TextKernels.bucketPairJaccardsUdf(
+          col("members"), lit(kernelMin)))
         .as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
         col("p._3").as("jac"))

@@ -6,11 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Stage-level timing of the near-dup pair pipeline + its graph
   * consumers at a given SF dir — the instrument for the r10 sf10
-  * investigation (d10 29×, gr5 33× at 10× data vs sf1). Diagnostic main:
-  * prints per-stage wall-clock and cardinalities. */
+  * investigation (d10 29×, gr5 33× at 10× data vs sf1, both fixed by
+  * bucket-local verification + CSR local kernels). Diagnostic main:
+  * prints per-stage wall-clock and cardinalities.
+  *
+  * Pass `textbook` as the second arg to ALSO time the band-bucket
+  * self-join candidate build the production path replaced — at sf10 it
+  * spills tens of GB (the reason it was replaced); off by default.
+  */
 object PairProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/target/sf1")
+    val textbook = args.lift(1).contains("textbook")
     val spark = GraftSession.local()
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -30,14 +37,17 @@ object PairProbe {
         .orderBy(desc("count")).limit(5).collect().toSeq
     }
     println(s"[probe] top buckets: ${hot.mkString(" ")}")
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct().persist()
-    val nCand = t("candidates")(cand.count())
-    println(s"[probe] candidates: $nCand")
-    val (pairs, _) = Dedup.nearDupPairsWithBase(docs)
+    if (textbook) {
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().persist()
+      val nCand = t("textbook candidates")(cand.count())
+      println(s"[probe] candidates: $nCand")
+      cand.unpersist()
+    }
+    val (pairs, sigBase) = Dedup.nearDupPairsWithBase(docs)
     val pairsP = pairs.persist()
     val nPairs = t("pairs full pipeline (fresh)")(pairsP.count())
     println(s"[probe] pairs: $nPairs")
@@ -51,6 +61,7 @@ object PairProbe {
         "u", "v", 2, 3).collect().toSeq
     }
     println(s"[probe] kcore: ${kc.mkString(" ")}")
+    sigBase.unpersist()
     spark.stop()
   }
 }
