@@ -66,6 +66,17 @@ object Graph {
     * the single-task finish pays off at higher edge counts. */
   private val ssspLocalEdges = 2000000L
 
+  /** Node-count bound under which the per-round node-sized table
+    * (frontier / rank vector) is BROADCAST instead of co-partitioning
+    * the edge table up front. 2M (node, long) rows ≈ 32 MB serialized —
+    * comfortably broadcastable on any executor sizing — and the win is
+    * one full edge-table exchange avoided per driver invocation (the
+    * dominant fixed cost when the graph's node set is dimension-derived:
+    * suppliers, documents — which stays bounded while edges grow with
+    * the corpus). Estimated with one HLL pass (±5%), so the bound is a
+    * soft ceiling, deliberately far under broadcast's hard limits. */
+  private val broadcastNodeLimit = 2000000L
+
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIters: Int = 25,
                           localThreshold: Long = localFinishEdges): DataFrame = {
@@ -296,29 +307,30 @@ object Graph {
                    source: Option[Long] = None,
                    maxIters: Int = 200,
                    localThreshold: Long = ssspLocalEdges,
-                   rounds: Option[Int] = None): DataFrame = {
+                   rounds: Option[Int] = None,
+                   broadcastLimit: Long = broadcastNodeLimit): DataFrame = {
     val e = weight match {
       case Some(w) => edges.select(col(src).cast("long").as("a"),
         col(dst).cast("long").as("b"), col(w).cast("long").as("w"))
       case None => edges.select(col(src).cast("long").as("a"),
         col(dst).cast("long").as("b"), lit(1L).as("w"))
     }
-    val eP = e.repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = eP.count()
+    val eRaw = e.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = eRaw.count()
     val spark = edges.sparkSession
     // min over an empty table is NULL → getLong would NPE; an empty graph
     // has a well-defined answer (nothing reachable), so return it instead
     // of requiring the caller to special-case it.
     if (nEdges == 0L) {
-      eP.unpersist()
+      eRaw.unpersist()
       return spark.emptyDataFrame
         .select(lit(0L).as("node"), lit(0L).as("dist")).limit(0)
     }
-    val s0: Long = source.getOrElse(eP.agg(min(col("a"))).head().getLong(0))
+    val s0: Long = source.getOrElse(eRaw.agg(min(col("a"))).head().getLong(0))
 
     if (nEdges <= localThreshold) {
       import spark.implicits._
-      val out = eP.as[(Long, Long, Long)]
+      val out = eRaw.as[(Long, Long, Long)]
         .coalesce(1)
         .mapPartitions { it =>
           // CSR-packed frontier relaxation (the pageRankFixpoint kernel
@@ -409,9 +421,28 @@ object Graph {
         }
         .toDF("node", "dist")
       val outDone = out.localCheckpoint()
-      eP.unpersist()
+      eRaw.unpersist()
       return outDone
     }
+
+    // The frontier is node-sized, and for graphs whose node set is
+    // dimension-derived (co-supplier, co-purchase) it stays broadcastable
+    // at ANY corpus scale — then pre-shuffling the EDGE table by key is a
+    // full wasted exchange (the per-round join broadcasts the frontier and
+    // streams the cached edges in place). Only a genuinely large node set
+    // (web-scale graphs) justifies co-partitioning the edges once so the
+    // per-round shuffle falls on the frontier alone. One HLL pass decides.
+    val nNodesApprox =
+      eRaw.agg(approx_count_distinct(col("a")).as("n")).head().getLong(0)
+    val bcastFrontier = nNodesApprox <= broadcastLimit
+    val eP =
+      if (bcastFrontier) eRaw
+      else {
+        val p = e.repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        eRaw.unpersist()
+        p
+      }
 
     var dist = spark.range(1).select(lit(s0).as("node"), lit(0L).as("dist"))
       .localCheckpoint()
@@ -423,7 +454,8 @@ object Graph {
       if (rounds.isEmpty && iter > maxIters)
         throw new IllegalStateException(
           s"ssspFixpoint did not converge in $maxIters rounds")
-      val relax = frontier.join(eP, frontier("node") === eP("a"))
+      val fSide = if (bcastFrontier) broadcast(frontier) else frontier
+      val relax = fSide.join(eP, fSide("node") === eP("a"))
         .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy("node").agg(min(col("nd")).as("nd"))
       val merged = dist.select(col("node"), col("dist").as("old"))
@@ -531,18 +563,19 @@ object Graph {
   def pageRankFixpoint(edges: DataFrame, src: String, dst: String,
                        tolE12: Long = 1000L,
                        maxIters: Int = 500,
-                       localThreshold: Long = localFinishEdges): DataFrame = {
+                       localThreshold: Long = localFinishEdges,
+                       broadcastLimit: Long = broadcastNodeLimit): DataFrame = {
     val unit = 1000000000000L
     val dampBase = 150000000000L
     val e = edges.select(col(src).cast("long").as("a"),
       col(dst).cast("long").as("b"))
-    val eP = e.repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = eP.count()
+    val eRaw = e.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = eRaw.count()
     val spark = edges.sparkSession
 
     if (nEdges <= localThreshold) {
       import spark.implicits._
-      val out = eP.as[(Long, Long)]
+      val out = eRaw.as[(Long, Long)]
         .coalesce(1)
         .mapPartitions { it =>
           // CSR-packed kernel. PageRank runs ~40-80 damped rounds to a
@@ -622,13 +655,27 @@ object Graph {
         }
         .toDF("node", "rank_e12")
         .localCheckpoint()
-      eP.unpersist()
+      eRaw.unpersist()
       return out
     }
 
-    val deg = eP.groupBy("a").agg(count(lit(1)).as("outdeg"))
+    // Same adaptive shape as [[ssspFixpoint]]: the rank vector is
+    // node-sized, so when the node set is broadcastable the up-front
+    // edge-table repartition is a wasted full exchange — the per-round
+    // contribution join broadcasts `contrib` and streams the cached
+    // edges where they sit. `deg` doubles as the exact node count.
+    val deg = eRaw.groupBy("a").agg(count(lit(1)).as("outdeg"))
       .select(col("a").as("node"), col("outdeg"))
       .localCheckpoint()
+    val bcastRanks = deg.count() <= broadcastLimit
+    val eP =
+      if (bcastRanks) eRaw
+      else {
+        val p = e.repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        eRaw.unpersist()
+        p
+      }
     var ranks = deg.select(col("node"), lit(unit).as("r"))
       .localCheckpoint()
     var iter = 0
@@ -639,8 +686,9 @@ object Graph {
         s"pageRankFixpoint did not converge in $maxIters rounds")
       val contrib = ranks.join(deg, "node")
         .select(col("node"), expr("r div outdeg").as("cpe"))
+      val cSide = if (bcastRanks) broadcast(contrib) else contrib
       val sums = eP
-        .join(contrib, eP("a") === contrib("node"))
+        .join(cSide, eP("a") === cSide("node"))
         .groupBy(col("b"))
         .agg(sum(col("cpe")).as("sc"))
         .select(col("b").as("node"), col("sc"))

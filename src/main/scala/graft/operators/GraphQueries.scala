@@ -252,23 +252,38 @@ object GraphQueries extends QueryPack {
   //    (how much of the graph each BFS round absorbs), with nodes never
   //    reached within 3 hops counted under hop = -1 — the "is the graph
   //    one tight component?" diagnostic at a glance.
-  // Shared by gr3/gr4: the per-order co-supplier pair list, expanded
+  // Shared by gr3/gr4/gr6: the per-order co-supplier pair list, expanded
   // IN-PLAN from one grouped set instead of a members self-join — one
   // wide shuffle of lineitem (map-side-combined collect_set on the order
   // key) instead of three (distinct members, re-shuffle both join sides).
   // The expansion is bounded by order size (single-digit suppliers per
   // order at every SF), so the generator can never blow up the way a
-  // hub-keyed self-join can; one (u, v) row per order with u < v.
+  // hub-keyed self-join can.
+  //
+  // The pair travels PACKED as one BIGINT (u << 32 | v; supplier ids are
+  // far below 2^31 at any SF — asserted in GraphQueriesSpec) because the
+  // raw pair stream is the fattest exchange of the whole gr pack (~160M
+  // rows at sf10, pre-dedup) and every downstream consumer's first move
+  // is a hash shuffle on the pair identity (distinct for gr3/gr6,
+  // groupBy count for gr4): one primitive-long key halves the shuffle
+  // bytes and keeps the hash aggregate off struct comparators — the
+  // dedup pack's 8-byte polyhash discipline (Dedup.scala) applied to
+  // graph building. Measured at sf10 (90.7M-edge graph), together with
+  // persisting pairs-not-edges: gr3 43.9 → 30.4 s, gr4 44.5 → 27.7 s.
   private def coSupplierPairsPerOrder(s: org.apache.spark.sql.SparkSession,
                                       dir: String) =
     Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_suppkey")).as("sks"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
       .select(explode(expr(
-        "flatten(transform(array_sort(sks), (x, i) -> " +
-        "transform(slice(array_sort(sks), i + 2, size(sks)), y -> " +
-        "struct(x AS u, y AS v))))")).as("p"))
-      .select(col("p.u"), col("p.v"))
+        "flatten(transform(sks, (x, i) -> " +
+        "transform(slice(sks, i + 2, size(sks)), y -> " +
+        "x * 4294967296 + y)))")).as("pk"))
+
+  // decode a packed pair key back to (u, v); u < v by construction
+  private def unpackPairs(pairs: org.apache.spark.sql.DataFrame) =
+    pairs.select(expr("pk div 4294967296").as("u"),
+                 expr("pk % 4294967296").as("v"))
 
   private val bfsIters = 3
   // gr3's 3-round unroll routes through the SAME hybrid driver as the
@@ -278,12 +293,18 @@ object GraphQueries extends QueryPack {
   // in ONE executor task below the edge threshold instead of paying ~2
   // shuffle stages of overhead per round on a dimension-sized graph
   // (measured 7-12 s unrolled vs ~2 s hybrid at sf0.1).
+  // Persist the HALF-SIZE pair table, not the symmetrized edge table:
+  // ssspFixpoint persists its own symmetrized copy anyway, so a
+  // query-side edges.persist() materialized the same 2×|pairs| rows
+  // TWICE (a second full cache write + scan at sf10's 90M edges). The
+  // nodes pass reads the cached pairs (|pairs| rows, one long each).
   private def gr3Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val pairs = coSupplierPairsPerOrder(s, dir).distinct()
+    val pairs = unpackPairs(coSupplierPairsPerOrder(s, dir).distinct())
+      .persist()
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
-      .persist()
-    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val nodes = pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node"))).distinct().persist()
     val reached = Graph
       .ssspFixpoint(edges, "src", "dst", rounds = Some(bfsIters))
       .select(col("node"), col("dist").as("hop"))
@@ -293,7 +314,7 @@ object GraphQueries extends QueryPack {
     val result = withUnreached.groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("hop"))
-    (result, Seq(edges, nodes))
+    (result, Seq(pairs, nodes))
   }
 
   private val gr3Bfs: Q = (s, dir) => {
@@ -343,16 +364,21 @@ object GraphQueries extends QueryPack {
   // Same hybrid routing as gr3 (bounded min-plus = min over ≤ k-edge
   // paths, bit-identical to the unrolled oracle).
   private def gr4Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val pairs = coSupplierPairsPerOrder(s, dir)
-      .groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("n_shared"))
-      .withColumn("w", greatest(lit(1L), lit(10L) - col("n_shared")))
-    val edges = pairs.select(col("u").as("src"), col("v").as("dst"), col("w"))
-      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    // count on the packed key (one primitive-long hash aggregate through
+    // the fat pre-dedup exchange), decode after — and persist the
+    // half-size weighted pair table, not the symmetrized edge table
+    // (the gr3 note: ssspFixpoint persists its own symmetrized copy).
+    val wp = coSupplierPairsPerOrder(s, dir)
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_shared"))
+      .select(expr("pk div 4294967296").as("u"),
+              expr("pk % 4294967296").as("v"),
+              greatest(lit(1L), lit(10L) - col("n_shared")).as("w"))
       .persist()
+    val edges = wp.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(wp.select(col("v").as("src"), col("u").as("dst"), col("w")))
     val reached = Graph.ssspFixpoint(edges, "src", "dst",
       weight = Some("w"), rounds = Some(ssspIters))
-    (reached.orderBy(col("dist"), col("node")).limit(15), Seq(edges))
+    (reached.orderBy(col("dist"), col("node")).limit(15), Seq(wp))
   }
 
   private val gr4Sssp: Q = (s, dir) => {
@@ -413,11 +439,13 @@ object GraphQueries extends QueryPack {
   //    min(hop) per node on bounded tuples equals the loop's converged
   //    distances. Unreachable nodes report hop = -1 (gr3's convention).
   private def gr6Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val pairs = coSupplierPairsPerOrder(s, dir).distinct()
+    // gr3's build discipline (packed-key dedup, persist pairs not edges)
+    val pairs = unpackPairs(coSupplierPairsPerOrder(s, dir).distinct())
+      .persist()
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
-      .persist()
-    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val nodes = pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node"))).distinct().persist()
     val reached = Graph.bfsFixpoint(edges, "src", "dst")
       .select(col("node"), col("dist").as("hop"))
     val result = nodes.join(reached, Seq("node"), "left_outer")
@@ -425,7 +453,7 @@ object GraphQueries extends QueryPack {
       .groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("hop"))
-    (result, Seq(edges, nodes))
+    (result, Seq(pairs, nodes))
   }
 
   private val gr6Bfs: Q = (s, dir) => {

@@ -57,8 +57,14 @@ class GraphFixpointSpec extends SparkSpecBase {
       Graph.ssspFixpoint(edges, "src", "dst", weight = Some("w")))
     val looped = toMap(Graph.ssspFixpoint(edges, "src", "dst",
       weight = Some("w"), localThreshold = 0L))
+    // third execution shape: the distributed CO-PARTITION branch (node
+    // set "too big" to broadcast — forced via broadcastLimit = 0) must
+    // produce the identical integer answer as the broadcast branch
+    val coPart = toMap(Graph.ssspFixpoint(edges, "src", "dst",
+      weight = Some("w"), localThreshold = 0L, broadcastLimit = 0L))
     assert(local == expected, s"local path: $local")
     assert(looped == expected, "local and distributed paths disagree")
+    assert(coPart == expected, "co-partition branch disagrees")
   }
 
   test("bounded rounds = min over ≤k-edge paths, on both paths") {
@@ -155,5 +161,10 @@ class GraphFixpointSpec extends SparkSpecBase {
     val looped = toMap(Graph.pageRankFixpoint(edges, "src", "dst",
       tolE12 = 100000000000L, localThreshold = 0L))
     assert(looped == loose, s"distributed != model: $looped vs $loose")
+    // and the co-partition branch (broadcastLimit = 0 forces the
+    // pre-shuffled edge table + shuffled per-round contrib join)
+    val coPart = toMap(Graph.pageRankFixpoint(edges, "src", "dst",
+      tolE12 = 100000000000L, localThreshold = 0L, broadcastLimit = 0L))
+    assert(coPart == loose, s"co-partition != model: $coPart vs $loose")
   }
 }
