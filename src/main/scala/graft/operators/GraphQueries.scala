@@ -65,6 +65,12 @@ object GraphQueries extends QueryPack {
   //    sum on dst — textbook distributed PageRank, just with the float
   //    replaced by a deterministic integer.
   private def gr1Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // NOTE: the packed-BIGINT key trick (coSupplierPairsPerOrder) was
+    // A/B-measured here and REJECTED: the pre-dedup stream is already
+    // two flat INT columns (8 bytes, codegen'd two-column hash), so the
+    // pack added arithmetic without cutting exchange bytes — gr1 at sf1
+    // regressed 5.4 → 7.2 s. The pack pays only when the alternative is
+    // struct-typed rows out of an array explode.
     val pairs = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
@@ -499,20 +505,24 @@ object GraphQueries extends QueryPack {
   //    many, while staying dimension-sized at any SF).
   private val distSentinel = 1000000000000000L // "unreached" in the oracle
   private def gr7Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // persist the half-size pair table, not the symmetrized edge table
+    // ssspFixpoint re-caches anyway (the gr3 note); the flat two-INT
+    // groupBy key stays unpacked — see the gr1 A/B note.
     val pairs = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .groupBy((col("o_custkey") * 2).as("u"),
+               (col("l_suppkey") * 2 + 1).as("v"))
       .agg(greatest(lit(1L), lit(10L) - count(lit(1))).as("w"))
+      .persist()
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"), col("w")))
-      .persist()
     val result = Graph.ssspFixpoint(edges, "src", "dst", weight = Some("w"))
       .groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
       .orderBy("dist")
-    (result, Seq(edges))
+    (result, Seq(pairs))
   }
 
   private val gr7Sssp: Q = (s, dir) => {
@@ -659,21 +669,25 @@ object GraphQueries extends QueryPack {
   private val prTolE12 = 1000000000L
   private val prMaxIters = 200
   private def gr9Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // persist the half-size pair table, not the symmetrized edge table
+    // pageRankFixpoint re-persists anyway; flat two-INT distinct stays
+    // unpacked — see the gr1 A/B note.
     val pairs = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .select((col("o_custkey") * 2).as("c"),
+              (col("l_suppkey") * 2 + 1).as("p"))
       .distinct()
+      .persist()
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
-      .persist()
     val result = Graph
       .pageRankFixpoint(edges, "src", "dst", tolE12 = prTolE12,
         maxIters = prMaxIters)
       .orderBy(col("rank_e12").desc, col("node"))
       .limit(20)
-    (result, Seq(edges))
+    (result, Seq(pairs))
   }
 
   private val gr9PageRank: Q = (s, dir) => {
