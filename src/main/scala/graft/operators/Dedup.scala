@@ -349,6 +349,65 @@ object Dedup extends QueryPack {
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  // -- d20: near-dup SURVIVORSHIP — the decision step real dedup ships:
+  //    one canonical document per d10 cluster, everything else marked
+  //    dropped. Survivor rule: longest text, ties to the smallest
+  //    doc_id — integer-only (the engine's exactness rule: a float
+  //    quality score could rank-flip across engines at the last ulp),
+  //    and computed as ONE associative max(struct(len, -doc_id))
+  //    aggregate instead of a per-cluster window sort: the partial max
+  //    runs map-side, so the survivor pick adds only a cluster-id-sized
+  //    exchange to the labeling d10 already pays — not a corpus-wide
+  //    sort. At 100 TB the output is cluster-count-sized (the kept-set
+  //    manifest a curation pipeline joins back against the corpus).
+  private val d20Survivorship: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = nearDupPairs(docs).select("doc_a", "doc_b").persist()
+    val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+    val lens = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    comp.join(lens, comp("id") === lens("doc_id"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("len"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("kept_doc"),
+        col("m.len").as("kept_len"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  // The oracle replays d10's closure, then picks the survivor with a
+  // window rank — the semantic spec the one-aggregate engine plan must
+  // reproduce exactly.
+  private val d20Sql =
+    s"""WITH RECURSIVE $d4Ctes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM j
+       |  WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) >= $jacThreshold),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |  FROM reach GROUP BY a),
+       |scored AS (
+       |  SELECT c.cluster_id, c.doc_id, CAST(length(d.text) AS BIGINT) AS len
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+       |ranked AS (
+       |  SELECT cluster_id, doc_id, len,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY len DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM scored)
+       |SELECT cluster_id, doc_id AS kept_doc, len AS kept_len,
+       |       cluster_size, cluster_size - 1 AS n_dropped
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // -- d15: LSH recall audit — what fraction of TRUE near-dup pairs
   //    (exact Jaccard ≥ threshold) does the banded candidate generation
   //    actually surface? d4 measures precision implicitly (its exact
@@ -1219,7 +1278,8 @@ object Dedup extends QueryPack {
     "d6_char_jaccard"      -> d6CharJaccard,
     "d7_decontaminate"     -> d7Decontam,
     "d8_stratified_sample" -> d8Stratified,
-    "d10_dup_clusters"     -> d10DupClusters)
+    "d10_dup_clusters"     -> d10DupClusters,
+    "d20_survivorship"     -> d20Survivorship)
 
   def oracles: Map[String, String] = Map(
     "d15_lsh_recall"       -> d15Sql,
@@ -1239,5 +1299,6 @@ object Dedup extends QueryPack {
     "d5_simhash"           -> d5Sql,
     "d6_char_jaccard"      -> d6Sql,
     "d7_decontaminate"     -> d7Sql,
-    "d8_stratified_sample" -> d8Sql)
+    "d8_stratified_sample" -> d8Sql,
+    "d20_survivorship"     -> d20Sql)
 }
