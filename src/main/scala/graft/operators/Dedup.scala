@@ -408,6 +408,101 @@ object Dedup extends QueryPack {
        |       cluster_size, cluster_size - 1 AS n_dropped
        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  // -- d21: INCREMENTAL batch admission — the ingest decision a growing
+  //    corpus makes for every new crawl batch (the batch face of
+  //    streaming/DocStream): (1) a new doc near-duplicating the EXISTING
+  //    corpus is rejected outright (dup_of_corpus, pointing at its
+  //    smallest corpus match); (2) the corpus-clean survivors are
+  //    near-dup-clustered WITHIN the batch and one canonical per cluster
+  //    is admitted (min doc_id — d20's tiebreak), the rest rejected as
+  //    dup_in_batch. Split here: existing = doc_id % 4 != 0, batch =
+  //    % 4 == 0.
+  //    Scale shape: the corpus side is touched ONLY through its
+  //    signature table (in production the persisted DocStream/
+  //    MergeWriter store — never re-shingled) and the band join is
+  //    new×corpus, so the per-batch cost is |batch| signing + banded
+  //    candidates, independent of corpus text volume. The within-batch
+  //    step runs on the batch's survivors only.
+  //    The ORACLE derives the same statuses from the WHOLE-corpus pair
+  //    closure filtered by subset membership (signatures are per-doc, so
+  //    subset banding ≡ whole-corpus banding restricted to the subsets) —
+  //    a structurally different formulation, which is exactly what makes
+  //    the cross-engine hash a strong check.
+  private val d21IncrementalAdmit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val sigE = signatures(docs.filter(col("doc_id") % 4 =!= 0)).persist()
+    val sigN = signatures(batch).persist()
+    val corpusHit = probePairs(sigN, sigE)
+      .groupBy(col("new_doc").as("doc_id"))
+      .agg(min(col("dup_of")).as("corpus_canon"))
+      .persist()
+    val cleanSig = sigN
+      .join(corpusHit.select("doc_id"), Seq("doc_id"), "left_anti")
+      .persist()
+    val within = probePairs(cleanSig, cleanSig)
+      .filter(col("new_doc") < col("dup_of"))
+      .select(col("new_doc").as("doc_a"), col("dup_of").as("doc_b"))
+      .persist()
+    val comp = Graph.connectedComponents(within, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+    batch.select(col("doc_id"))
+      .join(corpusHit, Seq("doc_id"), "left_outer")
+      .join(comp, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("corpus_canon").isNotNull, lit("dup_of_corpus"))
+          .when(col("component").isNotNull &&
+                col("component") =!= col("doc_id"), lit("dup_in_batch"))
+          .otherwise(lit("admitted")).as("status"),
+        coalesce(col("corpus_canon"),
+          when(col("component") =!= col("doc_id"), col("component")),
+          col("doc_id")).as("canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val d21Sql =
+    s"""WITH RECURSIVE $d4Ctes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM j
+       |  WHERE CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE) >= $jacThreshold),
+       |newdocs AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+       |corpus_hit AS (
+       |  SELECT n, MIN(e) AS corpus_canon FROM (
+       |    SELECT doc_a AS n, doc_b AS e FROM pairs
+       |    WHERE doc_a % 4 = 0 AND doc_b % 4 <> 0
+       |    UNION ALL
+       |    SELECT doc_b AS n, doc_a AS e FROM pairs
+       |    WHERE doc_b % 4 = 0 AND doc_a % 4 <> 0)
+       |  GROUP BY n),
+       |batch_edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  WHERE doc_a % 4 = 0 AND doc_b % 4 = 0
+       |    AND doc_a NOT IN (SELECT n FROM corpus_hit)
+       |    AND doc_b NOT IN (SELECT n FROM corpus_hit)),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM batch_edges
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM batch_edges),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+       |  FROM reach GROUP BY a)
+       |SELECT n.doc_id,
+       |       CASE WHEN ch.n IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN c.component IS NOT NULL AND c.component <> n.doc_id
+       |              THEN 'dup_in_batch'
+       |            ELSE 'admitted' END AS status,
+       |       COALESCE(ch.corpus_canon,
+       |                CASE WHEN c.component <> n.doc_id THEN c.component END,
+       |                n.doc_id) AS canonical
+       |FROM newdocs n
+       |LEFT JOIN corpus_hit ch ON ch.n = n.doc_id
+       |LEFT JOIN comp c ON c.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   // -- d15: LSH recall audit — what fraction of TRUE near-dup pairs
   //    (exact Jaccard ≥ threshold) does the banded candidate generation
   //    actually surface? d4 measures precision implicitly (its exact
@@ -1279,7 +1374,8 @@ object Dedup extends QueryPack {
     "d7_decontaminate"     -> d7Decontam,
     "d8_stratified_sample" -> d8Stratified,
     "d10_dup_clusters"     -> d10DupClusters,
-    "d20_survivorship"     -> d20Survivorship)
+    "d20_survivorship"     -> d20Survivorship,
+    "d21_incremental_admit" -> d21IncrementalAdmit)
 
   def oracles: Map[String, String] = Map(
     "d15_lsh_recall"       -> d15Sql,
@@ -1300,5 +1396,6 @@ object Dedup extends QueryPack {
     "d6_char_jaccard"      -> d6Sql,
     "d7_decontaminate"     -> d7Sql,
     "d8_stratified_sample" -> d8Sql,
-    "d20_survivorship"     -> d20Sql)
+    "d20_survivorship"     -> d20Sql,
+    "d21_incremental_admit" -> d21Sql)
 }
