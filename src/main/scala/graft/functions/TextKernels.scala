@@ -324,4 +324,46 @@ object TextKernels {
   val bucketPairJaccardsUdf: UserDefinedFunction =
     udf((members: Seq[(Long, Seq[Long])], minJac: Double) =>
       bucketPairJaccards(members, minJac))
+
+  /** Cross-side variant of [[bucketPairJaccards]] for the asymmetric
+    * probe (new batch × signature store, Dedup.probePairs): verifies
+    * every (new, store) pair sharing this bucket, skipping equal ids
+    * (a redelivered batch whose signatures were already upserted must
+    * not match itself). Output keeps (new_id, store_id) orientation —
+    * NOT id-sorted — the probe's asymmetric contract. Same flat-array
+    * + in-kernel-threshold discipline as the one-sided kernel. */
+  def bucketCrossJaccards(newMembers: Seq[(Long, Seq[Long])],
+                          storeMembers: Seq[(Long, Seq[Long])],
+                          minJac: Double): Seq[(Long, Long, Double)] = {
+    val n = newMembers.length
+    val m = storeMembers.length
+    val nid = new Array[Long](n)
+    val nhs = new Array[Array[Long]](n)
+    var i = 0
+    newMembers.foreach { x => nid(i) = x._1; nhs(i) = x._2.toArray; i += 1 }
+    val sid = new Array[Long](m)
+    val shs = new Array[Array[Long]](m)
+    i = 0
+    storeMembers.foreach { x => sid(i) = x._1; shs(i) = x._2.toArray; i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var a = 0
+    while (a < n) {
+      var b = 0
+      while (b < m) {
+        if (nid(a) != sid(b)) {
+          val inter = intersectCount(nhs(a), shs(b))
+          val jac = inter.toDouble /
+            (nhs(a).length + shs(b).length - inter).toDouble
+          if (jac >= minJac) out += ((nid(a), sid(b), jac))
+        }
+        b += 1
+      }
+      a += 1
+    }
+    out.toSeq
+  }
+
+  val bucketCrossJaccardsUdf: UserDefinedFunction =
+    udf((nm: Seq[(Long, Seq[Long])], sm: Seq[(Long, Seq[Long])],
+         minJac: Double) => bucketCrossJaccards(nm, sm, minJac))
 }

@@ -200,23 +200,29 @@ object Dedup extends QueryPack {
                  storeSig: org.apache.spark.sql.DataFrame,
                  threshold: String = jacThreshold)
       : org.apache.spark.sql.DataFrame = {
-    val cand = bandsOf(newSig).as("a").join(bandsOf(storeSig).as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("dup_of"))
-      .distinct()
-    cand
-      .join(newSig.select(col("doc_id").as("new_doc"), col("hs").as("hs_a")),
-        "new_doc")
-      .join(storeSig.select(col("doc_id").as("dup_of"), col("hs").as("hs_b")),
-        "dup_of")
-      .withColumn("inter",
-        TextKernels.intersectCountUdf(col("hs_a"), col("hs_b")))
-      .withColumn("jac",
-        col("inter").cast("double") /
-        (expr("size(hs_a)") + expr("size(hs_b)") - col("inter")).cast("double"))
+    // Bucket-LOCAL verification, the [[nearDupPairsWithBase]] discipline
+    // on the two-sided probe: group each bucket's members from BOTH
+    // sides and verify the cross pairs in-task, so the shingle arrays
+    // cross ONE bucket-keyed exchange per side instead of riding every
+    // candidate row through two per-candidate joins (the textbook shape
+    // this replaced went bimodal-slow at sf10's dup-dense corpus: hot
+    // boilerplate buckets make candidates quadratic in bucket
+    // population). Duplicate (pair, jac) rows from multi-band collisions
+    // collapse in the same final distinct the old plan had.
+    val kernelMin = scala.util.Try(threshold.toDouble)
+      .getOrElse(Double.NegativeInfinity)
+    def grouped(sig: org.apache.spark.sql.DataFrame, out: String) =
+      bandsOf(sig).join(sig.select(col("doc_id"), col("hs")), "doc_id")
+        .groupBy("band_id", "bh")
+        .agg(collect_list(struct(col("doc_id"), col("hs"))).as(out))
+    grouped(newSig, "nmem")
+      .join(grouped(storeSig, "smem"), Seq("band_id", "bh"))
+      .select(explode(graft.functions.TextKernels.bucketCrossJaccardsUdf(
+        col("nmem"), col("smem"), lit(kernelMin))).as("p"))
+      .select(col("p._1").as("new_doc"), col("p._2").as("dup_of"),
+        col("p._3").as("jac"))
       .filter(col("jac") >= expr(threshold))
-      .select("new_doc", "dup_of", "jac")
+      .distinct()
   }
 
   /** Training docs near-duplicating any held-out doc: one row per flagged
@@ -226,22 +232,13 @@ object Dedup extends QueryPack {
                     heldOut: org.apache.spark.sql.DataFrame,
                     threshold: String = jacThreshold)
       : org.apache.spark.sql.DataFrame = {
+    // One bucket-local probe (the [[probePairs]] machinery — train and
+    // eval corpora are disjoint, so the probe's same-id exclusion is
+    // vacuous here) then a per-train-doc rollup of its matches.
     val trainSig = signatures(train).persist()
     val evalSig = signatures(heldOut).persist()
-    val cand = bandsOf(trainSig).as("a")
-      .join(bandsOf(evalSig).as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh"))
-      .select(col("a.doc_id").as("train_doc"), col("b.doc_id").as("eval_doc"))
-      .distinct()
-    val sh = trainSig.select(col("doc_id").as("train_doc"), col("hs").as("hs_a"))
-    val shE = evalSig.select(col("doc_id").as("eval_doc"), col("hs").as("hs_b"))
-    cand.join(sh, "train_doc").join(shE, "eval_doc")
-      .withColumn("inter", TextKernels.intersectCountUdf(col("hs_a"), col("hs_b")))
-      .withColumn("jac",
-        col("inter").cast("double") /
-        (expr("size(hs_a)") + expr("size(hs_b)") - col("inter")).cast("double"))
-      .filter(col("jac") >= expr(threshold))
-      .groupBy("train_doc")
+    probePairs(trainSig, evalSig, threshold)
+      .groupBy(col("new_doc").as("train_doc"))
       .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
   }
 
