@@ -267,7 +267,7 @@ object GraphQueries extends QueryPack {
   // hub-keyed self-join can.
   //
   // The pair travels PACKED as one BIGINT (u << 32 | v; supplier ids are
-  // far below 2^31 at any SF — asserted in GraphQueriesSpec) because the
+  // far below 2^31 at any SF — asserted in GraphQueries2Spec) because the
   // raw pair stream is the fattest exchange of the whole gr pack (~160M
   // rows at sf10, pre-dedup) and every downstream consumer's first move
   // is a hash shuffle on the pair identity (distinct for gr3/gr6,

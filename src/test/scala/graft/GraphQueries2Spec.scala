@@ -21,6 +21,18 @@ class GraphQueries2Spec extends SparkSpecBase {
     }.toSet
   }
 
+  test("pair-pack precondition: supplier ids stay far below 2^31") {
+    // coSupplierPairsPerOrder packs pairs as u*2^32 + v; a suppkey at or
+    // above 2^31 would silently overflow the BIGINT. TPC-H suppkeys are
+    // ~1e4·SF and ScaleUp's key shift multiplies by the replication
+    // factor, so the bound holds by construction at any realistic SF —
+    // this pins it against a future generator change.
+    val mx = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(max(col("l_suppkey").cast("long"))).head().getLong(0)
+    assert(mx < (1L << 31),
+      s"l_suppkey max $mx would overflow the u<<32|v pair packing")
+  }
+
   test("gr2 per-doc triangle counts match the brute-force enumeration " +
        "over the d4 pair graph") {
     val pairEdges = operators.Dedup
