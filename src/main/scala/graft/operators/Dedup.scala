@@ -101,6 +101,10 @@ object Dedup extends QueryPack {
       : org.apache.spark.sql.DataFrame =
     docs.select(
       col("doc_id"),
+      // one extra BIGINT rides the same text scan so downstream
+      // survivor rules (d20) never re-read the corpus text column —
+      // at sf10 that second scan cost more than the survivor pick
+      length(col("text")).cast("long").as("len"),
       TextKernels.minhashSigsUdf(col("text")).as("sig"),
       TextKernels.wordShingleHashesUdf(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -359,10 +363,13 @@ object Dedup extends QueryPack {
   //    manifest a curation pipeline joins back against the corpus).
   private val d20Survivorship: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val pairs = nearDupPairs(docs).select("doc_a", "doc_b").persist()
+    val (rawPairs, base) = nearDupPairsWithBase(docs)
+    val pairs = rawPairs.select("doc_a", "doc_b").persist()
     val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
-    val lens = docs.select(col("doc_id"),
-      length(col("text")).cast("long").as("len"))
+    // lengths come off the PERSISTED signature base (one text scan for
+    // the whole query): cluster members all have signatures, so the
+    // base covers every id comp can emit.
+    val lens = base.select(col("doc_id"), col("len"))
     comp.join(lens, comp("id") === lens("doc_id"))
       .groupBy(col("component").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
