@@ -52,10 +52,20 @@ object IvfPqIndex {
 
   import Similarity.{dims, ivfK, ivfSampleMod, pqM, pqSubDim, pqK}
 
+  /** Training-layout version, part of the cache key: the content
+    * fingerprint alone cannot see a CODE change to the training rules
+    * (k tiers, sample mod, PQ geometry), and serving a stale-layout
+    * index against a freshly-derived oracle replay is a silent
+    * cross-engine mismatch. Bump when any training parameter rule
+    * changes. L2 = corpus-count-derived ivfK with uncapped tiers. */
+  private val layoutTag = "L2"
+
   /** Deterministic per-corpus index location under java.io.tmpdir,
-    * keyed by [[fingerprint]] so the directory name IS the cache key. */
+    * keyed by [[layoutTag]] + [[fingerprint]] so the directory name IS
+    * the cache key. */
   def indexDir(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${fingerprint(sourceFile(dir))}"
+    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${layoutTag}_" +
+      fingerprint(sourceFile(dir))
 
   private def sourceFile(dir: String) =
     new java.io.File(dir, "embeddings.parquet")
@@ -169,9 +179,13 @@ object IvfPqIndex {
 
     // Coarse quantizer: v8's shape — train on the deterministic sample
     // (k-means never needs the full corpus), assign EVERY vector once.
-    val m = ivfSampleMod(e.count())
+    // k tracks the CORPUS count (cell size n/k is the serving cost at
+    // scale), while Lloyd still trains on the bounded sample — the r10
+    // sf10 run caught sample-derived k leaving cells 4× too fat.
+    val n = e.count()
+    val m = ivfSampleMod(n)
     val sample = e.filter(pmod(col("vec_id"), lit(m)) === 0)
-    val k = ivfK(sample.count())
+    val k = ivfK(n)
     val coarse = KMeans.fit(sample, k, iters = 2)
     MergeWriter.upsertParquet(spark, s"$path/coarse_centroids",
       coarse.select(col("cell").cast("int").as("cell"), col("pos"),

@@ -263,14 +263,23 @@ object Similarity extends QueryPack {
   //    exact training: 2 unrolled Lloyd iterations (per-dim means are
   //    exact — float mantissas leave ~29 headroom bits in a double sum —
   //    and every dot product is the same left-to-right fold both sides).
+  // k ≈ √n in power-of-two tiers, NO cap: the r10 sf10 headroom run
+  // caught the old `else 128` ceiling leaving 1,560 vectors per cell at
+  // 200k vectors — the search scan (n·nprobe·cell) is what that breaks
+  // at scale, exactly the failure the surrounding comment promises
+  // can't happen. Tiers (not exact √n) keep the value a deterministic
+  // integer CASE both engines evaluate identically.
   private[operators] def ivfK(n: Long): Int =
     if (n <= 64) 8 else if (n <= 256) 16 else if (n <= 1024) 32
-    else if (n <= 4096) 64 else 128
+    else if (n <= 4096) 64 else if (n <= 65536) 128
+    else if (n <= 262144) 512 else if (n <= 4194304) 2048 else 8192
 
   private def ivfKSqlFor(t: String): String =
     s"""(SELECT CASE WHEN count(*) <= 64 THEN 8 WHEN count(*) <= 256 THEN 16
        |  WHEN count(*) <= 1024 THEN 32 WHEN count(*) <= 4096 THEN 64
-       |  ELSE 128 END FROM $t)""".stripMargin
+       |  WHEN count(*) <= 65536 THEN 128 WHEN count(*) <= 262144 THEN 512
+       |  WHEN count(*) <= 4194304 THEN 2048
+       |  ELSE 8192 END FROM $t)""".stripMargin
 
   private val ivfKSql = ivfKSqlFor("embeddings")
 
@@ -381,9 +390,14 @@ object Similarity extends QueryPack {
 
   private val v8IvfSampled: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-    val m = ivfSampleMod(e.count())
+    // k tracks the CORPUS count even though Lloyd trains on the sample:
+    // cell size n/k is the per-probe serving cost, and deriving k from
+    // the sample halved it — measured at sf10 as a 3× search blowup
+    // before the fix (the sample only needs to be ≥ k for seeding).
+    val n = e.count()
+    val m = ivfSampleMod(n)
     val sample = e.filter(pmod(col("vec_id"), lit(m)) === 0)
-    val k = ivfK(sample.count())
+    val k = ivfK(n)
     val centroids = graft.functions.KMeans.fit(sample, k, iters = 2)
     val withNorm = e.withColumn("norm", DotProduct.norm(col("embedding")))
     // inverted lists: one cell per corpus vector (persisted: search
@@ -416,7 +430,7 @@ object Similarity extends QueryPack {
        |  SELECT CAST(rn - 1 AS INT) AS cell, embedding FROM (
        |    SELECT vec_id, embedding,
        |           row_number() OVER (ORDER BY vec_id) AS rn FROM smp) s
-       |  WHERE rn <= ${ivfKSqlFor("smp")}),
+       |  WHERE rn <= ${ivfKSqlFor("e")}),
        |cents0 AS (
        |  SELECT cell, embedding AS centroid,
        |         ${dotD("embedding", "embedding")} AS cnorm2 FROM seed),
@@ -727,10 +741,11 @@ object Similarity extends QueryPack {
 
     // sampled-IVF top-3 for the same queries (v8's index: train on the
     // vec_id%m sample, one inverted list per corpus vector, nprobe=2)
-    val m = ivfSampleMod(e.count())
+    val n = e.count()
+    val m = ivfSampleMod(n)
     val sample = Tables.embeddings(s, dir)
       .filter(pmod(col("vec_id"), lit(m)) === 0)
-    val k = ivfK(sample.count())
+    val k = ivfK(n) // corpus-derived, the v8 rule
     val centroids = graft.functions.KMeans.fit(sample, k, iters = 2)
     val lists = graft.functions.KMeans.assign(e, centroids).persist()
     val probes = graft.functions.KMeans
@@ -781,7 +796,7 @@ object Similarity extends QueryPack {
        |  SELECT CAST(rn - 1 AS INT) AS cell, embedding FROM (
        |    SELECT vec_id, embedding,
        |           row_number() OVER (ORDER BY vec_id) AS rn FROM smp) s
-       |  WHERE rn <= ${ivfKSqlFor("smp")}),
+       |  WHERE rn <= ${ivfKSqlFor("e")}),
        |cents0 AS (
        |  SELECT cell, embedding AS centroid,
        |         ${dotD("embedding", "embedding")} AS cnorm2 FROM seed),
@@ -859,7 +874,7 @@ object Similarity extends QueryPack {
        |  SELECT CAST(rn - 1 AS INT) AS cell, embedding FROM (
        |    SELECT vec_id, embedding,
        |           row_number() OVER (ORDER BY vec_id) AS rn FROM smp) s
-       |  WHERE rn <= ${ivfKSqlFor("smp")}),
+       |  WHERE rn <= ${ivfKSqlFor("e")}),
        |cents0 AS (
        |  SELECT cell, embedding AS centroid,
        |         ${dotD("embedding", "embedding")} AS cnorm2 FROM seed),
@@ -1060,7 +1075,7 @@ object Similarity extends QueryPack {
        |  SELECT CAST(rn - 1 AS INT) AS cell, embedding FROM (
        |    SELECT vec_id, embedding,
        |           row_number() OVER (ORDER BY vec_id) AS rn FROM smp) s
-       |  WHERE rn <= ${ivfKSqlFor("smp")}),
+       |  WHERE rn <= ${ivfKSqlFor("e")}),
        |cents0 AS (
        |  SELECT cell, embedding AS centroid,
        |         ${dotD("embedding", "embedding")} AS cnorm2 FROM seed),
