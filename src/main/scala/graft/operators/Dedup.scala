@@ -97,17 +97,24 @@ object Dedup extends QueryPack {
   /** (doc_id, sig, hs) for docs with ≥1 shingle — the MinHash signature
     * table behind d4/d7 and [[CorpusCuration]]. Callers that reference it
     * more than once should persist (the text kernels dominate its cost). */
-  def signatures(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    docs.select(
-      col("doc_id"),
-      // one extra BIGINT rides the same text scan so downstream
-      // survivor rules (d20) never re-read the corpus text column —
-      // at sf10 that second scan cost more than the survivor pick
-      length(col("text")).cast("long").as("len"),
-      TextKernels.minhashSigsUdf(col("text")).as("sig"),
-      TextKernels.wordShingleHashesUdf(col("text")).as("hs"))
-      .filter(size(col("hs")) > 0)
+  def signatures(docs: org.apache.spark.sql.DataFrame,
+                 withLen: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    // `withLen` rides one extra BIGINT on this text scan so a survivor
+    // rule (d20) never re-reads the corpus text column. It is OPT-IN
+    // because it is not free: carrying it unconditionally was measured
+    // at sf10 to slow d10 29.6 → 36.5 s — a tax on every signature
+    // consumer to save one query's second scan. Only d20 asks for it.
+    val base = if (withLen)
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        TextKernels.minhashSigsUdf(col("text")).as("sig"),
+        TextKernels.wordShingleHashesUdf(col("text")).as("hs"))
+    else
+      docs.select(col("doc_id"),
+        TextKernels.minhashSigsUdf(col("text")).as("sig"),
+        TextKernels.wordShingleHashesUdf(col("text")).as("hs"))
+    base.filter(size(col("hs")) > 0)
+  }
 
   /** Band keys (doc_id, band_id, bh) from a signature table: candidates
     * travel as compact triples; shingles join back only for survivors. */
@@ -153,12 +160,13 @@ object Dedup extends QueryPack {
     * their dimension-sized result is materialized and so need a handle
     * on every cached intermediate, not just their own. */
   def nearDupPairsWithBase(docs: org.apache.spark.sql.DataFrame,
-                           threshold: String = jacThreshold)
+                           threshold: String = jacThreshold,
+                           withLen: Boolean = false)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // The signature table is referenced 2× (banding + the member join);
     // persisted so the text kernels run once per doc, not twice
     // (the harness clears the cache between queries).
-    val base = signatures(docs).persist()
+    val base = signatures(docs, withLen).persist()
     // Bucket-LOCAL candidate verification instead of the textbook
     // band-bucket self-join + per-candidate shingle joins: group each
     // bucket's members (id + shingles) into one row and verify every
@@ -363,7 +371,7 @@ object Dedup extends QueryPack {
   //    manifest a curation pipeline joins back against the corpus).
   private val d20Survivorship: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val (rawPairs, base) = nearDupPairsWithBase(docs)
+    val (rawPairs, base) = nearDupPairsWithBase(docs, withLen = true)
     val pairs = rawPairs.select("doc_a", "doc_b").persist()
     val comp = Graph.connectedComponents(pairs, "doc_a", "doc_b")
     // lengths come off the PERSISTED signature base (one text scan for
