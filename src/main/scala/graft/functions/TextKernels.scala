@@ -321,10 +321,6 @@ object TextKernels {
     out.toSeq
   }
 
-  val bucketPairJaccardsUdf: UserDefinedFunction =
-    udf((members: Seq[(Long, Seq[Long])], minJac: Double) =>
-      bucketPairJaccards(members, minJac))
-
   /** Cross-side variant of [[bucketPairJaccards]] for the asymmetric
     * probe (new batch × signature store, Dedup.probePairs): verifies
     * every (new, store) pair sharing this bucket, skipping equal ids
@@ -363,7 +359,54 @@ object TextKernels {
     out.toSeq
   }
 
-  val bucketCrossJaccardsUdf: UserDefinedFunction =
-    udf((nm: Seq[(Long, Seq[Long])], sm: Seq[(Long, Seq[Long])],
-         minJac: Double) => bucketCrossJaccards(nm, sm, minJac))
+  /** Chunk-pair verification for the CAPPED bucket-local plan (VERDICT
+    * r10 task 2): a bucket's members are split into fixed-size chunks
+    * upstream, and each grouped row carries either ONE chunk (`bmem`
+    * empty — verify all pairs within it) or TWO chunks (verify only the
+    * cross pairs; each chunk's internal pairs arrive on its own row).
+    * Same candidates and the same per-pair arithmetic as
+    * [[bucketPairJaccards]] over the whole bucket — the union of
+    * intra-chunk and cross-chunk pairs IS C(n,2) — but per-task work is
+    * bounded by the chunk size, not the hottest bucket's population
+    * (the single-task C(n,2) straggler / giant-collect_list-row failure
+    * mode an adversarial boilerplate bucket would hit). Output id-sorted
+    * like the one-bucket kernel; cross pairs can't repeat an intra pair
+    * (a doc lives in exactly one chunk per bucket). */
+  def chunkPairJaccards(amem: Seq[(Long, Seq[Long])],
+                        bmem: Seq[(Long, Seq[Long])],
+                        minJac: Double): Seq[(Long, Long, Double)] =
+    if (bmem == null || bmem.isEmpty) bucketPairJaccards(amem, minJac)
+    else bucketCrossJaccards(amem, bmem, minJac).map { t =>
+      if (t._1 <= t._2) t else (t._2, t._1, t._3)
+    }
+
+  val chunkPairJaccardsUdf: UserDefinedFunction =
+    udf((a: Seq[(Long, Seq[Long])], b: Seq[(Long, Seq[Long])],
+         minJac: Double) => chunkPairJaccards(a, b, minJac))
+
+  /** Chunked TWO-SIDED probe kernel ([[bucketCrossJaccards]] semantics
+    * under the chunk cap): members carry a corpus-side tag (_3 = true
+    * for the NEW batch, false for the store) because chunks are cut
+    * over the bucket's COMBINED membership — a chunk can mix sides.
+    * Pairs are (new, store) only, orientation kept, equal ids skipped
+    * (redelivery self-match), exactly the uncapped kernel's contract;
+    * intra-chunk rows (`bmem` empty) contribute their internal
+    * new×store pairs, cross-chunk rows the across-chunk ones. */
+  def chunkCrossJaccards(amem: Seq[(Long, Seq[Long], Boolean)],
+                         bmem: Seq[(Long, Seq[Long], Boolean)],
+                         minJac: Double): Seq[(Long, Long, Double)] = {
+    def strip(xs: Seq[(Long, Seq[Long], Boolean)]) = xs.map(t => (t._1, t._2))
+    val (an, as) = amem.partition(_._3)
+    if (bmem == null || bmem.isEmpty)
+      bucketCrossJaccards(strip(an), strip(as), minJac)
+    else {
+      val (bn, bs) = bmem.partition(_._3)
+      bucketCrossJaccards(strip(an), strip(bs), minJac) ++
+        bucketCrossJaccards(strip(bn), strip(as), minJac)
+    }
+  }
+
+  val chunkCrossJaccardsUdf: UserDefinedFunction =
+    udf((a: Seq[(Long, Seq[Long], Boolean)], b: Seq[(Long, Seq[Long], Boolean)],
+         minJac: Double) => chunkCrossJaccards(a, b, minJac))
 }

@@ -159,9 +159,63 @@ object Dedup extends QueryPack {
     * for callers (the graph pack) that release query-local caches once
     * their dimension-sized result is materialized and so need a handle
     * on every cached intermediate, not just their own. */
+  /** Max members per chunk in bucket-local verification. Bounds the
+    * hottest task at ≤ C(2·cap, 2) pair checks and the fattest grouped
+    * row at ≤ 2·cap shingle arrays, whatever the bucket population —
+    * the r10 plan concentrated a hot bucket's whole C(n,2) in ONE task
+    * and one collect_list row (2.3k members → ~2.7M checks at sf10; an
+    * adversarial boilerplate bucket would make that a straggler or an
+    * OOM on the giant row, where the pre-r10 join degraded by spilling).
+    * 512 keeps the common case (bucket ≤ 512 members) on a single
+    * intra-chunk row — zero cross rows, the exact r10 plan — while a
+    * hot bucket splits into ⌈n/512⌉ chunks whose intra + pairwise cross
+    * rows spread the same C(n,2) arithmetic across ~(n/512)²/2 tasks. */
+  private[operators] val bucketChunkSize = 512
+
+  /** Chunk-pair grouping for one-sided bucket-local verification:
+    * each band bucket's members are cut into ≤`chunkSize` chunks
+    * (deterministic: row_number over doc_id), and every chunk pair
+    * (c_lo ≤ c_hi) becomes ONE grouped row carrying the lower chunk's
+    * members in `amem` and (for cross rows) the higher chunk's in
+    * `bmem`. The union of per-row pair sets is exactly the bucket's
+    * C(n,2) — same candidates as the uncapped plan. The chunk/count
+    * window moves only the skinny (doc_id, band_id, bh) triples; the
+    * shingle arrays still cross ONE exchange, keyed by (bucket, chunk
+    * pair), and a member rides it once per chunk-pair it joins
+    * (⌈n/chunkSize⌉ times in an oversized bucket, once otherwise). */
+  private[graft] def chunkedBucketMembers(
+      sig: org.apache.spark.sql.DataFrame, chunkSize: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("band_id", "bh").orderBy("doc_id")
+    val wAll = Window.partitionBy("band_id", "bh")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val assigned = bandsOf(sig)
+      .withColumn("chunk",
+        ((row_number().over(wOrd) - 1) / chunkSize).cast("int"))
+      .withColumn("nch", (max(col("chunk")).over(wAll) + 1))
+      .select(col("doc_id"), col("band_id"), col("bh"), col("chunk"),
+        explode(sequence(lit(0), col("nch") - 1)).as("j"))
+      .select(col("doc_id"), col("band_id"), col("bh"),
+        least(col("chunk"), col("j")).as("c_lo"),
+        greatest(col("chunk"), col("j")).as("c_hi"),
+        (col("chunk") <= col("j")).as("is_a"))
+    assigned
+      .join(sig.select(col("doc_id"), col("hs")), "doc_id")
+      .groupBy("band_id", "bh", "c_lo", "c_hi")
+      .agg(
+        collect_list(when(col("is_a"),
+          struct(col("doc_id"), col("hs")))).as("amem"),
+        collect_list(when(!col("is_a"),
+          struct(col("doc_id"), col("hs")))).as("bmem"))
+      .filter(size(col("amem")) + size(col("bmem")) > 1)
+  }
+
   def nearDupPairsWithBase(docs: org.apache.spark.sql.DataFrame,
                            threshold: String = jacThreshold,
-                           withLen: Boolean = false)
+                           withLen: Boolean = false,
+                           chunkSize: Int = bucketChunkSize)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // The signature table is referenced 2× (banding + the member join);
     // persisted so the text kernels run once per doc, not twice
@@ -169,30 +223,25 @@ object Dedup extends QueryPack {
     val base = signatures(docs, withLen).persist()
     // Bucket-LOCAL candidate verification instead of the textbook
     // band-bucket self-join + per-candidate shingle joins: group each
-    // bucket's members (id + shingles) into one row and verify every
-    // pair inside the task. Same candidates, same exact-Jaccard
-    // arithmetic, same distinct'd output — but the shingle arrays move
-    // through ONE exchange keyed by bucket (once per doc per band, ~3 GB
-    // at 500k docs) instead of riding every candidate row (~70 GB there:
+    // bucket's members (id + shingles) and verify pairs inside the
+    // task. Same candidates, same exact-Jaccard arithmetic, same
+    // distinct'd output — but the shingle arrays move through ONE
+    // grouped exchange (once per doc per band per chunk-pair, ~3 GB at
+    // 500k docs) instead of riding every candidate row (~70 GB there:
     // hot buckets make candidates quadratic in bucket population, and
-    // the r10 sf10 run spilled that join to disk). The per-bucket work
-    // is bounded by the hottest bucket (2.3k members → ~2.7M pair
-    // checks, ~2 s in one task) — the LSH analog of a skewed group key,
-    // inherent to the banding semantics, not the plan.
-    val members = bandsOf(base)
-      .join(base.select(col("doc_id"), col("hs")), "doc_id")
-      .groupBy("band_id", "bh")
-      .agg(collect_list(struct(col("doc_id"), col("hs"))).as("members"))
-      .filter(size(col("members")) > 1)
+    // the r10 sf10 run spilled that join to disk). Buckets larger than
+    // [[bucketChunkSize]] split into chunk-pair rows so the hottest
+    // task and the fattest row stay bounded (see chunkedBucketMembers).
+    //
     // The kernel pre-filters at the same threshold when it is a plain
     // double literal (every current caller); a non-literal expression
     // degrades to no pre-filter and the SQL gate below does all the work.
     val kernelMin = scala.util.Try(threshold.toDouble)
       .getOrElse(Double.NegativeInfinity)
-    val pairs = members
+    val pairs = chunkedBucketMembers(base, chunkSize)
       .select(explode(
-        graft.functions.TextKernels.bucketPairJaccardsUdf(
-          col("members"), lit(kernelMin)))
+        graft.functions.TextKernels.chunkPairJaccardsUdf(
+          col("amem"), col("bmem"), lit(kernelMin)))
         .as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
         col("p._3").as("jac"))
@@ -210,27 +259,65 @@ object Dedup extends QueryPack {
     * upserted into the store does not match itself on redelivery. */
   def probePairs(newSig: org.apache.spark.sql.DataFrame,
                  storeSig: org.apache.spark.sql.DataFrame,
-                 threshold: String = jacThreshold)
+                 threshold: String = jacThreshold,
+                 chunkSize: Int = bucketChunkSize)
       : org.apache.spark.sql.DataFrame = {
     // Bucket-LOCAL verification, the [[nearDupPairsWithBase]] discipline
-    // on the two-sided probe: group each bucket's members from BOTH
-    // sides and verify the cross pairs in-task, so the shingle arrays
-    // cross ONE bucket-keyed exchange per side instead of riding every
-    // candidate row through two per-candidate joins (the textbook shape
-    // this replaced went bimodal-slow at sf10's dup-dense corpus: hot
-    // boilerplate buckets make candidates quadratic in bucket
-    // population). Duplicate (pair, jac) rows from multi-band collisions
-    // collapse in the same final distinct the old plan had.
+    // on the two-sided probe: each bucket's COMBINED membership (both
+    // sides, side-tagged) is chunked exactly like the one-sided plan,
+    // so the shingle arrays cross ONE grouped exchange instead of
+    // riding every candidate row through two per-candidate joins (the
+    // textbook shape this replaced went bimodal-slow at sf10's
+    // dup-dense corpus), AND no single task owns a hot bucket's full
+    // new×store product (the r10 plan's one-row-per-bucket bound).
+    // Buckets present on only one side are dropped BEFORE the shingle
+    // join — they can't produce a cross pair, and at serving scale most
+    // store buckets have no batch member (the r10 plan aggregated every
+    // store bucket's members first and pruned in the join after).
+    // Duplicate (pair, jac) rows from multi-band collisions collapse in
+    // the same final distinct the old plan had.
+    import org.apache.spark.sql.expressions.Window
     val kernelMin = scala.util.Try(threshold.toDouble)
       .getOrElse(Double.NegativeInfinity)
-    def grouped(sig: org.apache.spark.sql.DataFrame, out: String) =
-      bandsOf(sig).join(sig.select(col("doc_id"), col("hs")), "doc_id")
-        .groupBy("band_id", "bh")
-        .agg(collect_list(struct(col("doc_id"), col("hs"))).as(out))
-    grouped(newSig, "nmem")
-      .join(grouped(storeSig, "smem"), Seq("band_id", "bh"))
-      .select(explode(graft.functions.TextKernels.bucketCrossJaccardsUdf(
-        col("nmem"), col("smem"), lit(kernelMin))).as("p"))
+    val allBands = bandsOf(newSig).withColumn("is_new", lit(true))
+      .unionByName(bandsOf(storeSig).withColumn("is_new", lit(false)))
+    val wOrd = Window.partitionBy("band_id", "bh")
+      .orderBy("is_new", "doc_id")
+    val wAll = Window.partitionBy("band_id", "bh")
+      .orderBy("is_new", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val assigned = allBands
+      .withColumn("has_new",
+        max(when(col("is_new"), 1).otherwise(0)).over(wAll))
+      .withColumn("has_store",
+        max(when(col("is_new"), 0).otherwise(1)).over(wAll))
+      .filter(col("has_new") === 1 && col("has_store") === 1)
+      .withColumn("chunk",
+        ((row_number().over(wOrd) - 1) / chunkSize).cast("int"))
+      .withColumn("nch", (max(col("chunk")).over(wAll) + 1))
+      .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
+        col("chunk"),
+        explode(sequence(lit(0), col("nch") - 1)).as("j"))
+      .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
+        least(col("chunk"), col("j")).as("c_lo"),
+        greatest(col("chunk"), col("j")).as("c_hi"),
+        (col("chunk") <= col("j")).as("is_a"))
+    // shingles join per SIDE: the same doc_id can appear on both sides
+    // (a redelivered batch already upserted into the store) with
+    // side-specific rows the kernel must keep distinct.
+    val withHs = assigned.filter(col("is_new"))
+      .join(newSig.select(col("doc_id"), col("hs")), "doc_id")
+      .unionByName(assigned.filter(!col("is_new"))
+        .join(storeSig.select(col("doc_id"), col("hs")), "doc_id"))
+    withHs
+      .groupBy("band_id", "bh", "c_lo", "c_hi")
+      .agg(
+        collect_list(when(col("is_a"),
+          struct(col("doc_id"), col("hs"), col("is_new")))).as("amem"),
+        collect_list(when(!col("is_a"),
+          struct(col("doc_id"), col("hs"), col("is_new")))).as("bmem"))
+      .select(explode(graft.functions.TextKernels.chunkCrossJaccardsUdf(
+        col("amem"), col("bmem"), lit(kernelMin))).as("p"))
       .select(col("p._1").as("new_doc"), col("p._2").as("dup_of"),
         col("p._3").as("jac"))
       .filter(col("jac") >= expr(threshold))

@@ -434,7 +434,12 @@ object Graph {
     // per-round shuffle falls on the frontier alone. One HLL pass decides.
     val nNodesApprox =
       eRaw.agg(approx_count_distinct(col("a")).as("n")).head().getLong(0)
-    val bcastFrontier = nNodesApprox <= broadcastLimit
+    // HLL estimates carry ±~2-5% error: a node set slightly OVER the
+    // intended ceiling can be estimated under it, and then a node-sized
+    // frontier gets broadcast every round. Apply the soft-ceiling margin
+    // in code, not just in the comment: accept only estimates that the
+    // HLL error band cannot push past the limit.
+    val bcastFrontier = nNodesApprox <= (0.9 * broadcastLimit).toLong
     val eP =
       if (bcastFrontier) eRaw
       else {

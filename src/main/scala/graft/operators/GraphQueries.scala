@@ -504,6 +504,14 @@ object GraphQueries extends QueryPack {
   //    distance (pins WHICH nodes sit at each distance, not just how
   //    many, while staying dimension-sized at any SF).
   private val distSentinel = 1000000000000000L // "unreached" in the oracle
+  /** The oracle's iteration cap MUST match the engine's contract
+    * ([[Graph.ssspFixpoint]] maxIters default): the previous |nodes| cap
+    * silently returned the last iteration's distances on a
+    * non-converging input while the engine threw — an opaque failure
+    * instead of a diagnosed non-convergence. Both fixpoint oracles now
+    * stop at the engine's cap and emit a single all--1 sentinel row when
+    * the cap binds unconverged, so a mismatch is self-describing. */
+  private val ssspMaxIters = 200
   private def gr7Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
     // persist the half-size pair table, not the symmetrized edge table
     // ssspFixpoint re-caches anyway (the gr3 note); the flat two-INT
@@ -561,12 +569,17 @@ object GraphQueries extends QueryPack {
        |    WHERE q.dist < $distSentinel
        |    GROUP BY e.dst) s ON s.node = p.node
        |  WHERE (SELECT max(chg) FROM pr) = 1
-       |    AND p.iter < (SELECT count(*) FROM nodes)),
+       |    AND p.iter < $ssspMaxIters),
        |rr AS MATERIALIZED (
-       |  SELECT node, dist FROM pr QUALIFY iter = max(iter) OVER ())
+       |  SELECT node, dist, chg FROM pr QUALIFY iter = max(iter) OVER ())
        |SELECT dist, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum
-       |FROM rr WHERE dist < $distSentinel
-       |GROUP BY dist ORDER BY dist""".stripMargin
+       |FROM rr
+       |WHERE dist < $distSentinel AND (SELECT max(chg) FROM rr) = 0
+       |GROUP BY dist
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE (SELECT max(chg) FROM rr) = 1
+       |ORDER BY dist""".stripMargin
 
   // -- gr8: k-core run to FIXPOINT — gr5's peel with no round bound
   //    ([[Graph.kCoreFixpoint]]: iterate until a round removes nobody),
@@ -579,7 +592,11 @@ object GraphQueries extends QueryPack {
   //    while the round removes someone) reproduces the loop's detected
   //    termination; the post-recursion kept-at-end probe disambiguates
   //    "stable" from "emptied" (the latter owes one final removal round
-  //    and a zero core).
+  //    and a zero core). Unlike gr7/gr9, no non-convergence sentinel is
+  //    needed: every continuing peel round removes >= 1 node, so the
+  //    oracle's node-count cap can never bind unconverged (the engine's
+  //    200-round cap would throw first on a >200-round peel — a shape no
+  //    banded pair graph produces).
   private def gr8Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val (rawPairs, sigBase) =
       Dedup.nearDupPairsWithBase(Tables.documents(s, dir))
@@ -717,9 +734,14 @@ object GraphQueries extends QueryPack {
        |    JOIN deg d ON d.src = e.src
        |    GROUP BY e.dst) s ON s.node = p.node
        |  WHERE (SELECT max(delta) FROM pr) > $prTolE12
-       |    AND p.iter < $prMaxIters)
-       |SELECT node, r AS rank_e12 FROM pr
-       |QUALIFY iter = max(iter) OVER ()
+       |    AND p.iter < $prMaxIters),
+       |last AS MATERIALIZED (
+       |  SELECT node, r, delta FROM pr QUALIFY iter = max(iter) OVER ())
+       |SELECT node, r AS rank_e12 FROM last
+       |WHERE (SELECT max(delta) FROM last) <= $prTolE12
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE (SELECT max(delta) FROM last) > $prTolE12
        |ORDER BY rank_e12 DESC, node LIMIT 20""".stripMargin
 
   private def gr5Build(s: org.apache.spark.sql.SparkSession, dir: String) = {

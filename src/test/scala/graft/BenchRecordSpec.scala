@@ -6,13 +6,17 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 /** CI-shape guard over the COMMITTED measurement records (VERDICT r9
-  * task 7): a bench median with an unexplained bimodal spread, or a
-  * scale-headroom ratio past linear×log, must not land silently — the
-  * d9 79× and gr5 53× blowups sat invisible in green correctness runs
-  * for a round. A query may carry such a number only if SCALE_HEADROOM.md
-  * names it (i.e. someone wrote down the root cause or the input-density
-  * explanation). Both files are committed artifacts, so this runs on
-  * whatever the round is about to ship.
+  * task 7, r10 task 5): a bench median with an unexplained bimodal
+  * spread, a scale-headroom ratio past linear×log, or a cross-round
+  * regression past 1.5× must not land silently — the d9 79× and gr5 53×
+  * blowups sat invisible in green correctness runs for a round, and
+  * r10's a3 3.17× regression was caught by the judge instead of a test.
+  * A query may carry such a number only if SCALE_HEADROOM.md names it in
+  * the STRUCTURED explanation table (the "## Named ratios" section, one
+  * bold `**query_name**` per explained query) — whole-document substring
+  * matching let historical "fixed in r9" prose silence the guard
+  * forever (ADVICE r10). All files are committed artifacts, so this
+  * runs on whatever the round is about to ship.
   */
 class BenchRecordSpec extends AnyFunSuite {
 
@@ -21,9 +25,33 @@ class BenchRecordSpec extends AnyFunSuite {
     val p = Paths.get(path)
     if (Files.exists(p)) Some(mapper.readTree(Files.readString(p))) else None
   }
-  private lazy val headroomDoc: String = {
+
+  /** Query names explained in SCALE_HEADROOM.md's structured section:
+    * bold tokens inside "## Named ratios" only. A name mentioned in
+    * narrative prose elsewhere in the doc does NOT count — explaining an
+    * anomaly means writing its entry into the table. */
+  private lazy val knownAnomalies: Set[String] = {
     val p = Paths.get("/root/repo/SCALE_HEADROOM.md")
-    if (Files.exists(p)) Files.readString(p) else ""
+    val lines =
+      if (Files.exists(p)) Files.readString(p).linesIterator.toSeq
+      else Seq.empty
+    val start = lines.indexWhere(_.startsWith("## Named ratios"))
+    if (start < 0) Set.empty
+    else {
+      val rest = lines.drop(start + 1)
+      val section = rest.indexWhere(_.startsWith("## ")) match {
+        case -1 => rest
+        case i  => rest.take(i)
+      }
+      val bold = "\\*\\*([a-z][a-z0-9_]+)\\*\\*".r
+      section.flatMap(l => bold.findAllMatchIn(l).map(_.group(1))).toSet
+    }
+  }
+
+  test("SCALE_HEADROOM.md has the structured Named-ratios section") {
+    assert(knownAnomalies.nonEmpty,
+      "SCALE_HEADROOM.md must keep a '## Named ratios' section with " +
+        "bold **query_name** entries — it is the guard's allowlist")
   }
 
   test("no unexplained bimodal medians in the committed bench record") {
@@ -39,10 +67,10 @@ class BenchRecordSpec extends AnyFunSuite {
           // the rule at write time; tightening the rule must re-judge
           // history, or the next c1-shaped 2.99x median survives review).
           if (Bench.spreadSuspect(times) &&
-              !headroomDoc.contains(e.getKey)) Some(e.getKey) else None
+              !knownAnomalies.contains(e.getKey)) Some(e.getKey) else None
         }
         assert(offenders.isEmpty,
-          s"bimodal bench medians with no SCALE_HEADROOM.md entry: " +
+          s"bimodal bench medians with no Named-ratios entry: " +
             s"${offenders.mkString(", ")} — explain or re-measure")
     }
   }
@@ -59,17 +87,49 @@ class BenchRecordSpec extends AnyFunSuite {
             val names = e.getValue.fieldNames().asScala.toSeq
             val ratios = names.filter(_.startsWith("ratio_at_"))
               .map(n => e.getValue.path(n).asDouble())
-            if (ratios.exists(_ > limit) && !headroomDoc.contains(e.getKey))
-              Some(e.getKey)
+            if (ratios.exists(_ > limit) &&
+                !knownAnomalies.contains(e.getKey)) Some(e.getKey)
             else None
           }
         // both decades: the 10x section at the root, the 100x one nested
         val offenders = offendersIn(root.path("queries")) ++
           offendersIn(root.path("factor100").path("queries"))
         assert(offenders.isEmpty,
-          s"scale ratios > ${limit}x with no SCALE_HEADROOM.md entry: " +
+          s"scale ratios > ${limit}x with no Named-ratios entry: " +
             s"${offenders.distinct.mkString(", ")} — name the fix or the " +
             s"input-density cause")
+    }
+  }
+
+  test("no unexplained cross-round bench regressions > 1.5x") {
+    // bench_baseline.json is the PRIOR round's accepted record (rolled
+    // forward when a round's final bench is committed). r10 shipped a3
+    // at 3.17x and gr2 at 1.39x the prior round's medians and only the
+    // judge noticed; this catches the a3 class at commit time. The
+    // sub-second floor keeps JIT/page-cache jitter on cheap queries out
+    // (the r10 verdict put a8/v17's 1.5x+ swings in the noise band).
+    val floorSec = 1.0
+    val limit = 1.5
+    (readJson("/root/repo/bench_results.json"),
+     readJson("/root/repo/bench_baseline.json")) match {
+      case (Some(cur), Some(base)) =>
+        val curStats = cur.path("stats")
+        val baseStats = base.path("stats")
+        assume(curStats.isObject && baseStats.isObject)
+        val offenders = curStats.properties().asScala.toSeq.flatMap { e =>
+          val prior = baseStats.path(e.getKey).path("median")
+          val now = e.getValue.path("median").asDouble()
+          if (prior.isNumber && now > floorSec &&
+              now > limit * prior.asDouble() &&
+              !knownAnomalies.contains(e.getKey))
+            Some(f"${e.getKey} ${prior.asDouble()}%.2f -> $now%.2f s")
+          else None
+        }
+        assert(offenders.isEmpty,
+          s"cross-round regressions > ${limit}x with no Named-ratios " +
+            s"entry: ${offenders.mkString(", ")} — recover the time or " +
+            s"write the root cause into SCALE_HEADROOM.md")
+      case _ => cancel("bench_results.json or bench_baseline.json missing")
     }
   }
 }

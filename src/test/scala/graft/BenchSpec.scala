@@ -39,6 +39,26 @@ class BenchSpec extends AnyFunSuite {
     assert(bimodal.times.size == 6) // re-run sample retained whole
   }
 
+  test("mkRecRerun commits the tighter batch's median, keeps all times") {
+    // r10's actual a3 sample: a cold-start-skewed first batch, then a
+    // clean re-run. The old append path committed median 3.35 (inside
+    // the cold batch) and the post-append ratio self-cleared the flag.
+    val first = List(11.0, 11.7, 3.35)
+    val rerun = List(2.71, 2.40, 1.83)
+    val rec = Bench.mkRecRerun(first, List.fill(3)(0L),
+      rerun, List.fill(3)(0L), 12.0)
+    assert(rec.median == 2.40, s"median must come from the clean batch, got ${rec.median}")
+    assert(rec.times.size == 6 && rec.min == 1.83 && rec.max == 11.7,
+      "all six runs stay in the record")
+    assert(!rec.spreadFlagged, "a tight re-run batch legitimately clears the flag")
+    // spread persists across BOTH batches → stays flagged, first batch
+    // picked when its spread is tighter
+    val stillBad = Bench.mkRecRerun(List(4.0, 10.0, 10.5), List.fill(3)(0L),
+      List(3.0, 11.0, 12.0), List.fill(3)(0L), 10.0)
+    assert(stillBad.spreadFlagged, "persistent bimodality must stay flagged")
+    assert(stillBad.median == 10.0, "tighter (first) batch supplies the median")
+  }
+
   test("renderJson emits valid JSON with flags, failures and partial mark") {
     val stats = Seq(
       "q_ok" -> Bench.mkRec(List(0.2), List(0L), 0.3),

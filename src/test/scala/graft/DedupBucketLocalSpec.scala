@@ -68,4 +68,77 @@ class DedupBucketLocalSpec extends SparkSpecBase {
     assert(got.exists(t => t._1 == 900L && t._2 == 901L))
     assert(got.count(t => t._1 < 40L && t._2 < 40L) > 0)
   }
+
+  /** A bucket hotter than the chunk cap: 40 boilerplate docs share every
+    * band bucket; chunkSize = 8 forces 5 chunks → 5 intra rows + 10
+    * cross rows per bucket. The capped plan must emit the exact pair set
+    * and jaccards of the uncapped one-row-per-bucket plan. */
+  test("chunked bucket-local == uncapped plan on a forced mega-bucket") {
+    import spark.implicits._
+    val hot = (0L until 40L).map(i =>
+      (i, "shared boilerplate navigation header words " * 5 + s" tail$i"))
+    val near = Seq(
+      (900L, "a modestly different document body with some edits applied here and more text to shingle"),
+      (901L, "a modestly different document body with some edits applied there and more text to shingle"))
+    val docs = (hot ++ near).toDF("doc_id", "text")
+
+    def run(chunk: Int) = {
+      val (pairs, base) =
+        graft.operators.Dedup.nearDupPairsWithBase(docs, chunkSize = chunk)
+      val out = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      base.unpersist()
+      out
+    }
+    val capped = run(8)
+    val uncapped = run(1 << 20)
+    assert(capped.length == uncapped.length,
+      s"pair-set size: capped ${capped.length}, uncapped ${uncapped.length}")
+    capped.zip(uncapped).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2, s"pair mismatch: $g vs $w")
+      assert(java.lang.Double.doubleToLongBits(g._3) ==
+             java.lang.Double.doubleToLongBits(w._3), s"jaccard drifted: $g vs $w")
+    }
+    // the bound the cap exists for: no grouped row carries more than
+    // 2×chunkSize members — the hottest TASK and fattest ROW stay bounded
+    val base = graft.operators.Dedup.signatures(docs).persist()
+    val maxRow = graft.operators.Dedup.chunkedBucketMembers(base, 8)
+      .select((size(col("amem")) + size(col("bmem"))).as("m"))
+      .agg(max(col("m"))).head().getInt(0)
+    base.unpersist()
+    assert(maxRow <= 16, s"grouped row carries $maxRow members > 2×chunkSize")
+  }
+
+  /** Two-sided probe under the cap, including the redelivery case (same
+    * doc_id on both sides must not self-match) and a store-only bucket
+    * (pruned before the shingle join, must not affect results). */
+  test("chunked two-sided probe == uncapped probe, asymmetric contract kept") {
+    import spark.implicits._
+    val mkHot = (r: Range, pfx: String) => r.map(i =>
+      (i.toLong, "shared boilerplate navigation header words " * 5 + s" $pfx$i"))
+    val batch = (mkHot(0 until 25, "t") ++ Seq(
+      (800L, "a modestly different document body with some edits applied here and more text to shingle"))).toDF("doc_id", "text")
+    val store = (mkHot(10 until 40, "t") ++ Seq( // ids 10..24 redelivered
+      (801L, "a modestly different document body with some edits applied there and more text to shingle"),
+      (950L, "completely unrelated store-only text about astronomy detectors and charge transfer"))).toDF("doc_id", "text")
+    val nSig = graft.operators.Dedup.signatures(batch).persist()
+    val sSig = graft.operators.Dedup.signatures(store).persist()
+
+    def run(chunk: Int) =
+      graft.operators.Dedup.probePairs(nSig, sSig, chunkSize = chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    val capped = run(6)
+    val uncapped = run(1 << 20)
+    assert(capped.length == uncapped.length,
+      s"pair-set size: capped ${capped.length}, uncapped ${uncapped.length}")
+    capped.zip(uncapped).foreach { case (g, w) =>
+      assert(g == w, s"probe pair drifted: $g vs $w")
+    }
+    // redelivered ids never match themselves; orientation is (new, store)
+    assert(!capped.exists(t => t._1 == t._2))
+    assert(capped.exists(t => t._1 == 800L && t._2 == 801L))
+    assert(!capped.exists(t => t._1 == 801L), "store docs must stay on the right")
+    nSig.unpersist(); sSig.unpersist()
+  }
 }
