@@ -216,10 +216,13 @@ object Bench {
       r
     }
 
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_results.json")
+    val defaultOut = "/root/repo/bench_results.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     def writeRecord(stats: Seq[(String, Rec)], partial: Boolean): Unit = {
-      if (filter.isDefined) return // dev subset: never touch the record
+      // dev subset: never touch the durable record — but an EXPLICIT
+      // out path opts in (sbt wraps stdout lines, so headroom filter
+      // runs need the file to read their own JSON back whole)
+      if (filter.isDefined && out == defaultOut) return
       val json = renderJson(stats, failed, sfDir, partial, scaleNotesExtra())
       try Files.writeString(Paths.get(out), json + "\n")
       catch { case e: Throwable =>

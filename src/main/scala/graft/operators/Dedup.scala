@@ -155,10 +155,6 @@ object Dedup extends QueryPack {
       : org.apache.spark.sql.DataFrame =
     nearDupPairsWithBase(docs, threshold)._1
 
-  /** [[nearDupPairs]] plus the PERSISTED signature table it builds on —
-    * for callers (the graph pack) that release query-local caches once
-    * their dimension-sized result is materialized and so need a handle
-    * on every cached intermediate, not just their own. */
   /** Max members per chunk in bucket-local verification. Bounds the
     * hottest task at ≤ C(2·cap, 2) pair checks and the fattest grouped
     * row at ≤ 2·cap shingle arrays, whatever the bucket population —
@@ -166,11 +162,26 @@ object Dedup extends QueryPack {
     * and one collect_list row (2.3k members → ~2.7M checks at sf10; an
     * adversarial boilerplate bucket would make that a straggler or an
     * OOM on the giant row, where the pre-r10 join degraded by spilling).
-    * 512 keeps the common case (bucket ≤ 512 members) on a single
-    * intra-chunk row — zero cross rows, the exact r10 plan — while a
-    * hot bucket splits into ⌈n/512⌉ chunks whose intra + pairwise cross
-    * rows spread the same C(n,2) arithmetic across ~(n/512)²/2 tasks. */
+    * A hot bucket splits into ⌈n/512⌉ chunks whose intra + pairwise
+    * cross rows spread the same C(n,2) arithmetic across ~(n/512)²/2
+    * tasks. The machinery is ADAPTIVE: one cheap driver-side probe
+    * (map-side-combined count over the skinny band triples, limit-1)
+    * decides per call whether any bucket exceeds the cap — a healthy
+    * corpus takes the plain one-row-per-bucket plan with zero chunking
+    * overhead (an A/B at sf0.1 measured the always-on window/explode
+    * machinery at +14–37% on d4/d10/gr5), and the capped plan engages
+    * exactly when the hot-bucket hazard it guards against exists. */
   private[operators] val bucketChunkSize = 512
+
+  /** Does any band bucket exceed `chunkSize` members? `bands` must be
+    * the skinny (doc_id, band_id, bh) triples — the count partial-
+    * aggregates map-side and the filter+isEmpty stops at the first
+    * offender, so the probe costs one pass over the (usually cached)
+    * signature base. */
+  private def hasOversizedBucket(bands: org.apache.spark.sql.DataFrame,
+                                 chunkSize: Int): Boolean =
+    !bands.groupBy("band_id", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > chunkSize).isEmpty
 
   /** Chunk-pair grouping for one-sided bucket-local verification:
     * each band bucket's members are cut into ≤`chunkSize` chunks
@@ -212,6 +223,10 @@ object Dedup extends QueryPack {
       .filter(size(col("amem")) + size(col("bmem")) > 1)
   }
 
+  /** [[nearDupPairs]] plus the PERSISTED signature table it builds on —
+    * for callers (the graph pack) that release query-local caches once
+    * their dimension-sized result is materialized and so need a handle
+    * on every cached intermediate, not just their own. */
   def nearDupPairsWithBase(docs: org.apache.spark.sql.DataFrame,
                            threshold: String = jacThreshold,
                            withLen: Boolean = false,
@@ -226,19 +241,30 @@ object Dedup extends QueryPack {
     // bucket's members (id + shingles) and verify pairs inside the
     // task. Same candidates, same exact-Jaccard arithmetic, same
     // distinct'd output — but the shingle arrays move through ONE
-    // grouped exchange (once per doc per band per chunk-pair, ~3 GB at
-    // 500k docs) instead of riding every candidate row (~70 GB there:
-    // hot buckets make candidates quadratic in bucket population, and
-    // the r10 sf10 run spilled that join to disk). Buckets larger than
-    // [[bucketChunkSize]] split into chunk-pair rows so the hottest
-    // task and the fattest row stay bounded (see chunkedBucketMembers).
-    //
+    // grouped exchange (once per doc per band, ~3 GB at 500k docs)
+    // instead of riding every candidate row (~70 GB there: hot buckets
+    // make candidates quadratic in bucket population, and the r10 sf10
+    // run spilled that join to disk). When any bucket exceeds
+    // [[bucketChunkSize]], the grouping switches to chunk-pair rows so
+    // the hottest task and the fattest row stay bounded (see
+    // chunkedBucketMembers); `bmem` is NULL in the plain plan — the
+    // kernel then verifies all pairs within `amem`.
+    val grouped =
+      if (hasOversizedBucket(bandsOf(base), chunkSize))
+        chunkedBucketMembers(base, chunkSize)
+      else
+        bandsOf(base)
+          .join(base.select(col("doc_id"), col("hs")), "doc_id")
+          .groupBy("band_id", "bh")
+          .agg(collect_list(struct(col("doc_id"), col("hs"))).as("amem"))
+          .filter(size(col("amem")) > 1)
+          .withColumn("bmem", when(lit(false), col("amem")))
     // The kernel pre-filters at the same threshold when it is a plain
     // double literal (every current caller); a non-literal expression
     // degrades to no pre-filter and the SQL gate below does all the work.
     val kernelMin = scala.util.Try(threshold.toDouble)
       .getOrElse(Double.NegativeInfinity)
-    val pairs = chunkedBucketMembers(base, chunkSize)
+    val pairs = grouped
       .select(explode(
         graft.functions.TextKernels.chunkPairJaccardsUdf(
           col("amem"), col("bmem"), lit(kernelMin)))
@@ -264,16 +290,17 @@ object Dedup extends QueryPack {
       : org.apache.spark.sql.DataFrame = {
     // Bucket-LOCAL verification, the [[nearDupPairsWithBase]] discipline
     // on the two-sided probe: each bucket's COMBINED membership (both
-    // sides, side-tagged) is chunked exactly like the one-sided plan,
-    // so the shingle arrays cross ONE grouped exchange instead of
-    // riding every candidate row through two per-candidate joins (the
-    // textbook shape this replaced went bimodal-slow at sf10's
-    // dup-dense corpus), AND no single task owns a hot bucket's full
-    // new×store product (the r10 plan's one-row-per-bucket bound).
-    // Buckets present on only one side are dropped BEFORE the shingle
-    // join — they can't produce a cross pair, and at serving scale most
-    // store buckets have no batch member (the r10 plan aggregated every
-    // store bucket's members first and pruned in the join after).
+    // sides, side-tagged) is grouped per bucket, so the shingle arrays
+    // cross ONE grouped exchange instead of riding every candidate row
+    // through two per-candidate joins (the textbook shape this replaced
+    // went bimodal-slow at sf10's dup-dense corpus). When any bucket
+    // exceeds the chunk cap, the same chunk-pair split as the one-sided
+    // plan engages (adaptive — see [[bucketChunkSize]]) so no single
+    // task owns a hot bucket's full new×store product. The shingle join
+    // is ONE join keyed (doc_id, is_new) against the side-tagged union
+    // of both signature tables: the same doc_id can appear on both
+    // sides (a redelivered batch already upserted into the store), and
+    // a per-side join pair would compute the band pipeline twice.
     // Duplicate (pair, jac) rows from multi-band collisions collapse in
     // the same final distinct the old plan had.
     import org.apache.spark.sql.expressions.Window
@@ -281,41 +308,44 @@ object Dedup extends QueryPack {
       .getOrElse(Double.NegativeInfinity)
     val allBands = bandsOf(newSig).withColumn("is_new", lit(true))
       .unionByName(bandsOf(storeSig).withColumn("is_new", lit(false)))
-    val wOrd = Window.partitionBy("band_id", "bh")
-      .orderBy("is_new", "doc_id")
-    val wAll = Window.partitionBy("band_id", "bh")
-      .orderBy("is_new", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val assigned = allBands
-      .withColumn("has_new",
-        max(when(col("is_new"), 1).otherwise(0)).over(wAll))
-      .withColumn("has_store",
-        max(when(col("is_new"), 0).otherwise(1)).over(wAll))
-      .filter(col("has_new") === 1 && col("has_store") === 1)
-      .withColumn("chunk",
-        ((row_number().over(wOrd) - 1) / chunkSize).cast("int"))
-      .withColumn("nch", (max(col("chunk")).over(wAll) + 1))
-      .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
-        col("chunk"),
-        explode(sequence(lit(0), col("nch") - 1)).as("j"))
-      .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
-        least(col("chunk"), col("j")).as("c_lo"),
-        greatest(col("chunk"), col("j")).as("c_hi"),
-        (col("chunk") <= col("j")).as("is_a"))
-    // shingles join per SIDE: the same doc_id can appear on both sides
-    // (a redelivered batch already upserted into the store) with
-    // side-specific rows the kernel must keep distinct.
-    val withHs = assigned.filter(col("is_new"))
-      .join(newSig.select(col("doc_id"), col("hs")), "doc_id")
-      .unionByName(assigned.filter(!col("is_new"))
-        .join(storeSig.select(col("doc_id"), col("hs")), "doc_id"))
-    withHs
-      .groupBy("band_id", "bh", "c_lo", "c_hi")
-      .agg(
-        collect_list(when(col("is_a"),
-          struct(col("doc_id"), col("hs"), col("is_new")))).as("amem"),
-        collect_list(when(!col("is_a"),
-          struct(col("doc_id"), col("hs"), col("is_new")))).as("bmem"))
+    val sigU = newSig.select(col("doc_id"), col("hs"),
+        lit(true).as("is_new"))
+      .unionByName(storeSig.select(col("doc_id"), col("hs"),
+        lit(false).as("is_new")))
+    val grouped =
+      if (hasOversizedBucket(allBands, chunkSize)) {
+        val wOrd = Window.partitionBy("band_id", "bh")
+          .orderBy("is_new", "doc_id")
+        val wAll = Window.partitionBy("band_id", "bh")
+          .orderBy("is_new", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        allBands
+          .withColumn("chunk",
+            ((row_number().over(wOrd) - 1) / chunkSize).cast("int"))
+          .withColumn("nch", (max(col("chunk")).over(wAll) + 1))
+          .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
+            col("chunk"),
+            explode(sequence(lit(0), col("nch") - 1)).as("j"))
+          .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
+            least(col("chunk"), col("j")).as("c_lo"),
+            greatest(col("chunk"), col("j")).as("c_hi"),
+            (col("chunk") <= col("j")).as("is_a"))
+          .join(sigU, Seq("doc_id", "is_new"))
+          .groupBy("band_id", "bh", "c_lo", "c_hi")
+          .agg(
+            collect_list(when(col("is_a"),
+              struct(col("doc_id"), col("hs"), col("is_new")))).as("amem"),
+            collect_list(when(!col("is_a"),
+              struct(col("doc_id"), col("hs"), col("is_new")))).as("bmem"))
+      } else
+        allBands
+          .join(sigU, Seq("doc_id", "is_new"))
+          .groupBy("band_id", "bh")
+          .agg(collect_list(
+            struct(col("doc_id"), col("hs"), col("is_new"))).as("amem"))
+          .filter(size(col("amem")) > 1)
+          .withColumn("bmem", when(lit(false), col("amem")))
+    grouped
       .select(explode(graft.functions.TextKernels.chunkCrossJaccardsUdf(
         col("amem"), col("bmem"), lit(kernelMin))).as("p"))
       .select(col("p._1").as("new_doc"), col("p._2").as("dup_of"),

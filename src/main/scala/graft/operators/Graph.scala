@@ -191,6 +191,128 @@ object Graph {
     labels
   }
 
+  /** Edge-count bound under which per-node triangle counting runs in ONE
+    * executor task (the CC/peel hybrid discipline). The distributed plan
+    * is 5 shuffle stages (degree agg, two orientation joins, the wedge
+    * self-join, the closing join, the corner rollup) — ~4 s of pure
+    * stage overhead on a 5k-edge pair graph at sf0.1, where the CSR
+    * kernel below does the same arithmetic in milliseconds. 2M oriented
+    * edges ≈ 50 MB through coalesce(1); intersection work is output-
+    * bound (Σ wedge-closures — clique-shaped near-dup graphs keep it
+    * ~linear in edges). Past the bound the wedge join runs distributed
+    * regardless — the sf10 pair graph (13.8M edges) stays on that path. */
+  private val triangleLocalEdges = 2000000L
+
+  /** Per-node triangle counts over an undirected simple edge list (each
+    * edge once, u ≠ v, no parallel edges — d4's pair contract): one row
+    * (node, triangles) per node in ≥ 1 triangle. Semantics — and the
+    * degree-ordered orientation — match GraphQueries' distributed wedge
+    * plan exactly (GraphTriangleSpec pins both paths bit-identical):
+    * orient each edge toward the (degree, id)-larger endpoint, count
+    * each triangle once at its order-minimal wedge, credit all three
+    * corners. Hybrid: below `localThreshold` edges the whole count runs
+    * as a CSR merge-intersection in ONE task; above it callers should
+    * use the distributed plan (gr2Build branches on the same count()
+    * that materializes the persisted pair table). */
+  def triangleCountsLocal(pairs: DataFrame, src: String, dst: String)
+      : DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val out = pairs
+      .select(col(src).cast("long"), col(dst).cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val es = it.toArray
+        val m = es.length
+        // dense node ids (sort + unique; index via binary search)
+        val all = new Array[Long](2 * m)
+        var i = 0
+        while (i < m) {
+          all(2 * i) = es(i)._1; all(2 * i + 1) = es(i)._2; i += 1
+        }
+        java.util.Arrays.sort(all)
+        var n = 0
+        i = 0
+        while (i < 2 * m) { // unique in place
+          if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+          i += 1
+        }
+        val ids = java.util.Arrays.copyOf(all, n)
+        def idx(x: Long) = java.util.Arrays.binarySearch(ids, x)
+        val ea = new Array[Int](m)
+        val eb = new Array[Int](m)
+        val deg = new Array[Int](n)
+        i = 0
+        while (i < m) {
+          val a = idx(es(i)._1); val b = idx(es(i)._2)
+          ea(i) = a; eb(i) = b; deg(a) += 1; deg(b) += 1
+          i += 1
+        }
+        // orientation under the total order (degree, id) — the same
+        // tie-break as the distributed plan's (du, u) < (dv, v)
+        def less(a: Int, b: Int): Boolean =
+          deg(a) < deg(b) || (deg(a) == deg(b) && ids(a) < ids(b))
+        // CSR of out-neighbors
+        val odeg = new Array[Int](n)
+        i = 0
+        while (i < m) {
+          if (less(ea(i), eb(i))) odeg(ea(i)) += 1 else odeg(eb(i)) += 1
+          i += 1
+        }
+        val off = new Array[Int](n + 1)
+        i = 0
+        while (i < n) { off(i + 1) = off(i) + odeg(i); i += 1 }
+        val cur = java.util.Arrays.copyOf(off, n)
+        val adj = new Array[Int](m)
+        i = 0
+        while (i < m) {
+          if (less(ea(i), eb(i))) { adj(cur(ea(i))) = eb(i); cur(ea(i)) += 1 }
+          else { adj(cur(eb(i))) = ea(i); cur(eb(i)) += 1 }
+          i += 1
+        }
+        i = 0
+        while (i < n) {
+          java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1
+        }
+        // every triangle {a,b,c} with a→b, a→c, b→c appears exactly once:
+        // as the sorted-merge intersection hit c of the oriented edge
+        // (a, b); each corner gets the credit (the rollup the distributed
+        // plan does over its tris table)
+        val cnt = new Array[Long](n)
+        var u = 0
+        while (u < n) {
+          var p = off(u)
+          while (p < off(u + 1)) {
+            val v = adj(p)
+            var x = off(u); var y = off(v)
+            while (x < off(u + 1) && y < off(v + 1)) {
+              val a = adj(x); val b = adj(y)
+              if (a == b) {
+                cnt(u) += 1; cnt(v) += 1; cnt(a) += 1; x += 1; y += 1
+              } else if (a < b) x += 1
+              else y += 1
+            }
+            p += 1
+          }
+          u += 1
+        }
+        val fc = cnt
+        (0 until n).iterator.collect {
+          case v if fc(v) > 0 => (ids(v), fc(v))
+        }
+      }
+      .toDF("node", "triangles")
+      // materialize while upstream caches are warm — the coalesce(1)
+      // plan would otherwise recompute the whole pair derivation
+      // single-threaded at first use (the CC local-path lesson)
+      .localCheckpoint()
+    out
+  }
+
+  /** The local-path bound, exposed for the caller's branch decision. */
+  def triangleLocalBound: Long = triangleLocalEdges
+
   /** Bounded k-core peel: `rounds` iterations of "drop every node whose
     * current degree is < k" over the undirected graph, reporting the
     * per-round removal counts plus the surviving core size (round = -1).

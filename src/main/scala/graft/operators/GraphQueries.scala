@@ -169,6 +169,27 @@ object GraphQueries extends QueryPack {
     val pairs = rawPairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .persist()
+    // Hybrid finish (the CC/peel discipline, r10-verdict gr2 task): the
+    // count() materializes the persisted pair table either way; below
+    // the bound the whole orientation+wedge+rollup runs as ONE CSR task
+    // (the 5-stage distributed plan costs ~4 s of pure stage overhead
+    // on the 5k-edge sf0.1 pair graph — measured round 11 — vs ~ms of
+    // actual intersection work). GraphTriangleSpec pins both paths
+    // bit-identical; the sf10 pair graph (13.8M edges) stays distributed.
+    if (pairs.count() <= Graph.triangleLocalBound) {
+      val result = Graph.triangleCountsLocal(pairs, "u", "v")
+        .select(col("node").as("doc_id"), col("triangles"))
+        .orderBy(col("triangles").desc, col("doc_id"))
+        .limit(20)
+      (result, Seq(pairs, sigBase))
+    } else gr2Distributed(pairs, sigBase)
+  }
+
+  /** The distributed degree-ordered wedge plan (see the header comment);
+    * also driven directly by GraphTriangleSpec's equivalence pin. */
+  private[graft] def gr2Distributed(
+      pairs: org.apache.spark.sql.DataFrame,
+      sigBase: org.apache.spark.sql.DataFrame*) = {
     val deg = pairs.select(col("u").as("n"))
       .unionByName(pairs.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -207,7 +228,7 @@ object GraphQueries extends QueryPack {
       .select(col("d").as("doc_id"), col("triangles"))
       .orderBy(col("triangles").desc, col("doc_id"))
       .limit(20)
-    (result, Seq(pairs, oriented, tris, sigBase))
+    (result, Seq(pairs, oriented, tris) ++ sigBase)
   }
 
   private val gr2Triangles: Q = (s, dir) => {
@@ -763,7 +784,14 @@ object GraphQueries extends QueryPack {
       : Map[String, (org.apache.spark.sql.SparkSession, String)
               => org.apache.spark.sql.DataFrame] = Map(
     "gr1_pagerank"  -> ((s, d) => gr1Build(s, d)._1),
-    "gr2_triangles" -> ((s, d) => gr2Build(s, d)._1),
+    // gr2 pins the DISTRIBUTED wedge plan explicitly: at spec SFs the
+    // registered query takes the local CSR path, whose checkpoint scan
+    // would pin nothing about the at-scale join shape.
+    "gr2_triangles" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(Tables.documents(s, d))
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      gr2Distributed(pairs)._1
+    }),
     "gr3_bfs_hops"  -> ((s, d) => gr3Build(s, d)._1),
     "gr4_sssp"      -> ((s, d) => gr4Build(s, d)._1),
     "gr5_kcore"     -> ((s, d) => gr5Build(s, d)._1))
