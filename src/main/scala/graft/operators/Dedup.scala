@@ -164,55 +164,71 @@ object Dedup extends QueryPack {
     * OOM on the giant row, where the pre-r10 join degraded by spilling).
     * A hot bucket splits into ⌈n/512⌉ chunks whose intra + pairwise
     * cross rows spread the same C(n,2) arithmetic across ~(n/512)²/2
-    * tasks. The machinery is ADAPTIVE: one cheap driver-side probe
-    * (map-side-combined count over the skinny band triples, limit-1)
-    * decides per call whether any bucket exceeds the cap — a healthy
-    * corpus takes the plain one-row-per-bucket plan with zero chunking
-    * overhead (an A/B at sf0.1 measured the always-on window/explode
-    * machinery at +14–37% on d4/d10/gr5), and the capped plan engages
-    * exactly when the hot-bucket hazard it guards against exists. */
+    * tasks. The machinery is ADAPTIVE at bucket granularity: one cheap
+    * driver-side probe (map-side-combined count over the skinny band
+    * triples) collects the oversized-bucket keys, and ONLY those
+    * buckets route through chunk-pair grouping (broadcast semi/anti
+    * split); every other bucket keeps the plain one-row plan. An A/B at
+    * sf0.1 measured the always-on window/explode machinery at +14–37%
+    * on d4/d10/gr5, and whole-stream chunking at sf1 (2 hot buckets,
+    * 916 members max) taxed d21 +45% — the cap must cost nothing where
+    * the hazard it bounds is absent. */
   private[operators] val bucketChunkSize = 512
 
-  /** Does any band bucket exceed `chunkSize` members? `bands` must be
-    * the skinny (doc_id, band_id, bh) triples — the count partial-
-    * aggregates map-side and the filter+isEmpty stops at the first
-    * offender, so the probe costs one pass over the (usually cached)
-    * signature base. */
-  private def hasOversizedBucket(bands: org.apache.spark.sql.DataFrame,
-                                 chunkSize: Int): Boolean =
-    !bands.groupBy("band_id", "bh").agg(count(lit(1)).as("n"))
-      .filter(col("n") > chunkSize).isEmpty
+  /** Cap on the driver-side hot-bucket list: 64k (band_id, bh) keys ≈
+    * 1 MB broadcast. A corpus with MORE oversized buckets than this
+    * falls back to chunking the whole band stream — correct and
+    * bounded, just without the cold-path shortcut. */
+  private val maxHotBuckets = 65536
 
-  /** Chunk-pair grouping for one-sided bucket-local verification:
-    * each band bucket's members are cut into ≤`chunkSize` chunks
-    * (deterministic: row_number over doc_id), and every chunk pair
-    * (c_lo ≤ c_hi) becomes ONE grouped row carrying the lower chunk's
-    * members in `amem` and (for cross rows) the higher chunk's in
-    * `bmem`. The union of per-row pair sets is exactly the bucket's
-    * C(n,2) — same candidates as the uncapped plan. The chunk/count
-    * window moves only the skinny (doc_id, band_id, bh) triples; the
-    * shingle arrays still cross ONE exchange, keyed by (bucket, chunk
-    * pair), and a member rides it once per chunk-pair it joins
-    * (⌈n/chunkSize⌉ times in an oversized bucket, once otherwise). */
+  /** Band buckets larger than `chunkSize`, collected to the driver
+    * (bounded: at most `maxHotBuckets`+1 keys). `bands` must be the
+    * skinny (doc_id, band_id, bh[, …]) rows — the count partial-
+    * aggregates map-side, so the probe costs one pass over the
+    * (usually cached) signature base. Oversized buckets are the
+    * anomaly the chunk cap guards against; on a healthy corpus this
+    * list is empty and the caller keeps the plain plan. */
+  private def oversizedBuckets(bands: org.apache.spark.sql.DataFrame,
+                               chunkSize: Int): Array[(Int, Long, Int)] =
+    bands.groupBy("band_id", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > chunkSize)
+      .select(col("band_id").cast("int"), col("bh").cast("long"),
+        ceil(col("n") / chunkSize.toDouble).cast("int").as("nch"))
+      .limit(maxHotBuckets + 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+
+  /** Chunk-pair grouping for one-sided bucket-local verification: an
+    * oversized band bucket's members are cut into `nch` chunks, and
+    * every chunk pair (c_lo ≤ c_hi) becomes ONE grouped row carrying
+    * the lower chunk's members in `amem` and (for cross rows) the
+    * higher chunk's in `bmem`. The union of per-row pair sets is
+    * exactly the bucket's C(n,2) — same candidates as the uncapped
+    * plan. Chunks are assigned by hash(doc_id) mod nch — ONE pass, no
+    * per-bucket sort, sizes expected-`chunkSize` and sharply
+    * concentrated (a row_number formulation bounds them exactly but
+    * costs a bucket-keyed window shuffle+sort of the whole band stream;
+    * measured +45% on d21 at sf1 for two hot buckets). `nchHot`:
+    * broadcastable (band_id, bh, nch) rows for JUST the oversized
+    * buckets (cold buckets left-join to nch = 1 and keep their one
+    * intra row); None derives nch for every bucket with one skinny
+    * aggregate — the >64k-hot-buckets fallback, same pipeline. */
   private[graft] def chunkedBucketMembers(
-      sig: org.apache.spark.sql.DataFrame, chunkSize: Int)
+      bands: org.apache.spark.sql.DataFrame,
+      sig: org.apache.spark.sql.DataFrame, chunkSize: Int,
+      nchHot: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy("band_id", "bh").orderBy("doc_id")
-    val wAll = Window.partitionBy("band_id", "bh")
-      .orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val assigned = bandsOf(sig)
-      .withColumn("chunk",
-        ((row_number().over(wOrd) - 1) / chunkSize).cast("int"))
-      .withColumn("nch", (max(col("chunk")).over(wAll) + 1))
+    val nchDf = nchHot.map(broadcast).getOrElse(
+      bands.groupBy("band_id", "bh").agg(
+        ceil(count(lit(1)) / chunkSize.toDouble).cast("int").as("nch")))
+    bands.join(nchDf, Seq("band_id", "bh"), "left")
+      .withColumn("nch", coalesce(col("nch"), lit(1)))
+      .withColumn("chunk", pmod(hash(col("doc_id")), col("nch")))
       .select(col("doc_id"), col("band_id"), col("bh"), col("chunk"),
         explode(sequence(lit(0), col("nch") - 1)).as("j"))
       .select(col("doc_id"), col("band_id"), col("bh"),
         least(col("chunk"), col("j")).as("c_lo"),
         greatest(col("chunk"), col("j")).as("c_hi"),
         (col("chunk") <= col("j")).as("is_a"))
-    assigned
       .join(sig.select(col("doc_id"), col("hs")), "doc_id")
       .groupBy("band_id", "bh", "c_lo", "c_hi")
       .agg(
@@ -244,21 +260,37 @@ object Dedup extends QueryPack {
     // grouped exchange (once per doc per band, ~3 GB at 500k docs)
     // instead of riding every candidate row (~70 GB there: hot buckets
     // make candidates quadratic in bucket population, and the r10 sf10
-    // run spilled that join to disk). When any bucket exceeds
-    // [[bucketChunkSize]], the grouping switches to chunk-pair rows so
-    // the hottest task and the fattest row stay bounded (see
-    // chunkedBucketMembers); `bmem` is NULL in the plain plan — the
-    // kernel then verifies all pairs within `amem`.
+    // run spilled that join to disk). Buckets exceeding
+    // [[bucketChunkSize]] (driver-collected with their chunk counts)
+    // split into chunk-pair rows via a broadcast nch left-join in the
+    // SAME single pipeline — cold buckets ride through with nch = 1 —
+    // so the hottest task and fattest row stay bounded while a corpus
+    // with no hot bucket at all skips even that (fastGroup: the exact
+    // one-row-per-bucket plan). A two-branch semi/anti split was
+    // measured and rejected: the union recomputes the shared band/hs
+    // lineage per branch. `bmem` is NULL on plain rows — the kernel
+    // then verifies all pairs within `amem`.
+    val bands = bandsOf(base)
+    def fastGroup(b: org.apache.spark.sql.DataFrame) = b
+      .join(base.select(col("doc_id"), col("hs")), "doc_id")
+      .groupBy("band_id", "bh")
+      .agg(collect_list(struct(col("doc_id"), col("hs"))).as("amem"))
+      .filter(size(col("amem")) > 1)
+      .withColumn("bmem", when(lit(false), col("amem")))
+      .select("amem", "bmem")
+    val hot = oversizedBuckets(bands, chunkSize)
     val grouped =
-      if (hasOversizedBucket(bandsOf(base), chunkSize))
-        chunkedBucketMembers(base, chunkSize)
-      else
-        bandsOf(base)
-          .join(base.select(col("doc_id"), col("hs")), "doc_id")
-          .groupBy("band_id", "bh")
-          .agg(collect_list(struct(col("doc_id"), col("hs"))).as("amem"))
-          .filter(size(col("amem")) > 1)
-          .withColumn("bmem", when(lit(false), col("amem")))
+      if (hot.isEmpty) fastGroup(bands)
+      else {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val nchHot =
+          if (hot.length <= maxHotBuckets)
+            Some(hot.toSeq.toDF("band_id", "bh", "nch"))
+          else None
+        chunkedBucketMembers(bands, base, chunkSize, nchHot)
+          .select("amem", "bmem")
+      }
     // The kernel pre-filters at the same threshold when it is a plain
     // double literal (every current caller); a non-literal expression
     // degrades to no pre-filter and the SQL gate below does all the work.
@@ -303,7 +335,6 @@ object Dedup extends QueryPack {
     // a per-side join pair would compute the band pipeline twice.
     // Duplicate (pair, jac) rows from multi-band collisions collapse in
     // the same final distinct the old plan had.
-    import org.apache.spark.sql.expressions.Window
     val kernelMin = scala.util.Try(threshold.toDouble)
       .getOrElse(Double.NegativeInfinity)
     val allBands = bandsOf(newSig).withColumn("is_new", lit(true))
@@ -312,39 +343,53 @@ object Dedup extends QueryPack {
         lit(true).as("is_new"))
       .unionByName(storeSig.select(col("doc_id"), col("hs"),
         lit(false).as("is_new")))
+    // The one-sided plan's single-pipeline chunk discipline, with the
+    // member structs carrying the corpus-side tag: oversized buckets
+    // split via the broadcast nch left-join (hash-assigned chunks, no
+    // window), cold buckets ride through with nch = 1, and a corpus
+    // with no hot bucket keeps the plain one-row-per-bucket plan.
+    def chunkGroup(nchHot: Option[org.apache.spark.sql.DataFrame]) = {
+      val nchDf = nchHot.map(broadcast).getOrElse(
+        allBands.groupBy("band_id", "bh").agg(
+          ceil(count(lit(1)) / chunkSize.toDouble).cast("int").as("nch")))
+      allBands.join(nchDf, Seq("band_id", "bh"), "left")
+        .withColumn("nch", coalesce(col("nch"), lit(1)))
+        .withColumn("chunk", pmod(hash(col("doc_id")), col("nch")))
+        .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
+          col("chunk"),
+          explode(sequence(lit(0), col("nch") - 1)).as("j"))
+        .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
+          least(col("chunk"), col("j")).as("c_lo"),
+          greatest(col("chunk"), col("j")).as("c_hi"),
+          (col("chunk") <= col("j")).as("is_a"))
+        .join(sigU, Seq("doc_id", "is_new"))
+        .groupBy("band_id", "bh", "c_lo", "c_hi")
+        .agg(
+          collect_list(when(col("is_a"),
+            struct(col("doc_id"), col("hs"), col("is_new")))).as("amem"),
+          collect_list(when(!col("is_a"),
+            struct(col("doc_id"), col("hs"), col("is_new")))).as("bmem"))
+        .select("amem", "bmem")
+    }
+    def fastGroup(b: org.apache.spark.sql.DataFrame) = b
+      .join(sigU, Seq("doc_id", "is_new"))
+      .groupBy("band_id", "bh")
+      .agg(collect_list(
+        struct(col("doc_id"), col("hs"), col("is_new"))).as("amem"))
+      .filter(size(col("amem")) > 1)
+      .withColumn("bmem", when(lit(false), col("amem")))
+      .select("amem", "bmem")
+    val hot = oversizedBuckets(allBands, chunkSize)
     val grouped =
-      if (hasOversizedBucket(allBands, chunkSize)) {
-        val wOrd = Window.partitionBy("band_id", "bh")
-          .orderBy("is_new", "doc_id")
-        val wAll = Window.partitionBy("band_id", "bh")
-          .orderBy("is_new", "doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        allBands
-          .withColumn("chunk",
-            ((row_number().over(wOrd) - 1) / chunkSize).cast("int"))
-          .withColumn("nch", (max(col("chunk")).over(wAll) + 1))
-          .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
-            col("chunk"),
-            explode(sequence(lit(0), col("nch") - 1)).as("j"))
-          .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
-            least(col("chunk"), col("j")).as("c_lo"),
-            greatest(col("chunk"), col("j")).as("c_hi"),
-            (col("chunk") <= col("j")).as("is_a"))
-          .join(sigU, Seq("doc_id", "is_new"))
-          .groupBy("band_id", "bh", "c_lo", "c_hi")
-          .agg(
-            collect_list(when(col("is_a"),
-              struct(col("doc_id"), col("hs"), col("is_new")))).as("amem"),
-            collect_list(when(!col("is_a"),
-              struct(col("doc_id"), col("hs"), col("is_new")))).as("bmem"))
-      } else
-        allBands
-          .join(sigU, Seq("doc_id", "is_new"))
-          .groupBy("band_id", "bh")
-          .agg(collect_list(
-            struct(col("doc_id"), col("hs"), col("is_new"))).as("amem"))
-          .filter(size(col("amem")) > 1)
-          .withColumn("bmem", when(lit(false), col("amem")))
+      if (hot.isEmpty) fastGroup(allBands)
+      else {
+        val spark = newSig.sparkSession
+        import spark.implicits._
+        chunkGroup(
+          if (hot.length <= maxHotBuckets)
+            Some(hot.toSeq.toDF("band_id", "bh", "nch"))
+          else None)
+      }
     grouped
       .select(explode(graft.functions.TextKernels.chunkCrossJaccardsUdf(
         col("amem"), col("bmem"), lit(kernelMin))).as("p"))

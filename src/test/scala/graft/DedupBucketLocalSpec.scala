@@ -99,14 +99,23 @@ class DedupBucketLocalSpec extends SparkSpecBase {
       assert(java.lang.Double.doubleToLongBits(g._3) ==
              java.lang.Double.doubleToLongBits(w._3), s"jaccard drifted: $g vs $w")
     }
-    // the bound the cap exists for: no grouped row carries more than
-    // 2×chunkSize members — the hottest TASK and fattest ROW stay bounded
-    val base = graft.operators.Dedup.signatures(docs).persist()
-    val maxRow = graft.operators.Dedup.chunkedBucketMembers(base, 8)
+    // the bound the cap exists for: a 120-member bucket split at
+    // chunkSize 8 must never put a bucket-sized membership on one row.
+    // Chunks are hash-assigned (expected 8, concentrated), so the
+    // assertion allows generous imbalance (6×) while still proving the
+    // row is chunk-sized, not bucket-sized.
+    val big = (0L until 120L).map(i =>
+      (i, "shared boilerplate navigation header words " * 5 + s" tail$i"))
+      .toDF("doc_id", "text")
+    val bigBase = graft.operators.Dedup.signatures(big).persist()
+    val maxRow = graft.operators.Dedup.chunkedBucketMembers(
+        graft.operators.Dedup.bandsOf(bigBase), bigBase, 8)
       .select((size(col("amem")) + size(col("bmem"))).as("m"))
       .agg(max(col("m"))).head().getInt(0)
-    base.unpersist()
-    assert(maxRow <= 16, s"grouped row carries $maxRow members > 2×chunkSize")
+    bigBase.unpersist()
+    assert(maxRow <= 48,
+      s"grouped row carries $maxRow members — chunk split not engaging " +
+        s"(bucket population is 120; rows must stay chunk-sized)")
   }
 
   /** Two-sided probe under the cap, including the redelivery case (same

@@ -44,6 +44,38 @@ class MergeWriterSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("insert-only batches append files; collisions fall back to the rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge").toString + "/t"
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((1, "a"), (2, "b")).toDF("k", "s"), Seq("k"))
+    def files() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = files()
+    // disjoint keys → the fast path must APPEND: every original file
+    // survives untouched (a rewrite would replace the directory)
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((3, "c"), (4, "d")).toDF("k", "s"), Seq("k"))
+    assert(before.subsetOf(files()),
+      "insert-only upsert rewrote the table instead of appending")
+    assert(spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // a colliding batch (an update + a redelivery) must take the merge
+    // path: the key's row is REPLACED, not duplicated
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((4, "D"), (5, "e")).toDF("k", "s"), Seq("k"))
+    val got = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (3, "c"), (4, "D"), (5, "e")))
+    // redelivering the SAME batch collides with its own earlier append
+    // → dedup'ing rewrite → idempotent
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((4, "D"), (5, "e")).toDF("k", "s"), Seq("k"))
+    assert(spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == got)
+  }
+
   test("additive schema evolution: new columns backfill null, wholesale rule holds") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
