@@ -318,7 +318,8 @@ object Dedup extends QueryPack {
   def probePairs(newSig: org.apache.spark.sql.DataFrame,
                  storeSig: org.apache.spark.sql.DataFrame,
                  threshold: String = jacThreshold,
-                 chunkSize: Int = bucketChunkSize)
+                 chunkSize: Int = bucketChunkSize,
+                 pruneToLiveBuckets: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     // Bucket-LOCAL verification, the [[nearDupPairsWithBase]] discipline
     // on the two-sided probe: each bucket's COMBINED membership (both
@@ -337,8 +338,29 @@ object Dedup extends QueryPack {
     // the same final distinct the old plan had.
     val kernelMin = scala.util.Try(threshold.toDouble)
       .getOrElse(Double.NegativeInfinity)
-    val allBands = bandsOf(newSig).withColumn("is_new", lit(true))
+    val rawBands = bandsOf(newSig).withColumn("is_new", lit(true))
       .unionByName(bandsOf(storeSig).withColumn("is_new", lit(false)))
+    // OPT-IN live-bucket pruning before the shingle join: only buckets
+    // holding BOTH a batch member and a store member can produce a
+    // cross pair, and on a SERVING probe (small mostly-novel batch ×
+    // huge store — DocStream's shape) almost every store bucket holds
+    // none, so without pruning every store doc's shingle array rides
+    // the grouping exchange 6× to be aggregated into rows the kernel
+    // immediately discards. The cost is two extra bucket-keyed passes
+    // over the SKINNY band triples — which is why it is opt-in: on a
+    // dup-DENSE two-corpus sweep nearly every bucket is live and the
+    // extra passes prune nothing (measured at sf10: d21 15.5 → 29.9 s,
+    // d7 9.8 → 18.7 s with pruning forced on).
+    val allBands =
+      if (!pruneToLiveBuckets) rawBands
+      else {
+        val liveKeys = rawBands.groupBy("band_id", "bh")
+          .agg(max(when(col("is_new"), 1).otherwise(0)).as("has_new"),
+            max(when(col("is_new"), 0).otherwise(1)).as("has_store"))
+          .filter(col("has_new") === 1 && col("has_store") === 1)
+          .select("band_id", "bh")
+        rawBands.join(liveKeys, Seq("band_id", "bh"), "left_semi")
+      }
     val sigU = newSig.select(col("doc_id"), col("hs"),
         lit(true).as("is_new"))
       .unionByName(storeSig.select(col("doc_id"), col("hs"),

@@ -39,12 +39,24 @@ object DocStream {
     * (its partner was ingested after its original delivery) upserts onto
     * the same key instead of growing the table — and the batch's
     * signatures fold into the store afterwards (a doc never races its
-    * own probe). */
+    * own probe).
+    *
+    * `compactEvery`: the insert-only upsert fast path APPENDS each
+    * batch's rows as new files — O(batch) per batch instead of an
+    * O(store) rewrite — so a long-lived stream accumulates files until
+    * per-file open/footer cost taxes every probe's store scan. Every
+    * `compactEvery`-th batch both sinks are compacted (the LSM
+    * tradeoff: one amortized O(store)/`compactEvery` rewrite per batch
+    * buys a bounded file count); 0 disables. Compaction is the same
+    * crash-safe two-rename swap as the upsert, so a kill mid-compact
+    * recovers like any other batch. */
   def nearDupStream(docs: DataFrame, storePath: String, hitsPath: String,
-                    threshold: String = "0.08"): StreamingQuery = {
+                    threshold: String = "0.08",
+                    compactEvery: Int = 64,
+                    targetFileBytes: Long = 128L << 20): StreamingQuery = {
     val owner = docs.sparkSession
     docs.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
           import org.apache.spark.sql.functions.{greatest, least, col}
           val sig = Dedup.signatures(b).persist()
@@ -55,11 +67,18 @@ object DocStream {
           // micro-batch would otherwise both enter the store unflagged —
           // neither ever probes the other again, and the streamed corpus
           // under-reports duplicates vs the batch d4 pipeline
+          // the store probe prunes to LIVE buckets first (the serving
+          // shape: a small, mostly-novel batch against a huge store —
+          // most store buckets hold no batch member, and pruning keeps
+          // their shingle arrays out of the grouping exchange); the
+          // intra-batch self-probe is batch-sized and skips the pruning
+          // passes (see Dedup.probePairs' opt-in note)
           val intra = Dedup.probePairs(sig, sig, threshold)
           val pairs =
             if (fs.exists(new Path(storePath)))
               intra.unionByName(Dedup.probePairs(sig,
-                owner.read.parquet(storePath), threshold))
+                owner.read.parquet(storePath), threshold,
+                pruneToLiveBuckets = true))
             else intra
           MergeWriter.upsertParquet(owner, hitsPath,
             pairs
@@ -72,7 +91,11 @@ object DocStream {
               .dropDuplicates("doc_a", "doc_b"),
             Seq("doc_a", "doc_b"))
           MergeWriter.upsertParquet(owner, storePath, sig, Seq("doc_id"))
-          sig.unpersist(): Unit
+          sig.unpersist()
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            MergeWriter.compactParquet(owner, storePath, targetFileBytes)
+            MergeWriter.compactParquet(owner, hitsPath, targetFileBytes)
+          }
         }
       }
       .start()

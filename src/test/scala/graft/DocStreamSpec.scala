@@ -73,4 +73,44 @@ class DocStreamSpec extends SparkSpecBase {
       .filter(col("doc_a") === 10003L && col("doc_b") === 10004L)
       .count() == 1, "intra-batch near-dup pair not flagged")
   }
+
+  test("periodic compaction bounds store files without changing results") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_docstream_c").toString
+    val landing = s"$root/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    val store = s"$root/sig_store"
+
+    DocStream.seedSignatureStore(
+      Seq((1L, (1 to 40).map(i => s"seed$i").mkString(" ")))
+        .toDF("doc_id", "text"), store)
+    def files() = new java.io.File(store).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+
+    val q = DocStream.nearDupStream(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      store, s"$root/hits", compactEvery = 2)
+    // 4 insert-only batches (disjoint vocabularies): each APPENDS files;
+    // batches 2 and 4 then compact the store back down
+    (0 until 4).foreach { b =>
+      Seq((100L + b, (1 to 40).map(i => s"v${b}w$i").mkString(" ")))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/c$b")
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(files() <= 2,
+      s"store holds ${files()} parquet files after compaction — append " +
+        "growth unbounded")
+    // every batch's signatures survived the rewrites
+    assert(spark.read.parquet(store).filter(col("doc_id") >= 100L)
+      .count() == 4, "compaction lost signature rows")
+  }
 }
