@@ -148,6 +148,15 @@ class DedupBucketLocalSpec extends SparkSpecBase {
     assert(!capped.exists(t => t._1 == t._2))
     assert(capped.exists(t => t._1 == 800L && t._2 == 801L))
     assert(!capped.exists(t => t._1 == 801L), "store docs must stay on the right")
+    // live-bucket pruning (the serving-probe opt-in) composed with the
+    // chunk cap must not change the pair set — pruning only removes
+    // buckets that cannot produce a cross pair
+    val pruned = graft.operators.Dedup
+      .probePairs(nSig, sSig, chunkSize = 6, pruneToLiveBuckets = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(pruned.toSeq == capped.toSeq,
+      "live-bucket pruning changed the probe's pair set")
     nSig.unpersist(); sSig.unpersist()
   }
 }
