@@ -105,9 +105,15 @@ class BenchRecordSpec extends AnyFunSuite {
     // bench_baseline.json is the PRIOR round's accepted record (rolled
     // forward when a round's final bench is committed). r10 shipped a3
     // at 3.17x and gr2 at 1.39x the prior round's medians and only the
-    // judge noticed; this catches the a3 class at commit time. The
-    // sub-second floor keeps JIT/page-cache jitter on cheap queries out
-    // (the r10 verdict put a8/v17's 1.5x+ swings in the noise band).
+    // judge noticed; this catches the a3 class at commit time. Two
+    // noise guards, both evidence-backed: the sub-second floor keeps
+    // JIT/page-cache jitter on cheap queries out (the r10 verdict put
+    // a8/v17's 1.5x+ swings in the noise band), and per-query ratios
+    // are NORMALIZED by the suite's median ratio — whole measurement
+    // windows drift ±25% on this box (r11 measured the same code at
+    // 1.25x across two same-day windows), and a uniform shift is the
+    // machine, not a regression. A query must be 1.5x worse than the
+    // suite-typical drift to flag.
     val floorSec = 1.0
     val limit = 1.5
     (readJson("/root/repo/bench_results.json"),
@@ -116,19 +122,28 @@ class BenchRecordSpec extends AnyFunSuite {
         val curStats = cur.path("stats")
         val baseStats = base.path("stats")
         assume(curStats.isObject && baseStats.isObject)
-        val offenders = curStats.properties().asScala.toSeq.flatMap { e =>
+        val ratios = curStats.properties().asScala.toSeq.flatMap { e =>
           val prior = baseStats.path(e.getKey).path("median")
-          val now = e.getValue.path("median").asDouble()
-          if (prior.isNumber && now > floorSec &&
-              now > limit * prior.asDouble() &&
-              !knownAnomalies.contains(e.getKey))
-            Some(f"${e.getKey} ${prior.asDouble()}%.2f -> $now%.2f s")
+          if (prior.isNumber && prior.asDouble() > 0)
+            Some(e.getKey ->
+              (e.getValue.path("median").asDouble(), prior.asDouble()))
+          else None
+        }
+        assume(ratios.nonEmpty, "no overlapping queries with the baseline")
+        val drift = {
+          val rs = ratios.map { case (_, (now, prior)) => now / prior }.sorted
+          rs(rs.size / 2)
+        }
+        val offenders = ratios.flatMap { case (q, (now, prior)) =>
+          if (now > floorSec && now / prior > limit * math.max(drift, 1.0) &&
+              !knownAnomalies.contains(q))
+            Some(f"$q $prior%.2f -> $now%.2f s (suite drift $drift%.2fx)")
           else None
         }
         assert(offenders.isEmpty,
-          s"cross-round regressions > ${limit}x with no Named-ratios " +
-            s"entry: ${offenders.mkString(", ")} — recover the time or " +
-            s"write the root cause into SCALE_HEADROOM.md")
+          s"cross-round regressions > ${limit}x the suite drift with no " +
+            s"Named-ratios entry: ${offenders.mkString(", ")} — recover " +
+            s"the time or write the root cause into SCALE_HEADROOM.md")
       case _ => cancel("bench_results.json or bench_baseline.json missing")
     }
   }
