@@ -221,8 +221,10 @@ object Bench {
     def writeRecord(stats: Seq[(String, Rec)], partial: Boolean): Unit = {
       // dev subset: never touch the durable record — but an EXPLICIT
       // out path opts in (sbt wraps stdout lines, so headroom filter
-      // runs need the file to read their own JSON back whole)
-      if (filter.isDefined && out == defaultOut) return
+      // runs need the file to read their own JSON back whole). The
+      // opt-in is the env var's PRESENCE, not its value: explicitly
+      // setting it to the default path is still explicit (ADVICE r11).
+      if (filter.isDefined && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")) return
       val json = renderJson(stats, failed, sfDir, partial, scaleNotesExtra())
       try Files.writeString(Paths.get(out), json + "\n")
       catch { case e: Throwable =>

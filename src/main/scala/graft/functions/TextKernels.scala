@@ -370,19 +370,45 @@ object TextKernels {
     * bounded by the chunk size, not the hottest bucket's population
     * (the single-task C(n,2) straggler / giant-collect_list-row failure
     * mode an adversarial boilerplate bucket would hit). Output id-sorted
-    * like the one-bucket kernel; cross pairs can't repeat an intra pair
-    * (a doc lives in exactly one chunk per bucket). */
+    * like the one-bucket kernel; cross pairs can't repeat an intra pair:
+    * a doc lives in exactly one chunk per bucket, and the upstream
+    * grouping FILTERS OUT cross rows whose partner chunk came up empty
+    * (hash-assigned chunks can be), so `bmem` empty reliably means "this
+    * row IS the intra row" — the kernel never re-verifies a chunk's
+    * internal pairs on a degenerate cross row. */
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.functions.TextKernels")
+  private val capWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Skew sentinel for the hash-assigned chunk split (ADVICE r11): the
+    * upstream cap bounds chunk sizes only in EXPECTATION — doc_ids that
+    * collide into one salted residue class re-create the oversized row
+    * the cap exists to prevent. A row far past the cap is logged (once
+    * per executor JVM, with sizes) so a straggler/OOM under adversarial
+    * ids is attributable instead of silent; the arithmetic itself stays
+    * correct at any row size. `softCap` ≤ 0 disables. */
+  private def warnIfOversized(softCap: Int, aLen: Int, bLen: Int): Unit =
+    if (softCap > 0 && aLen + bLen > softCap &&
+        capWarned.compareAndSet(false, true))
+      log.warn(s"chunk-pair row holds ${aLen + bLen} members — far past " +
+        s"the soft cap $softCap: hash-assigned chunks collided (adversarial " +
+        "or low-entropy doc_ids); expect a hot task where the chunk cap " +
+        "promised none")
+
   def chunkPairJaccards(amem: Seq[(Long, Seq[Long])],
                         bmem: Seq[(Long, Seq[Long])],
-                        minJac: Double): Seq[(Long, Long, Double)] =
+                        minJac: Double,
+                        softCap: Int = 0): Seq[(Long, Long, Double)] = {
+    warnIfOversized(softCap, amem.length, if (bmem == null) 0 else bmem.length)
     if (bmem == null || bmem.isEmpty) bucketPairJaccards(amem, minJac)
     else bucketCrossJaccards(amem, bmem, minJac).map { t =>
       if (t._1 <= t._2) t else (t._2, t._1, t._3)
     }
+  }
 
   val chunkPairJaccardsUdf: UserDefinedFunction =
     udf((a: Seq[(Long, Seq[Long])], b: Seq[(Long, Seq[Long])],
-         minJac: Double) => chunkPairJaccards(a, b, minJac))
+         minJac: Double, softCap: Int) => chunkPairJaccards(a, b, minJac, softCap))
 
   /** Chunked TWO-SIDED probe kernel ([[bucketCrossJaccards]] semantics
     * under the chunk cap): members carry a corpus-side tag (_3 = true
@@ -394,7 +420,9 @@ object TextKernels {
     * new×store pairs, cross-chunk rows the across-chunk ones. */
   def chunkCrossJaccards(amem: Seq[(Long, Seq[Long], Boolean)],
                          bmem: Seq[(Long, Seq[Long], Boolean)],
-                         minJac: Double): Seq[(Long, Long, Double)] = {
+                         minJac: Double,
+                         softCap: Int = 0): Seq[(Long, Long, Double)] = {
+    warnIfOversized(softCap, amem.length, if (bmem == null) 0 else bmem.length)
     def strip(xs: Seq[(Long, Seq[Long], Boolean)]) = xs.map(t => (t._1, t._2))
     val (an, as) = amem.partition(_._3)
     if (bmem == null || bmem.isEmpty)
@@ -408,5 +436,5 @@ object TextKernels {
 
   val chunkCrossJaccardsUdf: UserDefinedFunction =
     udf((a: Seq[(Long, Seq[Long], Boolean)], b: Seq[(Long, Seq[Long], Boolean)],
-         minJac: Double) => chunkCrossJaccards(a, b, minJac))
+         minJac: Double, softCap: Int) => chunkCrossJaccards(a, b, minJac, softCap))
 }

@@ -173,7 +173,11 @@ object Dedup extends QueryPack {
     * on d4/d10/gr5, and whole-stream chunking at sf1 (2 hot buckets,
     * 916 members max) taxed d21 +45% — the cap must cost nothing where
     * the hazard it bounds is absent. */
-  private[operators] val bucketChunkSize = 512
+  private[graft] val bucketChunkSize =
+    // measurement knob (A/B instrument, not a tuning surface): the
+    // SCALE_HEADROOM cap-attribution runs disable / resize the cap from
+    // the environment so both arms run the SAME jar
+    sys.env.get("SPARK_GRAFT_CHUNK_CAP").map(_.toInt).getOrElse(512)
 
   /** Cap on the driver-side hot-bucket list: 64k (band_id, bh) keys ≈
     * 1 MB broadcast. A corpus with MORE oversized buckets than this
@@ -222,7 +226,14 @@ object Dedup extends QueryPack {
         ceil(count(lit(1)) / chunkSize.toDouble).cast("int").as("nch")))
     bands.join(nchDf, Seq("band_id", "bh"), "left")
       .withColumn("nch", coalesce(col("nch"), lit(1)))
-      .withColumn("chunk", pmod(hash(col("doc_id")), col("nch")))
+      // bucket-salted chunk hash (ADVICE r11): doc_ids whose plain hash
+      // collides into one residue class would re-create the bucket-sized
+      // row the cap exists to bound; salting with the bucket key makes a
+      // collision class per-bucket instead of corpus-global (the split
+      // stays expected-bounded, not exact — the exact row_number form
+      // costs a whole-stream window, measured +45% on d21 at sf1)
+      .withColumn("chunk",
+        pmod(hash(col("doc_id"), col("bh"), col("band_id")), col("nch")))
       .select(col("doc_id"), col("band_id"), col("bh"), col("chunk"),
         explode(sequence(lit(0), col("nch") - 1)).as("j"))
       .select(col("doc_id"), col("band_id"), col("bh"),
@@ -237,6 +248,13 @@ object Dedup extends QueryPack {
         collect_list(when(!col("is_a"),
           struct(col("doc_id"), col("hs")))).as("bmem"))
       .filter(size(col("amem")) + size(col("bmem")) > 1)
+      // a cross row whose partner chunk came up empty (hash-assigned
+      // chunks can be) holds only one side; the kernel would mistake it
+      // for an intra row and re-verify the chunk's internal pairs —
+      // duplicate work the downstream distinct silently absorbed
+      // (ADVICE r11). Intra pairs belong to the (c, c) row alone.
+      .filter(col("c_lo") === col("c_hi") ||
+        (size(col("amem")) > 0 && size(col("bmem")) > 0))
   }
 
   /** [[nearDupPairs]] plus the PERSISTED signature table it builds on —
@@ -270,27 +288,7 @@ object Dedup extends QueryPack {
     // measured and rejected: the union recomputes the shared band/hs
     // lineage per branch. `bmem` is NULL on plain rows — the kernel
     // then verifies all pairs within `amem`.
-    val bands = bandsOf(base)
-    def fastGroup(b: org.apache.spark.sql.DataFrame) = b
-      .join(base.select(col("doc_id"), col("hs")), "doc_id")
-      .groupBy("band_id", "bh")
-      .agg(collect_list(struct(col("doc_id"), col("hs"))).as("amem"))
-      .filter(size(col("amem")) > 1)
-      .withColumn("bmem", when(lit(false), col("amem")))
-      .select("amem", "bmem")
-    val hot = oversizedBuckets(bands, chunkSize)
-    val grouped =
-      if (hot.isEmpty) fastGroup(bands)
-      else {
-        val spark = docs.sparkSession
-        import spark.implicits._
-        val nchHot =
-          if (hot.length <= maxHotBuckets)
-            Some(hot.toSeq.toDF("band_id", "bh", "nch"))
-          else None
-        chunkedBucketMembers(bands, base, chunkSize, nchHot)
-          .select("amem", "bmem")
-      }
+    val grouped = groupedOneSided(bandsOf(base), base, chunkSize)
     // The kernel pre-filters at the same threshold when it is a plain
     // double literal (every current caller); a non-literal expression
     // degrades to no pre-filter and the SQL gate below does all the work.
@@ -299,13 +297,45 @@ object Dedup extends QueryPack {
     val pairs = grouped
       .select(explode(
         graft.functions.TextKernels.chunkPairJaccardsUdf(
-          col("amem"), col("bmem"), lit(kernelMin)))
+          col("amem"), col("bmem"), lit(kernelMin), lit(chunkSize * 8)))
         .as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
         col("p._3").as("jac"))
       .filter(col("jac") >= expr(threshold))
       .distinct()
     (pairs, base)
+  }
+
+  /** One-sided bucket grouping with the adaptive chunk cap — the shared
+    * engine of [[nearDupPairsWithBase]] and [[probePairs]]'s self-probe
+    * fast path: each bucket's members (id + shingles) become one grouped
+    * row (`bmem` null — the kernel verifies all internal pairs), unless
+    * the driver probe finds buckets over `chunkSize`, in which case ONLY
+    * those split into chunk-pair rows via the broadcast nch left-join
+    * (cold buckets ride through with nch = 1). */
+  private def groupedOneSided(bands: org.apache.spark.sql.DataFrame,
+                              sig: org.apache.spark.sql.DataFrame,
+                              chunkSize: Int)
+      : org.apache.spark.sql.DataFrame = {
+    def fastGroup(b: org.apache.spark.sql.DataFrame) = b
+      .join(sig.select(col("doc_id"), col("hs")), "doc_id")
+      .groupBy("band_id", "bh")
+      .agg(collect_list(struct(col("doc_id"), col("hs"))).as("amem"))
+      .filter(size(col("amem")) > 1)
+      .withColumn("bmem", when(lit(false), col("amem")))
+      .select("amem", "bmem")
+    val hot = oversizedBuckets(bands, chunkSize)
+    if (hot.isEmpty) fastGroup(bands)
+    else {
+      val spark = sig.sparkSession
+      import spark.implicits._
+      val nchHot =
+        if (hot.length <= maxHotBuckets)
+          Some(hot.toSeq.toDF("band_id", "bh", "nch"))
+        else None
+      chunkedBucketMembers(bands, sig, chunkSize, nchHot)
+        .select("amem", "bmem")
+    }
   }
 
   /** Near-dup pairs between a NEW batch's signature table and an
@@ -338,6 +368,33 @@ object Dedup extends QueryPack {
     // the same final distinct the old plan had.
     val kernelMin = scala.util.Try(threshold.toDouble)
       .getOrElse(Double.NegativeInfinity)
+    // SELF-probe fast path (reference equality — the intra-batch probe
+    // DocStream runs per micro-batch, d21's within-batch sweep): the
+    // two-sided plan would union the SAME bands twice (2× the grouping
+    // exchange, doubled bucket rows) and the cross kernel would compute
+    // every jaccard twice (a×b and b×a of identical member sets). The
+    // one-sided machinery does C(n,2) once; both orientations are
+    // emitted afterwards on the THRESHOLD-SURVIVING pairs only, so the
+    // output contract (every qualifying (new_doc, dup_of) ordered pair,
+    // same-id excluded) is unchanged.
+    if (newSig eq storeSig) {
+      val pairs = groupedOneSided(bandsOf(newSig), newSig, chunkSize)
+        .select(explode(
+          graft.functions.TextKernels.chunkPairJaccardsUdf(
+            col("amem"), col("bmem"), lit(kernelMin),
+            lit(chunkSize * 8))).as("p"))
+        .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
+          col("p._3").as("jac"))
+        .filter(col("jac") >= expr(threshold))
+        .distinct()
+      return pairs
+        .select(explode(array(
+          struct(col("doc_a").as("new_doc"), col("doc_b").as("dup_of"),
+            col("jac")),
+          struct(col("doc_b").as("new_doc"), col("doc_a").as("dup_of"),
+            col("jac")))).as("q"))
+        .select("q.new_doc", "q.dup_of", "q.jac")
+    }
     val rawBands = bandsOf(newSig).withColumn("is_new", lit(true))
       .unionByName(bandsOf(storeSig).withColumn("is_new", lit(false)))
     // OPT-IN live-bucket pruning before the shingle join: only buckets
@@ -376,7 +433,10 @@ object Dedup extends QueryPack {
           ceil(count(lit(1)) / chunkSize.toDouble).cast("int").as("nch")))
       allBands.join(nchDf, Seq("band_id", "bh"), "left")
         .withColumn("nch", coalesce(col("nch"), lit(1)))
-        .withColumn("chunk", pmod(hash(col("doc_id")), col("nch")))
+        // bucket-salted chunk hash + empty-partner filter: same two
+        // fixes as [[chunkedBucketMembers]] (ADVICE r11), see there
+        .withColumn("chunk",
+          pmod(hash(col("doc_id"), col("bh"), col("band_id")), col("nch")))
         .select(col("doc_id"), col("is_new"), col("band_id"), col("bh"),
           col("chunk"),
           explode(sequence(lit(0), col("nch") - 1)).as("j"))
@@ -391,6 +451,8 @@ object Dedup extends QueryPack {
             struct(col("doc_id"), col("hs"), col("is_new")))).as("amem"),
           collect_list(when(!col("is_a"),
             struct(col("doc_id"), col("hs"), col("is_new")))).as("bmem"))
+        .filter(col("c_lo") === col("c_hi") ||
+          (size(col("amem")) > 0 && size(col("bmem")) > 0))
         .select("amem", "bmem")
     }
     def fastGroup(b: org.apache.spark.sql.DataFrame) = b
@@ -414,11 +476,34 @@ object Dedup extends QueryPack {
       }
     grouped
       .select(explode(graft.functions.TextKernels.chunkCrossJaccardsUdf(
-        col("amem"), col("bmem"), lit(kernelMin))).as("p"))
+        col("amem"), col("bmem"), lit(kernelMin),
+        lit(chunkSize * 8))).as("p"))
       .select(col("p._1").as("new_doc"), col("p._2").as("dup_of"),
         col("p._3").as("jac"))
       .filter(col("jac") >= expr(threshold))
       .distinct()
+  }
+
+  /** Fraction of the STORE's band rows whose bucket holds a batch
+    * member — the signal behind DocStream's adaptive probe pruning
+    * (pruning wins when this is small: a serving probe of a mostly-novel
+    * batch leaves almost every store bucket dead, and pruning keeps its
+    * shingle arrays out of the grouping exchange; a dup-dense store
+    * makes most buckets live and pruning just pays two extra passes).
+    * One aggregate job over the SKINNY band triples: the batch's
+    * distinct bucket keys (batch-sized — AQE broadcasts them) left-join
+    * the store bands, counting matches map-side. O(|store| skinny scan +
+    * |batch| keys), no shingle arrays move. */
+  def liveBucketFraction(newSig: org.apache.spark.sql.DataFrame,
+                         storeSig: org.apache.spark.sql.DataFrame): Double = {
+    val nk = bandsOf(newSig).select("band_id", "bh").distinct()
+      .withColumn("live", lit(1))
+    val r = bandsOf(storeSig).select("band_id", "bh")
+      .join(nk, Seq("band_id", "bh"), "left")
+      .agg(count(lit(1)).as("total"), count(col("live")).as("live"))
+      .collect()(0)
+    val total = r.getAs[Long]("total")
+    if (total == 0L) 0.0 else r.getAs[Long]("live").toDouble / total
   }
 
   /** Training docs near-duplicating any held-out doc: one row per flagged

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min, regexp_replace}
 
 /** Upsert-by-natural-key semantics over vanilla Parquet — the reference's
   * insert-or-update sink (/root/reference/wfc3_cte_monitor/
@@ -31,17 +32,35 @@ object MergeWriter {
     target.join(updates, keys, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
 
-  /** If a previous upsert crashed mid-swap, put the table back: a
-    * complete tmp (its _SUCCESS marker exists) wins — it holds the merged
-    * new version — else the retired old version is restored. Called
-    * automatically by upsertParquet; call directly before reads if a
-    * crash is suspected. Single-writer is assumed throughout (the
-    * reference is single-writer too — SQLite, README.md:850-866);
-    * concurrent readers during the swap window need a catalog/lakehouse
-    * layer instead. */
+  /** If a previous upsert crashed mid-publish, put the table back.
+    * Covers BOTH publish mechanisms:
+    *  - the two-rename swap (rewrites): a complete tmp (its _SUCCESS
+    *    marker exists) wins — it holds the merged new version — else the
+    *    retired old version is restored;
+    *  - the staged append: `path.__addlog__` lists the batch's files; if
+    *    the marker is still present the publish died mid-rename and the
+    *    listed files are ROLLED BACK out of the live directory (all of
+    *    the batch or none of it — the caller retries/redelivers).
+    * Called automatically by every write entry point; call directly
+    * before reads if a crash is suspected. Single-writer is assumed
+    * throughout (the reference is single-writer too — SQLite, README.md:
+    * 850-866); concurrent readers during a publish window need a
+    * catalog/lakehouse layer instead. */
   def recover(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
+    // staged-append rollback FIRST: a marker means some (possibly zero,
+    // possibly all) of the listed files were renamed in before the crash
+    val addlog = new Path(path + AddLogSuffix)
+    if (fs.exists(addlog)) {
+      readLines(fs, addlog).foreach { rel =>
+        val f = new Path(cur, rel)
+        if (fs.exists(f)) fs.delete(f, false)
+      }
+      fs.delete(addlog, false)
+    }
+    val stage = new Path(path + AddStageSuffix)
+    if (fs.exists(stage)) fs.delete(stage, true)
     val tmp = new Path(path + ".__tmp__")
     val old = new Path(path + ".__old__")
     if (!fs.exists(cur)) {
@@ -67,48 +86,271 @@ object MergeWriter {
     * files instead of rewriting the whole table. That turns the
     * insert-dominant workload (streaming ingest: every batch is new
     * doc_ids except redeliveries) from O(|table|) per batch into
-    * O(|batch| + one key-column collision scan); a sustained
-    * 10×50k-batch run against a 500k-signature store measured the
-    * whole-table rewrite growing per batch exactly as O(store) predicts.
-    * Crash safety: Spark's committer stages task files under
-    * `_temporary` (ignored by readers) until commit, and a redelivered
-    * batch COLLIDES with its own earlier append, falling back to the
-    * dedup'ing rewrite — idempotence is unchanged. */
+    * O(|batch|) plus the key-collision probe; a sustained 10×50k-batch
+    * run against a 500k-signature store measured the whole-table rewrite
+    * growing per batch exactly as O(store) predicts. The append
+    * publishes through a staging dir + rename batch protected by an
+    * on-disk marker, so the all-or-nothing crash contract is the SAME as
+    * the rewrite's: a crash mid-publish rolls the whole batch back on
+    * the next `recover` (the batch is simply not yet applied — callers
+    * retry or, under streaming redelivery, re-run the batch). A
+    * redelivered batch COLLIDES with its own earlier append and falls
+    * back to the dedup'ing rewrite — idempotence is unchanged.
+    *
+    * `keyIndex = true` additionally maintains a per-file KEY-RANGE
+    * sidecar (`path.__keyidx__`) so the collision probe prunes to files
+    * whose key range overlaps the batch's — with naturally increasing
+    * ingest keys that is ZERO files and the probe costs one O(|batch|)
+    * aggregate instead of an O(|table|) key scan (the last per-batch
+    * O(store) term of the streaming sink). Appends index their own files
+    * from the batch aggregate; rewrites re-derive per-file ranges with
+    * one column-pruned pass folded into the already-O(store) rewrite.
+    * The index is advisory: files it doesn't cover are always probed, so
+    * a lost/stale sidecar degrades to the unpruned scan, never past
+    * correctness. Opt-in because a one-shot bulk upsert (the warehouse
+    * restatement shape) would pay the rebuild pass for probes that never
+    * come. */
   def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
                     keys: Seq[String],
-                    partitionCols: Seq[String] = Nil): Unit = {
+                    partitionCols: Seq[String] = Nil,
+                    keyIndex: Boolean = false): Unit = {
     recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) {
       swapIn(spark, path, updates, partitionCols)
+      if (keyIndex) rebuildKeyIndex(spark, path, keys)
       return
     }
+    if (keyIndex && !fs.exists(new Path(path + KeyIdxSuffix)))
+      rebuildKeyIndex(spark, path, keys) // first indexed batch: cover the base
     val target = spark.read.parquet(path)
     def shape(df: DataFrame) =
       df.schema.fields.map(f => (f.name, f.dataType)).toSet
-    val canAppend = shape(target) == shape(updates) && {
-      import org.apache.spark.sql.functions.col
-      // key-pruned scan of the table probed against the batch's keys;
-      // any hit means a genuine update (or a redelivery) → full merge
-      target.select(keys.map(col): _*)
-        .join(updates.select(keys.map(col): _*).distinct(), keys, "left_semi")
-        .isEmpty
-    }
+    val canAppend = shape(target) == shape(updates) &&
+      !collides(spark, path, target, updates, keys)
     if (canAppend) {
-      import org.apache.spark.sql.functions.col
       // column order pinned to the table's so every file carries the
       // same layout (readers merge by name, but keep footers uniform)
-      val writer = updates.select(target.columns.map(col): _*)
-        .write.mode("append")
-      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-       else writer).parquet(path)
-    } else
+      val batch = updates.select(target.columns.map(col): _*)
+      val rels = appendIn(spark, path, batch, partitionCols)
+      if (keyIndex && indexableKeys(batch, keys))
+        writeIdxEntry(spark, path, keys, batchRanges(batch, keys, rels))
+    } else {
       swapIn(spark, path, merge(target, updates, keys), partitionCols)
+      if (keyIndex) rebuildKeyIndex(spark, path, keys)
+    }
   }
+
+  // ---------------------------------------------------------------- append
+
+  private val AddStageSuffix = ".__add__"
+  private val AddLogSuffix = ".__addlog__"
+  private val KeyIdxSuffix = ".__keyidx__"
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Write `lines` to `p` atomically: create under a temp name, then
+    * rename (single-file rename is atomic on HDFS/local/object-store
+    * emulations alike — the directory swap is what isn't). */
+  private def writeLinesAtomic(fs: FileSystem, p: Path, lines: Seq[String]): Unit = {
+    val tmp = new Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not publish marker $p")
+  }
+
+  /** Data files under `root`, as paths relative to it (partition subdirs
+    * included). */
+  private def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
+    if (!fs.exists(root)) return Nil
+    val rootUri = fs.makeQualified(root).toString
+    val it = fs.listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val full = f.getPath.toString
+        out += full.stripPrefix(rootUri).stripPrefix("/")
+      }
+    }
+    out.toSeq
+  }
+
+  /** Stage-then-publish append: write the batch BESIDE the table, record
+    * the staged file names in an on-disk marker, rename them in, clear
+    * the marker. Readers never see a partial batch: task files stay in
+    * the staging dir until every one is complete (_SUCCESS), and a crash
+    * anywhere in the rename window leaves the marker for [[recover]] to
+    * roll the whole batch back. Returns the published files' relative
+    * paths. */
+  private def appendIn(spark: SparkSession, path: String, batch: DataFrame,
+                       partitionCols: Seq[String]): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(path + AddStageSuffix)
+    fs.delete(stage, true)
+    val writer = batch.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(stage.toString)
+    val rels = listDataFiles(fs, stage)
+    writeLinesAtomic(fs, new Path(path + AddLogSuffix), rels)
+    val cur = new Path(path)
+    rels.foreach { rel =>
+      val dst = new Path(cur, rel)
+      val parent = dst.getParent
+      if (!fs.exists(parent)) fs.mkdirs(parent)
+      if (!fs.rename(new Path(stage, rel), dst))
+        throw new java.io.IOException(s"append publish failed at $rel")
+    }
+    fs.delete(new Path(path + AddLogSuffix), false)
+    fs.delete(stage, true)
+    rels
+  }
+
+  // ------------------------------------------------------- key-range index
+
+  /** Key types the range index can prune on: orderable atomics whose
+    * min/max are well-defined and comparable across engines. Anything
+    * else (arrays, structs, maps) simply opts the index out. */
+  private def indexableKeys(df: DataFrame, keys: Seq[String]): Boolean = {
+    import org.apache.spark.sql.types._
+    keys.forall(k => df.schema.fields.find(_.name == k).exists(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType | TimestampType |
+           TimestampNTZType | BooleanType => true
+      case _: DecimalType => true
+      case _ => false
+    }))
+  }
+
+  private def idxMinMaxCols(keys: Seq[String]) =
+    keys.flatMap(k => Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+
+  /** One index row per published file, all carrying the BATCH-level key
+    * ranges (append granularity — batches are small, per-file tightness
+    * isn't worth a second pass over the batch). */
+  private def batchRanges(batch: DataFrame, keys: Seq[String],
+                          rels: Seq[String]): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val agg = batch.agg(idxMinMaxCols(keys).head, idxMinMaxCols(keys).tail: _*)
+    rels.toDF("file").crossJoin(broadcast(agg))
+  }
+
+  /** Re-derive per-file key ranges from the table itself — one
+    * column-pruned scan, paid only beside an already-O(store) rewrite.
+    * Replaces the whole sidecar (rewrites invalidate every prior entry). */
+  private def rebuildKeyIndex(spark: SparkSession, path: String,
+                              keys: Seq[String]): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = new Path(path + KeyIdxSuffix)
+    fs.delete(idx, true)
+    if (!fs.exists(new Path(path))) return
+    val t = spark.read.parquet(path)
+    if (!indexableKeys(t, keys)) return
+    // normalize input_file_name (a full URI) to a table-relative path; a
+    // degenerate match (table dir name repeated inside a partition dir)
+    // yields a rel that matches no listed file and the file just stays
+    // unindexed — the index only ever prunes, never excuses, a scan
+    val dirName = java.util.regex.Pattern.quote(new Path(path).getName)
+    val rows = t.select((keys.map(col) :+
+        regexp_replace(input_file_name(), s"^.*$dirName/", "").as("file")): _*)
+      .groupBy("file")
+      .agg(idxMinMaxCols(keys).head, idxMinMaxCols(keys).tail: _*)
+    writeIdxEntry(spark, path, keys, rows)
+  }
+
+  /** Append one entry dir to the sidecar. Entries are tiny (one row per
+    * file); each write is its own parquet dir so appends never rewrite
+    * the index. A torn entry (no _SUCCESS / unreadable) is ignored by
+    * [[readKeyIndex]] and its files degrade to always-scanned. */
+  private def writeIdxEntry(spark: SparkSession, path: String,
+                            keys: Seq[String], rows: DataFrame): Unit = {
+    val entry = s"$path$KeyIdxSuffix/e_${System.currentTimeMillis()}_${
+      java.util.UUID.randomUUID.toString.take(8)}"
+    rows.coalesce(1).write.mode("overwrite").parquet(entry)
+  }
+
+  /** All readable index entries, or None when the sidecar is absent or
+    * unreadable (schema drift between entries, torn writes). */
+  private def readKeyIndex(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = new Path(path + KeyIdxSuffix)
+    if (!fs.exists(idx)) return None
+    val entries = fs.listStatus(idx).filter(_.isDirectory)
+      .filter(e => fs.exists(new Path(e.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+    if (entries.isEmpty) return None
+    try {
+      val df = spark.read.parquet(entries.toIndexedSeq: _*)
+      df.schema // force schema resolution now, not at probe time
+      Some(df)
+    } catch { case _: Throwable => None }
+  }
+
+  /** Does any update key exist in the table? The probe behind the
+    * insert-only fast path. With a key-range sidecar the table scan
+    * prunes to files whose range overlaps the batch's (plus any file the
+    * index doesn't cover); an empty candidate set answers without
+    * touching the table at all. Null keys never equi-join-match, so
+    * range rows from all-null files prune away safely. */
+  private def collides(spark: SparkSession, path: String, target: DataFrame,
+                       updates: DataFrame, keys: Seq[String]): Boolean = {
+    val probeKeys = updates.select(keys.map(col): _*).distinct()
+    def fullScan() =
+      !target.select(keys.map(col): _*).join(probeKeys, keys, "left_semi").isEmpty
+    readKeyIndex(spark, path) match {
+      case None => fullScan()
+      case Some(idx) =>
+        val wanted = (Seq("file") ++ keys.flatMap(k => Seq(s"min_$k", s"max_$k")))
+        if (!wanted.forall(idx.columns.contains(_)) ||
+            !indexableKeys(updates, keys)) return fullScan()
+        val fs = new Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val actual = listDataFiles(fs, new Path(path)).toSet
+        val aggCols = keys.flatMap(k => Seq(min(col(k)).as(s"bmin_$k"),
+          max(col(k)).as(s"bmax_$k"))) :+ count(lit(1)).as("bn")
+        val batchAgg = updates.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+        if (batchAgg.getAs[Long]("bn") == 0L) return false // empty batch
+        val spark2 = updates.sparkSession
+        import spark2.implicits._
+        val bdf = spark2.createDataFrame(
+          spark2.sparkContext.parallelize(Seq(batchAgg), 1),
+          batchAgg.schema)
+        val overlapPred = keys.map(k =>
+          col(s"max_$k") >= col(s"bmin_$k") && col(s"min_$k") <= col(s"bmax_$k"))
+          .reduce(_ && _)
+        val overlapping = idx.crossJoin(broadcast(bdf)).filter(overlapPred)
+          .select("file").as[String].collect().toSet
+        val indexed = idx.select("file").as[String].collect().toSet
+        val candidates = (actual & overlapping) ++ (actual -- indexed)
+        if (candidates.isEmpty) false
+        else {
+          // basePath keeps hive-partition columns readable when the key
+          // includes one and only a file subset is scanned
+          val pruned = spark.read.option("basePath", path)
+            .parquet(candidates.toSeq.sorted.map(r => s"$path/$r"): _*)
+          if (!keys.forall(pruned.columns.contains(_))) fullScan()
+          else !pruned.select(keys.map(col): _*)
+            .join(probeKeys, keys, "left_semi").isEmpty
+        }
+    }
+  }
+
+  // ---------------------------------------------------------------- swaps
 
   /** Write `next` beside `path` and promote it with the two-rename swap
     * (every crash point covered by [[recover]]). Shared tail of the
-    * upsert / delete / compact rewrites. */
+    * upsert / delete / compact rewrites. Invalidates the key-range
+    * sidecar (every pre-rewrite entry names files that no longer exist);
+    * callers that maintain the index rebuild it afterwards. */
   private def swapIn(spark: SparkSession, path: String, next: DataFrame,
                      partitionCols: Seq[String] = Nil): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -117,6 +359,7 @@ object MergeWriter {
     val writer = next.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp.toString)
+    fs.delete(new Path(path + KeyIdxSuffix), true)
     val old = new Path(path + ".__old__")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(cur)) fs.rename(cur, old)
@@ -135,18 +378,20 @@ object MergeWriter {
     * `partitionCols` carries the same contract as upsertParquet's — a
     * hive-partitioned table MUST pass its partition columns or the
     * rewrite flattens the directory layout (and with it the partition
-    * pruning the warehouse relies on). */
+    * pruning the warehouse relies on). `keyIndex` as in upsertParquet:
+    * rebuild the range sidecar after the rewrite for appending callers. */
   def deleteParquet(spark: SparkSession, path: String,
                     tombstones: DataFrame, keys: Seq[String],
-                    partitionCols: Seq[String] = Nil): Unit = {
+                    partitionCols: Seq[String] = Nil,
+                    keyIndex: Boolean = false): Unit = {
     recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
     if (!fs.exists(cur)) return
     val kept = spark.read.parquet(path)
-      .join(tombstones.select(keys.map(
-        org.apache.spark.sql.functions.col): _*).distinct(), keys, "left_anti")
+      .join(tombstones.select(keys.map(col): _*).distinct(), keys, "left_anti")
     swapIn(spark, path, kept, partitionCols)
+    if (keyIndex) rebuildKeyIndex(spark, path, keys)
   }
 
   /** Small-file compaction — the warehouse-maintenance pass every
@@ -159,10 +404,16 @@ object MergeWriter {
     * also what keeps the rewrite off the rest of the table. Same
     * `partitionCols` contract as upsert/delete: a hive-partitioned table
     * compacted at its ROOT must pass its partition columns or the
-    * layout flattens (per-partition compaction needs none). */
+    * layout flattens (per-partition compaction needs none).
+    * `indexKeys`: non-empty rebuilds the key-range sidecar after the
+    * rewrite (compaction replaces every file, so an appending caller's
+    * index must be re-derived or the next probe degrades to a full
+    * scan — the post-compaction probe recovery the streaming sink
+    * depends on). */
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L << 20,
-                     partitionCols: Seq[String] = Nil): Unit = {
+                     partitionCols: Seq[String] = Nil,
+                     indexKeys: Seq[String] = Nil): Unit = {
     recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
@@ -180,5 +431,6 @@ object MergeWriter {
     if (want >= nFiles) return // already compact enough: skip the rewrite
     swapIn(spark, path, spark.read.parquet(path).coalesce(want),
       partitionCols)
+    if (indexKeys.nonEmpty) rebuildKeyIndex(spark, path, indexKeys)
   }
 }

@@ -28,10 +28,23 @@ import graft.sources.MergeWriter
   */
 object DocStream {
 
-  /** Seed (or extend) the signature store from a batch corpus. */
+  /** Seed (or extend) the signature store from a batch corpus. The store
+    * is key-indexed from birth so the stream's insert-only upserts can
+    * prune their collision probes (MergeWriter's key-range sidecar). */
   def seedSignatureStore(docs: DataFrame, storePath: String): Unit =
     MergeWriter.upsertParquet(docs.sparkSession, storePath,
-      Dedup.signatures(docs), Seq("doc_id"))
+      Dedup.signatures(docs), Seq("doc_id"), keyIndex = true)
+
+  /** Pruning hysteresis: the store probe prunes to LIVE buckets while the
+    * measured live-band fraction stays below [[pruneOnBelow]], and stops
+    * pruning once it exceeds [[pruneOffAbove]] (a dup-dense drift — spam
+    * flood, boilerplate wave — makes nearly every bucket live, and the
+    * pruning passes then cost ~2× for nothing; measured at sf10: d21
+    * 15.5 → 29.9 s with pruning forced on). Between the two thresholds
+    * the current mode sticks, so a fraction hovering at a boundary can't
+    * flap the plan per batch. */
+  private val pruneOffAbove = 0.5
+  private val pruneOnBelow = 0.25
 
   /** Per-micro-batch near-dup detection against `storePath`; hits land
     * in `hitsPath` as (doc_a < doc_b, jac) — d4's canonical pair order,
@@ -48,13 +61,29 @@ object DocStream {
     * `compactEvery`-th batch both sinks are compacted (the LSM
     * tradeoff: one amortized O(store)/`compactEvery` rewrite per batch
     * buys a bounded file count); 0 disables. Compaction is the same
-    * crash-safe two-rename swap as the upsert, so a kill mid-compact
-    * recovers like any other batch. */
+    * crash-safe two-rename swap as the upsert and REBUILDS the key-range
+    * sidecar it invalidates, so the post-compaction collision probes go
+    * straight back to pruned O(batch) cost.
+    *
+    * Store-probe pruning is ADAPTIVE: each batch measures the live-band
+    * fraction (store band rows whose bucket holds a batch member — one
+    * column-pruned aggregate over the skinny band triples, broadcast
+    * batch keys) and flips `pruneToLiveBuckets` by hysteresis
+    * ([[pruneOffAbove]]/[[pruneOnBelow]]): a mostly-novel serving stream
+    * keeps the measured ~8% win of pruning, a store that turns dup-dense
+    * sheds the measured ~2× pruning penalty instead of silently paying
+    * it. `onBatchMetrics(batchId, liveFraction, pruned)` surfaces the
+    * per-batch decision to instruments (StreamBench) and tests. */
   def nearDupStream(docs: DataFrame, storePath: String, hitsPath: String,
                     threshold: String = "0.08",
                     compactEvery: Int = 64,
-                    targetFileBytes: Long = 128L << 20): StreamingQuery = {
+                    targetFileBytes: Long = 128L << 20,
+                    onBatchMetrics: (Long, Double, Boolean) => Unit =
+                      (_, _, _) => ()): StreamingQuery = {
     val owner = docs.sparkSession
+    // pruning mode carries across batches (hysteresis needs memory);
+    // foreachBatch runs on the driver, single-threaded per query
+    var pruneOn = true
     docs.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
@@ -66,20 +95,22 @@ object DocStream {
           // INTRA-batch pairs too: two near-dups landing in the same
           // micro-batch would otherwise both enter the store unflagged —
           // neither ever probes the other again, and the streamed corpus
-          // under-reports duplicates vs the batch d4 pipeline
-          // the store probe prunes to LIVE buckets first (the serving
-          // shape: a small, mostly-novel batch against a huge store —
-          // most store buckets hold no batch member, and pruning keeps
-          // their shingle arrays out of the grouping exchange); the
+          // under-reports duplicates vs the batch d4 pipeline. The
           // intra-batch self-probe is batch-sized and skips the pruning
-          // passes (see Dedup.probePairs' opt-in note)
+          // passes (see Dedup.probePairs' opt-in note).
           val intra = Dedup.probePairs(sig, sig, threshold)
           val pairs =
-            if (fs.exists(new Path(storePath)))
-              intra.unionByName(Dedup.probePairs(sig,
-                owner.read.parquet(storePath), threshold,
-                pruneToLiveBuckets = true))
-            else intra
+            if (fs.exists(new Path(storePath))) {
+              val store = owner.read.parquet(storePath)
+              val frac = Dedup.liveBucketFraction(sig, store)
+              pruneOn =
+                if (frac > pruneOffAbove) false
+                else if (frac < pruneOnBelow) true
+                else pruneOn
+              onBatchMetrics(batchId, frac, pruneOn)
+              intra.unionByName(Dedup.probePairs(sig, store, threshold,
+                pruneToLiveBuckets = pruneOn))
+            } else { onBatchMetrics(batchId, 0.0, pruneOn); intra }
           MergeWriter.upsertParquet(owner, hitsPath,
             pairs
               .select(least(col("new_doc"), col("dup_of")).as("doc_a"),
@@ -89,12 +120,15 @@ object DocStream {
               // canonical order folds them onto one key, dedupe before
               // the upsert (merge keeps every update row, even same-key)
               .dropDuplicates("doc_a", "doc_b"),
-            Seq("doc_a", "doc_b"))
-          MergeWriter.upsertParquet(owner, storePath, sig, Seq("doc_id"))
+            Seq("doc_a", "doc_b"), keyIndex = true)
+          MergeWriter.upsertParquet(owner, storePath, sig, Seq("doc_id"),
+            keyIndex = true)
           sig.unpersist()
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-            MergeWriter.compactParquet(owner, storePath, targetFileBytes)
-            MergeWriter.compactParquet(owner, hitsPath, targetFileBytes)
+            MergeWriter.compactParquet(owner, storePath, targetFileBytes,
+              indexKeys = Seq("doc_id"))
+            MergeWriter.compactParquet(owner, hitsPath, targetFileBytes,
+              indexKeys = Seq("doc_a", "doc_b"))
           }
         }
       }

@@ -7,32 +7,49 @@ import graft.GraftSession
 import graft.streaming.DocStream
 
 /** Sustained streaming-ingest headroom — the SCALE_HEADROOM instrument
-  * for [[graft.streaming.DocStream]] (VERDICT r10 task 6, the streaming
-  * analog of the v13 flat-probe datapoint): seed the signature store
-  * from one corpus, then feed N micro-batches of NEW documents through
-  * the real `nearDupStream` query (file source, one parquet file per
-  * trigger) against the GROWING store, and print each micro-batch's
-  * trigger duration. What flat batch times demonstrate: the per-batch
-  * probe cost is |batch| signing + banded collisions — independent of
-  * corpus TEXT volume — and the only growing component is the store
-  * upsert rewrite, whose scale path is partition-scoped overwrite
-  * (MergeWriter's documented contract), not this whole-table test rig.
+  * for [[graft.streaming.DocStream]] (VERDICT r10 task 6 / r11 task 1b):
+  * seed the signature store from one corpus, then feed N micro-batches
+  * of NEW documents through the real `nearDupStream` query (file source,
+  * one parquet file per trigger) against the GROWING store, and print
+  * each micro-batch's trigger duration, live-bucket fraction, pruning
+  * decision, and the store's file count. What flat batch times
+  * demonstrate: the per-batch probe cost is |batch| signing + banded
+  * collisions — independent of corpus TEXT volume — and the per-batch
+  * sink cost is O(batch) (staged append + key-range-pruned collision
+  * probe), with compaction's amortized O(store)/compactEvery rewrite
+  * the only store-sized term. Run with compactEvery small enough that
+  * the measured window CROSSES ≥2 compaction boundaries — the r11 run
+  * (10 batches, compactEvery 64) never exercised the path that bounds a
+  * 1000-batch stream's file count.
   *
   * Usage: runMain graft.tools.StreamBench [seedDir] [batchSrcDir]
-  *          [nBatches] [workDir]
+  *          [nBatches] [workDir] [compactEvery]
   * Defaults: seed target/sf10 (500k docs), batches = target/sf1's 50k
-  * docs re-keyed per batch, 10 batches, work in target/stream_bench.
+  * docs re-keyed per batch, 12 batches, work in target/stream_bench,
+  * compactEvery 4 (boundaries at batch 4 and 8).
   * Results land in SCALE_HEADROOM.md / scale_notes.json. */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val seedDir = args.headOption.getOrElse("/root/repo/target/sf10")
     val batchSrc = args.lift(1).getOrElse("/root/repo/target/sf1")
-    val nBatches = args.lift(2).map(_.toInt).getOrElse(10)
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(12)
     val work = args.lift(3).getOrElse("/root/repo/target/stream_bench")
+    val compactEvery = args.lift(4).map(_.toInt).getOrElse(4)
     val spark = GraftSession.local()
     val fs = new Path(work)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(work), true)
+
+    def parquetFiles(dir: String): Int = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) 0
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        n
+      }
+    }
 
     val seedDocs = spark.read.parquet(s"$seedDir/documents.parquet")
       .select("doc_id", "text")
@@ -75,19 +92,31 @@ object StreamBench {
     println(f"[stream-bench] staged $nBatches%d batches of " +
       f"${batchDocs.count()}%d docs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    val stream = spark.readStream
-      .schema(batchDocs.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inDir.toString)
-    val q = DocStream.nearDupStream(stream, s"$work/store", s"$work/hits")
+    // per-batch adaptive-pruning metrics, keyed by batchId; the store
+    // file count is sampled at the same moment (pre-upsert), so the
+    // compaction sawtooth is visible against the trigger times
+    val metrics = scala.collection.concurrent.TrieMap
+      .empty[Long, (Double, Boolean, Int)]
+    val q = DocStream.nearDupStream(
+      spark.readStream
+        .schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString),
+      s"$work/store", s"$work/hits",
+      compactEvery = compactEvery,
+      onBatchMetrics = (id, frac, pruned) =>
+        metrics(id) = (frac, pruned, parquetFiles(s"$work/store")))
     q.processAllAvailable()
     q.stop()
 
     val prog = q.recentProgress.filter(_.numInputRows > 0)
     prog.zipWithIndex.foreach { case (p, i) =>
+      val m = metrics.get(p.batchId)
       println(f"[stream-bench] batch $i%2d: " +
         f"${p.durationMs.get("triggerExecution") / 1000.0}%6.2f s, " +
-        f"${p.numInputRows}%d docs")
+        f"${p.numInputRows}%d docs" + m.map { case (frac, pruned, files) =>
+          f", live-frac $frac%.4f, pruned=$pruned, store-files $files%d"
+        }.getOrElse(""))
     }
     val times = prog.map(_.durationMs.get("triggerExecution") / 1000.0)
     if (times.length >= 2) {
@@ -96,7 +125,8 @@ object StreamBench {
       println(f"[stream-bench] mean first-half ${firstHalf.sum / firstHalf.length}%.2f s, " +
         f"last-half ${lastHalf.sum / lastHalf.length}%.2f s, " +
         f"ratio ${(lastHalf.sum / lastHalf.length) / (firstHalf.sum / firstHalf.length)}%.2f " +
-        f"(store ${seedN} -> ${spark.read.parquet(s"$work/store").count()})")
+        f"(store ${seedN} -> ${spark.read.parquet(s"$work/store").count()}, " +
+        f"${parquetFiles(s"$work/store")} files)")
     }
     val hits = spark.read.parquet(s"$work/hits").count()
     println(s"[stream-bench] total near-dup hits recorded: $hits")

@@ -134,8 +134,23 @@ class BenchRecordSpec extends AnyFunSuite {
           val rs = ratios.map { case (_, (now, prior)) => now / prior }.sorted
           rs(rs.size / 2)
         }
+        // Normalization is CAPPED at the measured ±25%-per-window machine
+        // drift (ADVICE r11): most suite queries share the Dedup/banding
+        // substrate, so an unbounded max(drift, 1.0) would let a code
+        // change that uniformly slows that substrate raise the suite
+        // median and self-normalize away. A window genuinely slower than
+        // the cap is a recordable event, not silent headroom: it needs
+        // its own **suite_drift** Named-ratios entry.
+        val driftCap = 1.3
+        if (drift > driftCap)
+          assert(knownAnomalies.contains("suite_drift"),
+            f"suite-median drift $drift%.2fx exceeds the $driftCap%.1fx " +
+              "machine window — a uniform slowdown of this size is either " +
+              "a shared-substrate regression or an abnormal measurement " +
+              "window; write the **suite_drift** Named-ratios entry")
+        val norm = math.min(math.max(drift, 1.0), driftCap)
         val offenders = ratios.flatMap { case (q, (now, prior)) =>
-          if (now > floorSec && now / prior > limit * math.max(drift, 1.0) &&
+          if (now > floorSec && now / prior > limit * norm &&
               !knownAnomalies.contains(q))
             Some(f"$q $prior%.2f -> $now%.2f s (suite drift $drift%.2fx)")
           else None
@@ -145,6 +160,68 @@ class BenchRecordSpec extends AnyFunSuite {
             s"Named-ratios entry: ${offenders.mkString(", ")} — recover " +
             s"the time or write the root cause into SCALE_HEADROOM.md")
       case _ => cancel("bench_results.json or bench_baseline.json missing")
+    }
+  }
+
+  test("no unexplained cumulative drift > 3x vs the pinned epoch record") {
+    // The rolling guard above re-bases every round (bench_baseline.json
+    // rolls forward), so a query can regress 1.4x per round FOREVER and
+    // never flag — and its sub-second floor exempts cheap queries
+    // entirely (se1/se3/d2/d3/t14 sat at 1.5-1.8x for a round with no
+    // guard at all). bench_epoch.json is PINNED: per-query best-known
+    // clean medians, committed once, never rolled forward — new queries
+    // may be added, existing values only lowered. 3x headroom absorbs
+    // window drift (measured up to ~2x on sub-second queries across
+    // same-day windows) while a compounding regression eventually trips
+    // it, floor or no floor.
+    val limit = 3.0
+    (readJson("/root/repo/bench_results.json"),
+     readJson("/root/repo/bench_epoch.json")) match {
+      case (Some(cur), Some(epoch)) =>
+        val curStats = cur.path("stats")
+        val epochStats = epoch.path("stats")
+        assume(curStats.isObject && epochStats.isObject)
+        val offenders = curStats.properties().asScala.toSeq.flatMap { e =>
+          val pinned = epochStats.path(e.getKey).path("median")
+          val now = e.getValue.path("median").asDouble()
+          if (pinned.isNumber && pinned.asDouble() > 0 &&
+              now / pinned.asDouble() > limit &&
+              !knownAnomalies.contains(e.getKey))
+            Some(f"${e.getKey} epoch ${pinned.asDouble()}%.2f -> " +
+              f"$now%.2f s (${now / pinned.asDouble()}%.1fx)")
+          else None
+        }
+        assert(offenders.isEmpty,
+          s"cumulative drift > ${limit}x vs the pinned epoch with no " +
+            s"Named-ratios entry: ${offenders.mkString(", ")} — the " +
+            "regression compounded across rounds; recover it or name it")
+      case _ => cancel("bench_results.json or bench_epoch.json missing")
+    }
+  }
+
+  test("the epoch record is pinned: values never rise, queries never vanish") {
+    // Guards the guard: a roll-forward of bench_epoch.json (raising a
+    // value to silence the cumulative check) must fail loudly. The
+    // baseline record rolls forward by design; the epoch must not.
+    (readJson("/root/repo/bench_epoch.json"),
+     readJson("/root/repo/bench_baseline.json")) match {
+      case (Some(epoch), Some(base)) =>
+        val eStats = epoch.path("stats")
+        val bStats = base.path("stats")
+        assume(eStats.isObject && bStats.isObject)
+        // every baseline query the epoch covers must be pinned at or
+        // below the baseline's median (the epoch is the historical best)
+        val raised = eStats.properties().asScala.toSeq.flatMap { e =>
+          val b = bStats.path(e.getKey).path("median")
+          val ev = e.getValue.path("median").asDouble()
+          if (b.isNumber && ev > b.asDouble() * 1.0001)
+            Some(f"${e.getKey} epoch $ev%.2f > baseline ${b.asDouble()}%.2f")
+          else None
+        }
+        assert(raised.isEmpty,
+          s"epoch medians above the rolling baseline (epoch values may " +
+            s"only be LOWERED): ${raised.mkString(", ")}")
+      case _ => cancel("bench_epoch.json or bench_baseline.json missing")
     }
   }
 }

@@ -74,6 +74,56 @@ class DocStreamSpec extends SparkSpecBase {
       .count() == 1, "intra-batch near-dup pair not flagged")
   }
 
+  test("adaptive pruning: dup-dense batches flip it off, novel batches back on") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_docstream_p").toString
+    val landing = s"$root/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    val store = s"$root/sig_store"
+
+    def doc(pfx: String) = (1 to 40).map(i => s"$pfx$i").mkString(" ")
+    val seed = Seq((1L, doc("aa")), (2L, doc("bb")), (3L, doc("cc")))
+      .toDF("doc_id", "text")
+    DocStream.seedSignatureStore(seed, store)
+
+    val metrics = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Boolean)]
+    val q = DocStream.nearDupStream(
+      spark.readStream
+        .schema(seed.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      store, s"$root/hits",
+      onBatchMetrics = (id, frac, pruned) =>
+        metrics.synchronized { metrics += ((id, frac, pruned)): Unit })
+
+    // batch 0: exact copies of every seed doc — every store bucket is
+    // live, the measured fraction must flip pruning OFF for this batch
+    Seq((100L, doc("aa")), (101L, doc("bb")), (102L, doc("cc")))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/p0")
+    q.processAllAvailable()
+    // batch 1: fresh vocabulary — near-zero live fraction, pruning back ON
+    Seq((103L, doc("zz"))).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/p1")
+    q.processAllAvailable()
+    q.stop()
+
+    val byBatch = metrics.sortBy(_._1)
+    assert(byBatch.size == 2, s"expected 2 batch metrics, got $metrics")
+    val (_, frac0, pruned0) = byBatch(0)
+    val (_, frac1, pruned1) = byBatch(1)
+    assert(frac0 > 0.5 && !pruned0,
+      s"dup-dense batch: fraction $frac0, pruned=$pruned0 — expected the " +
+        "high fraction to disable pruning")
+    assert(frac1 < 0.25 && pruned1,
+      s"novel batch: fraction $frac1, pruned=$pruned1 — expected the low " +
+        "fraction to re-enable pruning")
+    // the dup-dense batch's hits were still found with pruning off
+    assert(spark.read.parquet(s"$root/hits")
+      .filter(col("doc_b") >= 100L && col("jac") === 1.0).count() == 3)
+  }
+
   test("periodic compaction bounds store files without changing results") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_docstream_c").toString

@@ -165,6 +165,122 @@ class MergeWriterSpec extends SparkSpecBase {
     assert(mtime2 == mtime, "no-op compaction rewrote the table")
   }
 
+  test("recover rolls back a staged append that died mid-publish") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rec3").toString + "/t"
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((1, "a"), (2, "b")).toDF("k", "s"), Seq("k"))
+    val before = spark.read.parquet(dir).orderBy("k").collect().toSeq
+    // simulate a crash in the rename window: one batch file is already
+    // live, the marker still lists it (publish never completed)
+    Seq((3, "c")).toDF("k", "s").coalesce(1)
+      .write.mode("overwrite").parquet(dir + ".__add__")
+    val part = new java.io.File(dir + ".__add__").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.writeString(java.nio.file.Paths.get(dir + ".__addlog__"),
+      part.getName + "\n")
+    Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, part.getName))
+    MergeWriter.recover(spark, dir)
+    // all-or-nothing: the half-published batch is gone, the table is
+    // exactly its pre-append state, all staging artifacts swept
+    assert(spark.read.parquet(dir).orderBy("k").collect().toSeq == before)
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".__addlog__")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".__add__")))
+    // and the sink still works after the rollback (caller retries)
+    MergeWriter.upsertParquet(spark, dir, Seq((3, "c")).toDF("k", "s"), Seq("k"))
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("key-range index prunes the collision probe to zero table reads") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idx").toString + "/t"
+    // seed 100k rows with keys [0, 100k); index maintained
+    MergeWriter.upsertParquet(spark, dir,
+      spark.range(100000).selectExpr("id AS k", "CAST(id AS STRING) AS s"),
+      Seq("k"), keyIndex = true)
+    assert(new java.io.File(dir + ".__keyidx__").exists(),
+      "keyIndex=true must build the sidecar")
+    // records read across an insert-only upsert whose key range is
+    // DISJOINT from the table's: the probe must answer from the index
+    // without scanning the 100k stored rows
+    val read = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(e.taskMetrics.inputMetrics.recordsRead): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      MergeWriter.upsertParquet(spark, dir,
+        spark.range(200000, 200100).selectExpr("id AS k", "CAST(id AS STRING) AS s"),
+        Seq("k"), keyIndex = true)
+      // listener events are async; give the bus a moment to drain
+      val deadline = System.currentTimeMillis() + 5000
+      while (read.get() < 100 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(spark.read.parquet(dir).count() == 100100)
+    assert(read.get() < 50000,
+      s"disjoint-range append read ${read.get()} records — the collision " +
+        "probe scanned the table instead of pruning on the key index")
+    // an OVERLAPPING batch must still detect its collision (update wins)
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((5L, "FIVE")).toDF("k", "s"), Seq("k"), keyIndex = true)
+    assert(spark.read.parquet(dir).filter($"k" === 5L)
+      .collect().map(_.getString(1)).toSeq == Seq("FIVE"))
+    assert(spark.read.parquet(dir).count() == 100100)
+  }
+
+  test("a lost key index degrades to the full probe, never past correctness") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idx2").toString + "/t"
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), Seq("k"), keyIndex = true)
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((3L, "c")).toDF("k", "s"), Seq("k"), keyIndex = true)
+    // blow the sidecar away: appended files become unindexed
+    def rmDir(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmDir)
+      p.delete(): Unit
+    }
+    rmDir(new java.io.File(dir + ".__keyidx__"))
+    // a redelivery of batch (3) must STILL collide (full-scan fallback)
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((3L, "c")).toDF("k", "s"), Seq("k"))
+    assert(spark.read.parquet(dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("compaction with indexKeys rebuilds per-file ranges (probe recovery)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idx3").toString + "/t"
+    MergeWriter.upsertParquet(spark, dir,
+      spark.range(0, 1000).selectExpr("id AS k", "'x' AS s"), Seq("k"),
+      keyIndex = true)
+    (1 to 5).foreach { i =>
+      MergeWriter.upsertParquet(spark, dir,
+        spark.range(i * 1000L, i * 1000L + 1000).selectExpr("id AS k", "'x' AS s"),
+        Seq("k"), keyIndex = true)
+    }
+    MergeWriter.compactParquet(spark, dir, targetFileBytes = 1L << 30,
+      indexKeys = Seq("k"))
+    // the rebuilt index must cover the compacted file(s): a disjoint
+    // append right after compaction stays pruned AND correct
+    val entries = new java.io.File(dir + ".__keyidx__").listFiles()
+    assert(entries != null && entries.nonEmpty,
+      "compaction must rebuild the key index it invalidated")
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((99999L, "y")).toDF("k", "s"), Seq("k"), keyIndex = true)
+    assert(spark.read.parquet(dir).count() == 6001)
+    // overlap detection survives the rebuild too
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((500L, "UPD")).toDF("k", "s"), Seq("k"), keyIndex = true)
+    assert(spark.read.parquet(dir).count() == 6001)
+    assert(spark.read.parquet(dir).filter($"k" === 500L)
+      .head().getString(1) == "UPD")
+  }
+
   test("composite natural keys merge on the full key") {
     import spark.implicits._
     val target = Seq(("img1", 1, 1.0), ("img1", 2, 2.0)).toDF("img", "ap", "v")
