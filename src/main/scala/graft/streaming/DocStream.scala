@@ -72,12 +72,17 @@ object DocStream {
     * ([[pruneOffAbove]]/[[pruneOnBelow]]): a mostly-novel serving stream
     * keeps the measured ~8% win of pruning, a store that turns dup-dense
     * sheds the measured ~2× pruning penalty instead of silently paying
-    * it. `onBatchMetrics(batchId, liveFraction, pruned)` surfaces the
-    * per-batch decision to instruments (StreamBench) and tests. */
+    * it. The measurement itself costs one extra column-pruned pass over
+    * the store's band columns — the same cost class as the probe's own
+    * band scan; `metricEvery` amortizes it (measure every Nth batch,
+    * hold the last decision in between) when even that pass matters.
+    * `onBatchMetrics(batchId, liveFraction, pruned)` surfaces each
+    * measured decision to instruments (StreamBench) and tests. */
   def nearDupStream(docs: DataFrame, storePath: String, hitsPath: String,
                     threshold: String = "0.08",
                     compactEvery: Int = 64,
                     targetFileBytes: Long = 128L << 20,
+                    metricEvery: Int = 1,
                     onBatchMetrics: (Long, Double, Boolean) => Unit =
                       (_, _, _) => ()): StreamingQuery = {
     val owner = docs.sparkSession
@@ -102,15 +107,17 @@ object DocStream {
           val pairs =
             if (fs.exists(new Path(storePath))) {
               val store = owner.read.parquet(storePath)
-              val frac = Dedup.liveBucketFraction(sig, store)
-              pruneOn =
-                if (frac > pruneOffAbove) false
-                else if (frac < pruneOnBelow) true
-                else pruneOn
-              onBatchMetrics(batchId, frac, pruneOn)
+              if (metricEvery > 0 && batchId % metricEvery == 0) {
+                val frac = Dedup.liveBucketFraction(sig, store)
+                pruneOn =
+                  if (frac > pruneOffAbove) false
+                  else if (frac < pruneOnBelow) true
+                  else pruneOn
+                onBatchMetrics(batchId, frac, pruneOn)
+              }
               intra.unionByName(Dedup.probePairs(sig, store, threshold,
                 pruneToLiveBuckets = pruneOn))
-            } else { onBatchMetrics(batchId, 0.0, pruneOn); intra }
+            } else intra
           MergeWriter.upsertParquet(owner, hitsPath,
             pairs
               .select(least(col("new_doc"), col("dup_of")).as("doc_a"),
