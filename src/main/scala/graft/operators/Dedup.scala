@@ -496,14 +496,20 @@ object Dedup extends QueryPack {
     * |batch| keys), no shingle arrays move. */
   def liveBucketFraction(newSig: org.apache.spark.sql.DataFrame,
                          storeSig: org.apache.spark.sql.DataFrame): Double = {
+    // total = rows × bands (bandsOf emits exactly nBands rows per sig) —
+    // a parquet metadata count, no band computation; live = one
+    // BROADCAST semi-join pass over the store bands, so the store stream
+    // never shuffles (the first cut left-joined it unbroadcast and the
+    // per-batch shuffle grew with the store — the very O(store) slope
+    // this metric exists to police). The batch's distinct bucket keys
+    // are batch-sized by the serving contract, hence broadcastable.
+    val total = storeSig.count() * nBands
+    if (total == 0L) return 0.0
     val nk = bandsOf(newSig).select("band_id", "bh").distinct()
-      .withColumn("live", lit(1))
-    val r = bandsOf(storeSig).select("band_id", "bh")
-      .join(nk, Seq("band_id", "bh"), "left")
-      .agg(count(lit(1)).as("total"), count(col("live")).as("live"))
-      .collect()(0)
-    val total = r.getAs[Long]("total")
-    if (total == 0L) 0.0 else r.getAs[Long]("live").toDouble / total
+    val live = bandsOf(storeSig).select("band_id", "bh")
+      .join(broadcast(nk), Seq("band_id", "bh"), "left_semi")
+      .count()
+    live.toDouble / total
   }
 
   /** Training docs near-duplicating any held-out doc: one row per flagged

@@ -126,15 +126,35 @@ object MergeWriter {
     val target = spark.read.parquet(path)
     def shape(df: DataFrame) =
       df.schema.fields.map(f => (f.name, f.dataType)).toSet
-    val canAppend = shape(target) == shape(updates) &&
-      !collides(spark, path, target, updates, keys)
+    val sameShape = shape(target) == shape(updates)
+    // the batch's key ranges are computed AT MOST ONCE and threaded
+    // through both consumers (the collision probe's overlap test and the
+    // appended files' index entry): `updates` is often a lazy pipeline —
+    // the streaming sink hands the whole probe's result in — and every
+    // extra evaluation here re-runs it end to end. Lazy so an unindexed
+    // table (the one-shot bulk-upsert shape) never pays the extra job.
+    lazy val batchAgg: Option[org.apache.spark.sql.Row] =
+      if (sameShape && indexableKeys(updates, keys)) {
+        val aggCols = keys.flatMap(k => Seq(min(col(k)).as(s"bmin_$k"),
+          max(col(k)).as(s"bmax_$k"))) :+ count(lit(1)).as("bn")
+        Some(updates.agg(aggCols.head, aggCols.tail: _*).collect()(0))
+      } else None
+    val canAppend = sameShape &&
+      !collides(spark, path, target, updates, keys, () => batchAgg)
     if (canAppend) {
       // column order pinned to the table's so every file carries the
       // same layout (readers merge by name, but keep footers uniform)
       val batch = updates.select(target.columns.map(col): _*)
       val rels = appendIn(spark, path, batch, partitionCols)
-      if (keyIndex && indexableKeys(batch, keys))
-        writeIdxEntry(spark, path, keys, batchRanges(batch, keys, rels))
+      batchAgg.filter(_ => keyIndex).foreach { agg =>
+        import spark.implicits._
+        val ranges = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(agg), 1), agg.schema)
+          .select(keys.flatMap(k => Seq(col(s"bmin_$k").as(s"min_$k"),
+            col(s"bmax_$k").as(s"max_$k"))): _*)
+        writeIdxEntry(spark, path, keys,
+          rels.toDF("file").crossJoin(broadcast(ranges)))
+      }
     } else {
       swapIn(spark, path, merge(target, updates, keys), partitionCols)
       if (keyIndex) rebuildKeyIndex(spark, path, keys)
@@ -233,17 +253,6 @@ object MergeWriter {
   private def idxMinMaxCols(keys: Seq[String]) =
     keys.flatMap(k => Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
 
-  /** One index row per published file, all carrying the BATCH-level key
-    * ranges (append granularity — batches are small, per-file tightness
-    * isn't worth a second pass over the batch). */
-  private def batchRanges(batch: DataFrame, keys: Seq[String],
-                          rels: Seq[String]): DataFrame = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val agg = batch.agg(idxMinMaxCols(keys).head, idxMinMaxCols(keys).tail: _*)
-    rels.toDF("file").crossJoin(broadcast(agg))
-  }
-
   /** Re-derive per-file key ranges from the table itself — one
     * column-pruned scan, paid only beside an already-O(store) rewrite.
     * Replaces the whole sidecar (rewrites invalidate every prior entry). */
@@ -299,31 +308,31 @@ object MergeWriter {
     * insert-only fast path. With a key-range sidecar the table scan
     * prunes to files whose range overlaps the batch's (plus any file the
     * index doesn't cover); an empty candidate set answers without
-    * touching the table at all. Null keys never equi-join-match, so
-    * range rows from all-null files prune away safely. */
+    * touching the table OR the batch again (`batchAgg` — the batch's
+    * precomputed key ranges — is the only evaluation of `updates` the
+    * happy path needs, load-bearing when `updates` is a lazy pipeline).
+    * Null keys never equi-join-match, so range rows from all-null files
+    * prune away safely. */
   private def collides(spark: SparkSession, path: String, target: DataFrame,
-                       updates: DataFrame, keys: Seq[String]): Boolean = {
-    val probeKeys = updates.select(keys.map(col): _*).distinct()
+                       updates: DataFrame, keys: Seq[String],
+                       batchAgg: () => Option[org.apache.spark.sql.Row]): Boolean = {
+    def probeKeys = updates.select(keys.map(col): _*).distinct()
     def fullScan() =
       !target.select(keys.map(col): _*).join(probeKeys, keys, "left_semi").isEmpty
-    readKeyIndex(spark, path) match {
-      case None => fullScan()
-      case Some(idx) =>
+    (readKeyIndex(spark, path) match {
+      case Some(idx) => batchAgg().map(agg => (idx, agg))
+      case None => None
+    }) match {
+      case Some((idx, agg)) =>
         val wanted = (Seq("file") ++ keys.flatMap(k => Seq(s"min_$k", s"max_$k")))
-        if (!wanted.forall(idx.columns.contains(_)) ||
-            !indexableKeys(updates, keys)) return fullScan()
+        if (!wanted.forall(idx.columns.contains(_))) return fullScan()
+        if (agg.getAs[Long]("bn") == 0L) return false // empty batch
         val fs = new Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val actual = listDataFiles(fs, new Path(path)).toSet
-        val aggCols = keys.flatMap(k => Seq(min(col(k)).as(s"bmin_$k"),
-          max(col(k)).as(s"bmax_$k"))) :+ count(lit(1)).as("bn")
-        val batchAgg = updates.agg(aggCols.head, aggCols.tail: _*).collect()(0)
-        if (batchAgg.getAs[Long]("bn") == 0L) return false // empty batch
-        val spark2 = updates.sparkSession
-        import spark2.implicits._
-        val bdf = spark2.createDataFrame(
-          spark2.sparkContext.parallelize(Seq(batchAgg), 1),
-          batchAgg.schema)
+        import spark.implicits._
+        val bdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(agg), 1), agg.schema)
         val overlapPred = keys.map(k =>
           col(s"max_$k") >= col(s"bmin_$k") && col(s"min_$k") <= col(s"bmax_$k"))
           .reduce(_ && _)
@@ -341,6 +350,7 @@ object MergeWriter {
           else !pruned.select(keys.map(col): _*)
             .join(probeKeys, keys, "left_semi").isEmpty
         }
+      case _ => fullScan()
     }
   }
 

@@ -118,16 +118,22 @@ object DocStream {
               intra.unionByName(Dedup.probePairs(sig, store, threshold,
                 pruneToLiveBuckets = pruneOn))
             } else intra
-          MergeWriter.upsertParquet(owner, hitsPath,
-            pairs
-              .select(least(col("new_doc"), col("dup_of")).as("doc_a"),
-                greatest(col("new_doc"), col("dup_of")).as("doc_b"),
-                col("jac"))
-              // the intra probe reports both directions of each pair —
-              // canonical order folds them onto one key, dedupe before
-              // the upsert (merge keeps every update row, even same-key)
-              .dropDuplicates("doc_a", "doc_b"),
+          // the probe result is PERSISTED before the upsert: the sink
+          // evaluates its updates more than once (key-range aggregate +
+          // the write itself), and re-running the store probe per
+          // evaluation would re-pay its store-sized band join each time
+          val hitRows = pairs
+            .select(least(col("new_doc"), col("dup_of")).as("doc_a"),
+              greatest(col("new_doc"), col("dup_of")).as("doc_b"),
+              col("jac"))
+            // the intra probe reports both directions of each pair —
+            // canonical order folds them onto one key, dedupe before
+            // the upsert (merge keeps every update row, even same-key)
+            .dropDuplicates("doc_a", "doc_b")
+            .persist()
+          MergeWriter.upsertParquet(owner, hitsPath, hitRows,
             Seq("doc_a", "doc_b"), keyIndex = true)
+          hitRows.unpersist()
           MergeWriter.upsertParquet(owner, storePath, sig, Seq("doc_id"),
             keyIndex = true)
           sig.unpersist()

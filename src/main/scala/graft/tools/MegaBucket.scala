@@ -28,24 +28,48 @@ object MegaBucket {
 
     // short docs (≈30 shingles) keep the per-pair arithmetic small so the
     // run measures task/row SHAPE, not raw jaccard throughput; unique
-    // tails keep shingle sets distinct (like a real boilerplate flood)
+    // tails keep shingle sets distinct (like a real boilerplate flood).
+    // The threshold sits ABOVE the planted pairs' ~0.8 jaccard: a 50k
+    // all-near-dup class has C(50k,2) ≈ 1.25e9 TRUE pairs, and
+    // materializing them would measure output volume (quadratic by
+    // nature, any plan), not the verification shape the cap bounds —
+    // the in-kernel filter still computes every one of the C(n,2)
+    // jaccards, which is exactly the work under test.
     val boiler = "shared boilerplate navigation header words " * 5
     val docs = spark.range(members.toLong)
       .select(col("id").as("doc_id"),
         concat(lit(boiler), lit(" tail"), col("id")).as("text"))
 
     val maxTaskMs = new AtomicLong(0)
+    val stageMax = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
     val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val d = e.taskInfo.duration
         var cur = maxTaskMs.get()
         while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+        stageMax.updateWith(e.stageId) {
+          case Some((m, n)) if m >= d => Some((m, n))
+          case _ => Some((d, ""))
+        }: Unit
+      }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val m = i.taskMetrics
+        val desc = f"tasks=${i.numTasks}%d in=${m.inputMetrics.bytesRead >> 20}%dMB " +
+          f"sRead=${m.shuffleReadMetrics.totalBytesRead >> 20}%dMB " +
+          f"sWrite=${m.shuffleWriteMetrics.bytesWritten >> 20}%dMB"
+        stageMax.updateWith(i.stageId) {
+          case Some((mx, _)) => Some((mx, desc))
+          case None => Some((0L, desc))
+        }: Unit
       }
     }
     spark.sparkContext.addSparkListener(listener)
 
     val t0 = System.nanoTime()
-    val (pairs, base) = graft.operators.Dedup.nearDupPairsWithBase(docs)
+    val (pairs, base) =
+      graft.operators.Dedup.nearDupPairsWithBase(docs, threshold = "0.999")
     val nPairs = pairs.count()
     val wall = (System.nanoTime() - t0) / 1e9
     base.unpersist()
@@ -60,6 +84,9 @@ object MegaBucket {
     sig.unpersist()
 
     Thread.sleep(2000) // let the listener bus drain
+    stageMax.toSeq.sortBy { case (_, (ms, _)) => -ms }.take(5).foreach { case (sid, (ms, name)) =>
+      println(f"[mega-bucket]   stage $sid%3d hottest task ${ms / 1000.0}%6.1f s  ($name)")
+    }
     println(f"[mega-bucket] members=$members%d pairs=$nPairs%d " +
       f"wall=${wall}%.1f s hottest-task=${maxTaskMs.get() / 1000.0}%.1f s " +
       f"max-grouped-row=$maxRow%d members " +
