@@ -281,6 +281,45 @@ class MergeWriterSpec extends SparkSpecBase {
       .head().getString(1) == "UPD")
   }
 
+  test("composite keys prune conjunctively: one disjoint key column suffices") {
+    import spark.implicits._
+    // the streaming HITS shape: doc_a (= least of the pair) spans the
+    // whole historical id range every batch, but doc_b (= greatest, the
+    // current batch's fresh ids) is monotonic — the overlap test is a
+    // conjunction over ALL key columns, so the disjoint doc_b range
+    // alone must prune the collision probe to zero table reads
+    val dir = Files.createTempDirectory("graft_idxc").toString + "/t"
+    MergeWriter.upsertParquet(spark, dir,
+      spark.range(50000).selectExpr("id % 100 AS a", "id + 1000 AS b", "'x' AS s"),
+      Seq("a", "b"), keyIndex = true)
+    val read = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(e.taskMetrics.inputMetrics.recordsRead): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // a overlaps [0,100) fully; b is disjoint (above the stored max)
+      MergeWriter.upsertParquet(spark, dir,
+        spark.range(200).selectExpr("id % 100 AS a", "id + 1000000 AS b", "'y' AS s"),
+        Seq("a", "b"), keyIndex = true)
+      val deadline = System.currentTimeMillis() + 5000
+      while (read.get() < 100 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(spark.read.parquet(dir).count() == 50200)
+    assert(read.get() < 25000,
+      s"composite-key append read ${read.get()} records — the conjunctive " +
+        "range test failed to prune on the disjoint key column")
+    // and a batch overlapping on BOTH columns still detects its collision
+    MergeWriter.upsertParquet(spark, dir,
+      Seq((5L, 1005L, "UPD")).toDF("a", "b", "s"), Seq("a", "b"),
+      keyIndex = true)
+    assert(spark.read.parquet(dir).count() == 50200)
+    assert(spark.read.parquet(dir).filter($"a" === 5L && $"b" === 1005L)
+      .head().getString(2) == "UPD")
+  }
+
   test("composite natural keys merge on the full key") {
     import spark.implicits._
     val target = Seq(("img1", 1, 1.0), ("img1", 2, 2.0)).toDF("img", "ap", "v")
