@@ -403,20 +403,27 @@ object Dedup extends QueryPack {
     // huge store — DocStream's shape) almost every store bucket holds
     // none, so without pruning every store doc's shingle array rides
     // the grouping exchange 6× to be aggregated into rows the kernel
-    // immediately discards. The cost is two extra bucket-keyed passes
-    // over the SKINNY band triples — which is why it is opt-in: on a
-    // dup-DENSE two-corpus sweep nearly every bucket is live and the
-    // extra passes prune nothing (measured at sf10: d21 15.5 → 29.9 s,
-    // d7 9.8 → 18.7 s with pruning forced on).
+    // immediately discards. Liveness computes SHUFFLE-FREE on the
+    // store side: the batch's distinct bucket keys (batch-sized by the
+    // serving contract — why this is opt-in; a corpus-sized "batch"
+    // should leave pruning off, as should a dup-dense sweep where
+    // nearly every bucket is live and pruning buys nothing: measured
+    // at sf10, d21 15.5 → 29.9 s and d7 9.8 → 18.7 s forced on)
+    // BROADCAST against one pass over the store bands; the surviving
+    // store rows' keys — at most the batch's key count — broadcast
+    // back over the batch bands. An earlier cut aggregated has_new/
+    // has_store over the UNIONED band stream, shuffling the store's
+    // whole skinny triple set per probe.
     val allBands =
       if (!pruneToLiveBuckets) rawBands
       else {
-        val liveKeys = rawBands.groupBy("band_id", "bh")
-          .agg(max(when(col("is_new"), 1).otherwise(0)).as("has_new"),
-            max(when(col("is_new"), 0).otherwise(1)).as("has_store"))
-          .filter(col("has_new") === 1 && col("has_store") === 1)
-          .select("band_id", "bh")
-        rawBands.join(liveKeys, Seq("band_id", "bh"), "left_semi")
+        val newBands = bandsOf(newSig).withColumn("is_new", lit(true))
+        val newKeys = newBands.select("band_id", "bh").distinct()
+        val storeLive = bandsOf(storeSig).withColumn("is_new", lit(false))
+          .join(broadcast(newKeys), Seq("band_id", "bh"), "left_semi")
+        val liveKeys = storeLive.select("band_id", "bh").distinct()
+        newBands.join(broadcast(liveKeys), Seq("band_id", "bh"), "left_semi")
+          .unionByName(storeLive)
       }
     val sigU = newSig.select(col("doc_id"), col("hs"),
         lit(true).as("is_new"))
