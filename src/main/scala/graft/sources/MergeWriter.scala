@@ -288,7 +288,12 @@ object MergeWriter {
   }
 
   /** All readable index entries, or None when the sidecar is absent or
-    * unreadable (schema drift between entries, torn writes). */
+    * unreadable (schema drift between entries, torn writes). Index size
+    * is file-count-bounded (one row per data file, one entry dir per
+    * append since the last rewrite), and compaction — which every
+    * appending workload needs anyway for the data files themselves —
+    * collapses the sidecar back to a single entry; the driver-side
+    * collects in [[collides]] share that bound. */
   private def readKeyIndex(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idx = new Path(path + KeyIdxSuffix)
