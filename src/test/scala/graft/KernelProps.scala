@@ -64,6 +64,72 @@ object KernelProps extends Properties("kernels") {
   private val coefGen: Gen[Array[Double]] =
     Gen.listOfN(9, Gen.choose(-2.0, 2.0)).map(_.toArray)
 
+  // ---- chunk-kernel algebra: an ARBITRARY chunking of a bucket's
+  // membership, run through the per-row chunk kernels with the upstream
+  // contract applied (intra row per chunk; one cross row per chunk pair;
+  // cross rows with an empty side dropped), must reproduce the
+  // whole-bucket kernel EXACTLY — pair set and IEEE-bit jaccards. This
+  // is the algebra Dedup's capped plans stand on, checked beyond the
+  // few hand-built spec cases.
+
+  private val member: Gen[(Long, Seq[Long])] = for {
+    id <- Gen.choose(0L, 30L)
+    hs <- Gen.nonEmptyListOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+  } yield (id, hs)
+
+  private def membersGen: Gen[List[(Long, Seq[Long])]] =
+    Gen.choose(2, 18).flatMap(n => Gen.listOfN(n, member))
+      .map(_.groupBy(_._1).map(_._2.head).toList) // unique ids, like a bucket
+
+  private def sortPairs(ps: Seq[(Long, Long, Double)]) =
+    ps.sortBy(t => (t._1, t._2, t._3))
+
+  property("chunked one-sided kernel == whole-bucket kernel, any chunking") =
+    forAll(membersGen, Gen.choose(1, 6), Gen.long) { (mem, nch, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val chunkOf = mem.map(m => m._1 -> rnd.nextInt(nch)).toMap
+      val truth = sortPairs(TextKernels.bucketPairJaccards(mem, 0.0))
+      val rows = for {
+        cLo <- 0 until nch; cHi <- cLo until nch
+        a = mem.filter(m => chunkOf(m._1) == cLo)
+        b = if (cLo == cHi) Nil else mem.filter(m => chunkOf(m._1) == cHi)
+        if cLo == cHi || (a.nonEmpty && b.nonEmpty) // the upstream filter
+      } yield TextKernels.chunkPairJaccards(a, b, 0.0)
+      val got = sortPairs(rows.flatten)
+      // exact pair multiset (no duplicates: a doc lives in ONE chunk)
+      got.map(t => (t._1, t._2)) == truth.map(t => (t._1, t._2)) &&
+        got.zip(truth).forall { case (g, w) =>
+          java.lang.Double.doubleToLongBits(g._3) ==
+            java.lang.Double.doubleToLongBits(w._3) }
+    }
+
+  private val taggedMember: Gen[(Long, Seq[Long], Boolean)] = for {
+    (id, hs) <- member
+    isNew <- Gen.oneOf(true, false)
+  } yield (id, hs, isNew)
+
+  property("chunked two-sided kernel == whole-bucket cross kernel, any chunking") =
+    forAll(Gen.choose(2, 18).flatMap(n => Gen.listOfN(n, taggedMember))
+             .map(_.groupBy(_._1).map(_._2.head).toList),
+           Gen.choose(1, 6), Gen.long) { (mem, nch, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val chunkOf = mem.map(m => m._1 -> rnd.nextInt(nch)).toMap
+      def strip(xs: Seq[(Long, Seq[Long], Boolean)]) = xs.map(t => (t._1, t._2))
+      val (nw, st) = mem.partition(_._3)
+      val truth = sortPairs(TextKernels.bucketCrossJaccards(strip(nw), strip(st), 0.0))
+      val rows = for {
+        cLo <- 0 until nch; cHi <- cLo until nch
+        a = mem.filter(m => chunkOf(m._1) == cLo)
+        b = if (cLo == cHi) Nil else mem.filter(m => chunkOf(m._1) == cHi)
+        if cLo == cHi || (a.nonEmpty && b.nonEmpty)
+      } yield TextKernels.chunkCrossJaccards(a, b, 0.0)
+      val got = sortPairs(rows.flatten)
+      got.map(t => (t._1, t._2)) == truth.map(t => (t._1, t._2)) &&
+        got.zip(truth).forall { case (g, w) =>
+          java.lang.Double.doubleToLongBits(g._3) ==
+            java.lang.Double.doubleToLongBits(w._3) }
+    }
+
   property("polyfit on an exact grid surface recovers predictions") =
     forAll(coefGen) { c =>
       val pts = for (x <- 0 to 5; y <- 0 to 5)
