@@ -387,7 +387,7 @@ object TextKernels {
     * per executor JVM, with sizes) so a straggler/OOM under adversarial
     * ids is attributable instead of silent; the arithmetic itself stays
     * correct at any row size. `softCap` ≤ 0 disables. */
-  private def warnIfOversized(softCap: Int, aLen: Int, bLen: Int): Unit =
+  private[functions] def warnIfOversized(softCap: Int, aLen: Int, bLen: Int): Unit =
     if (softCap > 0 && aLen + bLen > softCap &&
         capWarned.compareAndSet(false, true))
       log.warn(s"chunk-pair row holds ${aLen + bLen} members — far past " +

@@ -482,9 +482,8 @@ object Dedup extends QueryPack {
           else None)
       }
     grouped
-      .select(explode(graft.functions.TextKernels.chunkCrossJaccardsUdf(
-        col("amem"), col("bmem"), lit(kernelMin),
-        lit(chunkSize * 8))).as("p"))
+      .select(explode(graft.functions.BucketJaccards.chunkCross(
+        col("amem"), col("bmem"), kernelMin, chunkSize * 8)).as("p"))
       .select(col("p._1").as("new_doc"), col("p._2").as("dup_of"),
         col("p._3").as("jac"))
       .filter(col("jac") >= expr(threshold))
