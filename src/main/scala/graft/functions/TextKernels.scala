@@ -410,6 +410,231 @@ object TextKernels {
     udf((a: Seq[(Long, Seq[Long])], b: Seq[(Long, Seq[Long])],
          minJac: Double, softCap: Int) => chunkPairJaccards(a, b, minJac, softCap))
 
+  /** [[chunkPairJaccards]]' contract over PREFIX STRINGS with a
+    * threshold Levenshtein verifier — the bucket-local kernel behind
+    * d9's capped plan (r12). Distances come from Spark's OWN
+    * `UTF8String.levenshteinDistance(other, threshold)` — the exact
+    * routine the SQL `levenshtein(l, r, k)` expression runs — so every
+    * emitted distance is bit-identical to the join formulation it
+    * replaces; pairs past the threshold return -1 there and are not
+    * emitted. Output id-sorted (doc_a < doc_b); intra rows (`bmem`
+    * empty) verify all pairs within `amem`, cross rows only the
+    * amem×bmem product (chunks partition a bucket, so ids never
+    * repeat). */
+  /** One member's DP operand (decoded to code points ONCE — Spark's
+    * UTF8String DP re-walks the UTF-8 bytes inside the inner loop) plus
+    * its 256-bucket character histogram (chars folded by & 0xFF —
+    * folding classes only makes two multisets look MORE similar, so the
+    * bag bound below stays a lower bound). */
+  private final class EditMember(val id: Long, s: String) {
+    val cps: Array[Int] = s.codePoints().toArray
+    val hist: Array[Int] = {
+      val h = new Array[Int](256)
+      var i = 0
+      while (i < cps.length) { h(cps(i) & 0xFF) += 1; i += 1 }
+      h
+    }
+    /** Myers pattern bitmasks (this member AS the DP pattern): code
+      * point → W-block bitmask of its positions. Built once per member
+      * per grouped row, amortized over every pair the row verifies. */
+    val blocks: Int = math.max(1, (cps.length + 63) >> 6)
+    val peq: java.util.HashMap[Integer, Array[Long]] = {
+      val m = new java.util.HashMap[Integer, Array[Long]]()
+      var i = 0
+      while (i < cps.length) {
+        var v = m.get(cps(i))
+        if (v == null) { v = new Array[Long](blocks); m.put(cps(i), v) }
+        v(i >> 6) |= 1L << (i & 63)
+        i += 1
+      }
+      m
+    }
+  }
+
+  /** Myers' bit-parallel Levenshtein distance (blocked/multi-word form,
+    * Hyyrö's formulation): O(n·⌈m/64⌉) word operations instead of the
+    * O(n·m) cell DP — the per-pair constant that makes a hot bucket's
+    * C(n,2) verification affordable (measured 34 µs/pair cell-DP vs
+    * ~1–2 µs here on 120-char prefixes; the gate threshold 60 on
+    * 120-char strings leaves no usable DP band, so only bit-parallelism
+    * cuts the constant). Computes THE Levenshtein distance — the value
+    * is mathematically defined, and KernelProps pins this against both
+    * Spark's UTF8String DP and the cell DP on arbitrary strings. */
+  private def myersDistance(pat: EditMember, text: Array[Int]): Int = {
+    val m = pat.cps.length
+    val w = pat.blocks
+    val vp = Array.fill(w)(-1L)
+    val vn = new Array[Long](w)
+    var score = m
+    val topBit = 1L << ((m - 1) & 63)
+    val top = w - 1
+    val zero = new Array[Long](w)
+    var j = 0
+    while (j < text.length) {
+      val eqArr = pat.peq.get(text(j))
+      val eq = if (eqArr == null) zero else eqArr
+      var addCarry = 0L
+      var hpCarry = 1L
+      var hnCarry = 0L
+      var i = 0
+      while (i < w) {
+        val pm = eq(i)
+        val vpi = vp(i); val vni = vn(i)
+        val t = pm & vpi
+        val sum = vpi + t + addCarry
+        // unsigned carry of vpi + t + addCarry
+        val addCarryOut = ((vpi & t) | ((vpi | t) & ~sum)) >>> 63
+        val d0 = (sum ^ vpi) | pm | vni
+        val hp = vni | ~(d0 | vpi)
+        val hn = vpi & d0
+        if (i == top) {
+          if ((hp & topBit) != 0L) score += 1
+          else if ((hn & topBit) != 0L) score -= 1
+        }
+        val x = (hp << 1) | hpCarry
+        hpCarry = hp >>> 63
+        val hnShift = (hn << 1) | hnCarry
+        hnCarry = hn >>> 63
+        vp(i) = hnShift | ~(d0 | x)
+        vn(i) = d0 & x
+        addCarry = addCarryOut
+        i += 1
+      }
+      j += 1
+    }
+    score
+  }
+
+  /** Pair distance for the edit kernel: Myers bit-parallel with the
+    * shorter side as pattern; the cell DP remains the arbitrary-length
+    * fallback (d9's operands are ≤ 120 code points, so it never fires
+    * there). Returns the distance if ≤ k, else -1 — the exact
+    * `levenshtein(l, r, k)` contract. */
+  private def pairDist(a: EditMember, b: EditMember, k: Int): Int = {
+    val (pat, text) = if (a.cps.length <= b.cps.length) (a, b) else (b, a)
+    if (math.abs(a.cps.length - b.cps.length) > k) return -1
+    if (pat.cps.length == 0)
+      return if (text.cps.length <= k) text.cps.length else -1
+    val d =
+      if (pat.blocks <= 4) myersDistance(pat, text.cps)
+      else boundedEdit(a.cps, b.cps, k)
+    if (d >= 0 && d <= k) d else -1
+  }
+
+  /** Threshold Levenshtein over code-point arrays: the same integer
+    * distance as `levenshtein(l, r, k)` (the value is mathematically
+    * defined, so any correct implementation agrees bit-for-bit — the
+    * KernelProps property pins this against Spark's own
+    * UTF8String.levenshteinDistance on arbitrary strings), computed
+    * with the standard constant-factor tools the per-byte-decoding
+    * generic routine can't use: common prefix/suffix stripping (a
+    * distance-preserving identity — near-dup bucket members share LONG
+    * prefixes, which is why they band-collided in the first place),
+    * the |n−m| > k bail, a two-row int DP over pre-decoded code
+    * points, and a row-min early exit once every band cell exceeds k.
+    * Returns the distance if ≤ k, else -1. */
+  private[graft] def boundedEdit(a0: Array[Int], b0: Array[Int],
+                                     k: Int): Int = {
+    // strip common prefix/suffix
+    var lo = 0
+    val maxLo = math.min(a0.length, b0.length)
+    while (lo < maxLo && a0(lo) == b0(lo)) lo += 1
+    var ahi = a0.length; var bhi = b0.length
+    while (ahi > lo && bhi > lo && a0(ahi - 1) == b0(bhi - 1)) {
+      ahi -= 1; bhi -= 1
+    }
+    var n = ahi - lo; var m = bhi - lo
+    if (n == 0) return if (m <= k) m else -1
+    if (m == 0) return if (n <= k) n else -1
+    if (math.abs(n - m) > k) return -1
+    // DP over the stripped middles; a = shorter row for the buffers
+    var a = a0; var b = b0; var aOff = lo; var bOff = lo
+    if (n > m) {
+      a = b0; b = a0; aOff = lo; bOff = lo
+      val t = n; n = m; m = t
+    }
+    val prev = new Array[Int](n + 1)
+    val cur = new Array[Int](n + 1)
+    var i = 0
+    while (i <= n) { prev(i) = i; i += 1 }
+    var j = 1
+    while (j <= m) {
+      cur(0) = j
+      val bj = b(bOff + j - 1)
+      var rowMin = cur(0)
+      i = 1
+      while (i <= n) {
+        val cost = if (a(aOff + i - 1) == bj) 0 else 1
+        var v = prev(i - 1) + cost
+        val del = prev(i) + 1
+        if (del < v) v = del
+        val ins = cur(i - 1) + 1
+        if (ins < v) v = ins
+        cur(i) = v
+        if (v < rowMin) rowMin = v
+        i += 1
+      }
+      if (rowMin > k) return -1
+      System.arraycopy(cur, 0, prev, 0, n + 1)
+      j += 1
+    }
+    if (prev(n) <= k) prev(n) else -1
+  }
+
+  /** Bag-distance lower bound on Levenshtein: every edit operation
+    * inserts at most one character occurrence and deletes at most one,
+    * so dist ≥ max(#insertions needed, #deletions needed) over the
+    * character multisets. ~256 int ops per pair vs the ~O(k·n) DP —
+    * the gate that keeps a hot bucket's C(n,2) from paying the DP for
+    * pairs whose histograms already prove dist > maxDist. Skipping is
+    * output-neutral: the DP would return -1 for every skipped pair
+    * (KernelProps pins the bound property on arbitrary strings). */
+  private[functions] def bagLowerBound(ha: Array[Int], hb: Array[Int]): Int = {
+    var pos = 0; var neg = 0; var c = 0
+    while (c < 256) {
+      val d = ha(c) - hb(c)
+      if (d > 0) pos += d else neg -= d
+      c += 1
+    }
+    if (pos > neg) pos else neg
+  }
+
+  def chunkPairEdits(amem: Seq[(Long, String)],
+                     bmem: Seq[(Long, String)],
+                     maxDist: Int,
+                     softCap: Int = 0): Seq[(Long, Long, Int)] = {
+    warnIfOversized(softCap, amem.length, if (bmem == null) 0 else bmem.length)
+    val au = amem.toArray.map { case (id, p) => new EditMember(id, p) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    def verify(a: EditMember, b: EditMember): Unit =
+      if (bagLowerBound(a.hist, b.hist) <= maxDist) {
+        val d = pairDist(a, b, maxDist)
+        if (d >= 0)
+          out += (if (a.id <= b.id) (a.id, b.id, d) else (b.id, a.id, d))
+      }
+    if (bmem == null || bmem.isEmpty) {
+      var i = 0
+      while (i < au.length) {
+        var j = i + 1
+        while (j < au.length) { verify(au(i), au(j)); j += 1 }
+        i += 1
+      }
+    } else {
+      val bu = bmem.toArray.map { case (id, p) => new EditMember(id, p) }
+      var i = 0
+      while (i < au.length) {
+        var j = 0
+        while (j < bu.length) { verify(au(i), bu(j)); j += 1 }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  val chunkPairEditsUdf: UserDefinedFunction =
+    udf((a: Seq[(Long, String)], b: Seq[(Long, String)],
+         maxDist: Int, softCap: Int) => chunkPairEdits(a, b, maxDist, softCap))
+
   /** Chunked TWO-SIDED probe kernel ([[bucketCrossJaccards]] semantics
     * under the chunk cap): members carry a corpus-side tag (_3 = true
     * for the NEW batch, false for the store) because chunks are cut

@@ -156,6 +156,15 @@ object CorpusCuration extends QueryPack {
     val e = exactDedupStage(q).persist()
     val nExact = e.count()
     q.unpersist(blocking = false)
+    // A shared-signature variant (near-dedup and decontamination
+    // sharing one persisted signature table, the probe's train side
+    // semi-joined from it instead of recomputed) was built and REJECTED
+    // on same-window sf10 evidence this round: recomputing signatures(n)
+    // is a narrow CPU pass over the already-persisted survivors, while
+    // the semi-join adds a corpus-sized exchange of the heavy shingle
+    // arrays before probePairs' own grouping exchange — measured 23.4 s
+    // (stage-wise, tight) vs 34.4 s (shared-sig, wide spread + GC) at
+    // sf10; sf0.1 was a wash. See OPTIMIZATION_r12.md.
     val n = nearDedupStage(e, cfg).persist()
     val nNear = n.count()
     e.unpersist(blocking = false)

@@ -313,6 +313,12 @@ object Dedup extends QueryPack {
     * the driver probe finds buckets over `chunkSize`, in which case ONLY
     * those split into chunk-pair rows via the broadcast nch left-join
     * (cold buckets ride through with nch = 1). */
+  private[graft] def groupedOneSidedDiag(
+      bands: org.apache.spark.sql.DataFrame,
+      sig: org.apache.spark.sql.DataFrame,
+      chunkSize: Int): org.apache.spark.sql.DataFrame =
+    groupedOneSided(bands, sig, chunkSize)
+
   private def groupedOneSided(bands: org.apache.spark.sql.DataFrame,
                               sig: org.apache.spark.sql.DataFrame,
                               chunkSize: Int)
@@ -841,14 +847,51 @@ object Dedup extends QueryPack {
   private val d15SampleSql =
     s"(SELECT * FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $d15SampleK) documents"
 
+  /** All-pairs exact-Jaccard ground truth over the FIXED-size audit
+    * sample (pairs with jac ≥ threshold, doc_a < doc_b) — computed by
+    * the one-sided bucket kernel over ONE synthetic bucket holding the
+    * whole sample. The join formulation it replaces materialized all
+    * C(k,2) candidate rows (500k rows at k = 1000) and shipped BOTH
+    * shingle arrays on every row through two joins before the per-row
+    * UDF; here the arrays cross once inside ~(k/cap)²/2 chunk-pair
+    * grouped rows and the same intersect arithmetic runs inside the
+    * task (same kernel + same threshold gate as d4's verification, so
+    * the pair set is bit-identical — DedupBucketLocalSpec pins the
+    * kernel against the textbook join, and both audits' oracles hash
+    * the resulting counts). `SPARK_GRAFT_D15_TRUTH=join` switches back
+    * for same-jar A/Bs. */
+  private def sampleTruthPairs(base: org.apache.spark.sql.DataFrame,
+                               threshold: String)
+      : org.apache.spark.sql.DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_D15_TRUTH").contains("join")) {
+      val allPairs = base.select(col("doc_id").as("doc_a")).join(
+        base.select(col("doc_id").as("doc_b")),
+        col("doc_a") < col("doc_b"))
+      return exactJaccard(allPairs, base, "doc_a", "doc_b", threshold)
+        .select("doc_a", "doc_b")
+    }
+    // cap 128 (vs the production 512): the sample is a single synthetic
+    // bucket of k = 1000 members, and a smaller chunk spreads its C(k,2)
+    // checks over ~36 grouped rows instead of 3 — parallelism for a
+    // fixed-size task, not a scale knob.
+    val cap = 128
+    val kernelMin = scala.util.Try(threshold.toDouble)
+      .getOrElse(Double.NegativeInfinity)
+    val oneBucket = base.select(col("doc_id"), lit(0).as("band_id"),
+      lit(0L).as("bh"))
+    groupedOneSided(oneBucket, base, cap)
+      .select(explode(graft.functions.TextKernels.chunkPairJaccardsUdf(
+        col("amem"), col("bmem"), lit(kernelMin), lit(cap * 8))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
+        col("p._3").as("jac"))
+      .filter(col("jac") >= expr(threshold))
+      .select("doc_a", "doc_b")
+  }
+
   private val d15LshRecall: Q = (s, dir) => {
     val sub = d15Sample(s, dir)
     val base = signatures(sub).persist()
-    val allPairs = base.select(col("doc_id").as("doc_a")).join(
-      base.select(col("doc_id").as("doc_b")),
-      col("doc_a") < col("doc_b"))
-    val truth = exactJaccard(allPairs, base, "doc_a", "doc_b", jacThreshold)
-      .select("doc_a", "doc_b")
+    val truth = sampleTruthPairs(base, jacThreshold)
     val banded = bandsOf(base)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
@@ -929,11 +972,7 @@ object Dedup extends QueryPack {
   private val d16LshTuned: Q = (s, dir) => {
     val sub = d15Sample(s, dir)
     val base = signatures(sub).persist()
-    val allPairs = base.select(col("doc_id").as("doc_a")).join(
-      base.select(col("doc_id").as("doc_b")),
-      col("doc_a") < col("doc_b"))
-    val truth = exactJaccard(allPairs, base, "doc_a", "doc_b", jacThreshold)
-      .select("doc_a", "doc_b")
+    val truth = sampleTruthPairs(base, jacThreshold)
     def candsFrom(banded: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
       banded.as("a").join(banded.as("b"),
@@ -1198,7 +1237,9 @@ object Dedup extends QueryPack {
     * the prefix key restores ~linear cost because class size never
     * reaches the pairwise stage. Cross-class pairs survive via the
     * representative. */
-  private[graft] def editDistancePairs(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def editDistancePairs(
+      docs: org.apache.spark.sql.DataFrame,
+      dpFull: Boolean = sys.env.get("SPARK_GRAFT_D9_DP").contains("full"))
       : org.apache.spark.sql.DataFrame = {
     val reps = docs
       .groupBy(md5(substring(col("text"), 1, d9Prefix)).as("_h"))
@@ -1218,25 +1259,58 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
               col("band.bh").as("bh"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // The scored pairs are persisted too: the final orderBy's
+    // BUCKET-LOCAL capped verification (r12): the textbook band
+    // self-join + per-candidate prefix joins had NO hot-bucket
+    // discipline — the one pair family that missed the r10/r11 chunk-cap
+    // work. Measured at sf10 (dup-dense ScaleUp corpus): ONE band bucket
+    // of 24,833 members ⇒ ~308M of the join's 374M candidate pair rows,
+    // each carrying BOTH 120-char prefixes through two joins and a
+    // distinct — the §2.5 single-enormous-key hazard, >10 min per run.
+    // Here each bucket's (doc_id, pfx) members cross ONE grouped
+    // exchange (chunk-capped like d4/d7/d21), the threshold DP runs
+    // in-task via Spark's own UTF8String.levenshteinDistance (values
+    // bit-identical to the join formulation — RankSelectSpec-style pin
+    // in DedupGuardSpec), and only SURVIVORS (dist ≤ gate) reach the
+    // distinct. `SPARK_GRAFT_D9_DP=full` switches back to the r11
+    // textbook plan for same-jar A/Bs.
+    // The scored pairs are persisted either way: the final orderBy's
     // range-partitioner sampling executes its child once for bounds and
-    // again for the exchange, and this child is the expensive part — the
-    // full 120-char DP over every candidate pair. Caching `cand` alone
-    // still paid that DP twice (once in the sample pass); caching the
-    // scored output (3 ints per surviving pair — strictly smaller than
-    // `cand` plus both prefix columns) runs it once.
-    val scored = cand
-      .join(base.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
-      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
-      .filter(col("dist") <= d9Prefix / 2)
-      .select("doc_a", "doc_b", "dist")
-      .persist()
+    // again for the exchange, and this child is the expensive part.
+    val scored =
+      if (dpFull) {
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(base.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
+          .join(base.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+          .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+          .filter(col("dist") <= d9Prefix / 2)
+          .select("doc_a", "doc_b", "dist")
+          .persist()
+      } else {
+        val members = base.select(col("doc_id"), col("pfx").as("hs"))
+        // The grouped chunk-pair rows are CPU-HEAVY but BYTE-LIGHT
+        // (~100 KB of members buys up to C(2·cap, 2) ≈ 0.5M DPs), so
+        // AQE's byte-based partition coalescing packs them into a
+        // handful of partitions — observed at sf10: the whole 443M-DP
+        // kernel stage on ~7 coalesced partitions with 2 stragglers
+        // owning the mega bucket. Round-robin the rows across the
+        // session's full parallelism (derived, not a local constant);
+        // ×4 smooths residual per-row cost variance.
+        val par = docs.sparkSession.sparkContext.defaultParallelism * 4
+        groupedOneSided(banded, members, bucketChunkSize)
+          .repartition(par)
+          .select(explode(graft.functions.TextKernels.chunkPairEditsUdf(
+            col("amem"), col("bmem"), lit(d9Prefix / 2),
+            lit(bucketChunkSize * 8))).as("p"))
+          .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
+            col("p._3").as("dist"))
+          .distinct()
+          .persist()
+      }
     scored.orderBy("doc_a", "doc_b")
   }
 

@@ -172,7 +172,12 @@ object Sketch extends QueryPack {
   private val qkK = 256
   private val qkPs = Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99)
 
-  private val k3BottomkQuantiles: Q = (s, dir) => {
+  private val k3BottomkQuantiles: Q = (s, dir) =>
+    k3Plan(s, dir, sys.env.get("SPARK_GRAFT_RANKSEL").contains("window"))
+
+  private[graft] def k3Plan(s: org.apache.spark.sql.SparkSession,
+                            dir: String, windowSel: Boolean)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
@@ -189,7 +194,17 @@ object Sketch extends QueryPack {
     val smp = graft.plans.GroupedTopK.topK(li, Seq("l_returnflag"), qkK,
       col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc,
       col("l_extendedprice").asc)
-    def disc(df: org.apache.spark.sql.DataFrame, prefix: String) = {
+    // SCALE SHAPE (r12): the row_number disc() sorted its whole input
+    // into #returnflag partitions — fine for the 768-row sample, the
+    // a2/w8 low-cardinality hazard for the fact-sized truth side. The
+    // discrete quantile is a VALUE, and the (h, orderkey, linenumber)
+    // tie-break inside equal prices never changes which price the rank
+    // lands on — so the element at rank ceil(p·m) is the smallest price
+    // whose cumulative count reaches it: one map-side-combined aggregate
+    // over (flag, price), cumulative pass over distinct prices only.
+    // Identical output (RankSelectSpec); `SPARK_GRAFT_RANKSEL=window`
+    // switches back for same-jar A/Bs.
+    def discW(df: org.apache.spark.sql.DataFrame, prefix: String) = {
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice").asc, col("h").asc,
           col("l_orderkey").asc, col("l_linenumber").asc)
@@ -204,6 +219,23 @@ object Sketch extends QueryPack {
       ranked.groupBy("l_returnflag")
         .agg(max(col("m")).as(s"${prefix}n"), qs: _*)
     }
+    def discC(df: org.apache.spark.sql.DataFrame, prefix: String) = {
+      val cum = df.groupBy("l_returnflag", "l_extendedprice")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
+        .withColumn("m", sum(col("c")).over(
+          Window.partitionBy("l_returnflag")))
+      val qs = qkPs.map { case (tag, p) =>
+        min(when(col("cum") >=
+            ceil(lit(p) * col("m").cast("double")), col("l_extendedprice")))
+          .as(s"${prefix}p$tag")
+      }
+      cum.groupBy("l_returnflag")
+        .agg(max(col("m")).as(s"${prefix}n"), qs: _*)
+    }
+    def disc(df: org.apache.spark.sql.DataFrame, prefix: String) =
+      if (windowSel) discW(df, prefix) else discC(df, prefix)
     disc(smp, "est_").join(disc(li, "true_"), "l_returnflag")
       .orderBy("l_returnflag")
   }

@@ -173,7 +173,63 @@ object Statistical extends QueryPack {
       .drop("_mean", "_std")
   }
 
-  private val a2SigmaClip: Q = (s, dir) => {
+  /** a2's default plan: per-pass HASH AGGREGATE + literal bounds instead
+    * of the window formulation. The window plan's one exchange+sort moves
+    * the WHOLE fact table (at 100 TB that is a full-corpus shuffle and
+    * sort for statistics over a handful of groups); this shape shuffles
+    * ZERO fact rows — each pass is a fresh columnar scan → partial-
+    * aggregated group stats (rows crossing the exchange = #groups), the
+    * per-group clip bounds come back as literal predicates, and the next
+    * pass's scan applies every accumulated predicate. The group key is
+    * the (l_returnflag × l_linestatus) flag alphabet — bounded by the
+    * data dictionary, so the driver materialization is dimension-sized
+    * (the GraphQueries finish rule). Bounds are computed by the SAME
+    * Column expressions as the window plan (decimal sums → the identical
+    * double casts), so survivor sets and the hashed output are
+    * bit-identical; A2PlanSpec pins both plans against each other.
+    * `SPARK_GRAFT_A2_PLAN=window` switches back for same-jar A/Bs. */
+  private[graft] def a2ByAggregate(s: SparkSession, dir: String): DataFrame = {
+    val groups = Seq("l_returnflag", "l_linestatus")
+    val gc = groups.map(col)
+    var df = clipInput(s, dir)
+    for (_ <- 1 to 3) {
+      val mean = col("_s").cast("double") / col("_n").cast("double")
+      val std = sqrt(col("_ss").cast("string").cast("double") /
+        col("_n").cast("double") - mean * mean)
+      val bounds = df.groupBy(gc: _*)
+        .agg(count(lit(1)).as("_n"), sum(col("vdec")).as("_s"),
+             sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).as("_ss"))
+        .select(gc :+ (mean - lit(4.0) * std).as("_lo")
+                   :+ (mean + lit(4.0) * std).as("_hi"): _*)
+        .collect()
+      // survivor predicate as a literal CASE over the bounded group
+      // domain: rows of a group absent from `bounds` cannot exist in
+      // `df` (the stats came from the same rows), so the NaN default
+      // arm is unreachable — it mirrors the window plan's NaN-bound
+      // behavior (NaN comparisons drop the row) exactly anyway.
+      def side(i: Int) = bounds.foldLeft(lit(Double.NaN)) { (acc, r) =>
+        when(groups.zipWithIndex.map { case (g, j) =>
+          col(g) === lit(r.get(j))
+        }.reduce(_ && _), lit(r.getDouble(groups.size + i))).otherwise(acc)
+      }
+      df = df.filter(col("vd") >= side(0) && col("vd") <= side(1))
+    }
+    df.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("vdec")).as("_s"),
+           sum((col("vdec") * col("vdec")).cast(DecimalType(38, 4))).as("_ss"))
+      .withColumn("clip_mean", col("_s").cast("double") / col("n_kept").cast("double"))
+      .withColumn("clip_std",
+        sqrt(col("_ss").cast("string").cast("double") / col("n_kept").cast("double") -
+             col("clip_mean") * col("clip_mean")))
+      .drop("_s", "_ss")
+      .orderBy(groups.head, groups.tail: _*)
+  }
+
+  /** The retired window formulation (one exchange+sort carrying the whole
+    * fact table, then three in-partition window passes) — kept for the
+    * same-jar A/B knob and the equivalence spec. */
+  private[graft] def a2ByWindow(s: SparkSession, dir: String): DataFrame = {
     val groups = Seq("l_returnflag", "l_linestatus")
     var df = clipInput(s, dir)
     for (_ <- 1 to 3) df = clipPassW(df, groups, 4.0)
@@ -188,6 +244,10 @@ object Statistical extends QueryPack {
       .drop("_s", "_ss")
       .orderBy(groups.head, groups.tail: _*)
   }
+
+  private val a2SigmaClip: Q = (s, dir) =>
+    if (sys.env.get("SPARK_GRAFT_A2_PLAN").contains("window")) a2ByWindow(s, dir)
+    else a2ByAggregate(s, dir)
 
   private val a2Sql = {
     val g = "l_returnflag, l_linestatus"

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -352,7 +353,19 @@ object WindowedScalar extends QueryPack {
   //    both engines pick the same element; (value, event_id) ordering
   //    makes ties deterministic. Values cross as per-row doubles (no
   //    aggregation → no accumulation drift).
-  private val w8Percentiles: Q = (s, dir) => {
+  //    SCALE SHAPE (r12): the row_number formulation sorted the WHOLE
+  //    fact table into #event_type partitions — the same low-cardinality
+  //    window hazard a2's plan had (measured there: 274 s vs 21 s at
+  //    sf10, the sort concentrating 50M rows in ≤6 tasks). The selected
+  //    element at rank r is a VALUE, and equal values are interchangeable
+  //    under the (v, event_id) order — so the value at rank r is the
+  //    smallest v whose cumulative count reaches r. That computes from
+  //    ONE map-side-combined hash aggregate over (event_type, v); only
+  //    distinct values cross the exchange, and the cumulative pass runs
+  //    over the aggregated table, never the fact rows. Identical output
+  //    (RankSelectSpec pins both plans); `SPARK_GRAFT_RANKSEL=window`
+  //    switches back for same-jar A/Bs.
+  private[graft] def w8ByWindow(s: SparkSession, dir: String): DataFrame = {
     val byVal = Window.partitionBy("event_type")
       .orderBy(col("v"), col("event_id"))
     val all = Window.partitionBy("event_type")
@@ -368,6 +381,29 @@ object WindowedScalar extends QueryPack {
         max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("v"))).as("p99"))
       .orderBy("event_type")
   }
+
+  private[graft] def w8ByCumDist(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(s, dir)
+      .select(col("event_type"),
+        graft.Exact.dec2(col("value")).cast("double").as("v"))
+      .groupBy("event_type", "v")
+      .agg(count(lit(1)).as("c"))
+    val cum = cnt
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("event_type").orderBy("v")))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy("event_type")))
+    cum.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("p50"),
+        min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("v"))).as("p90"),
+        min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("v"))).as("p99"))
+      .orderBy("event_type")
+  }
+
+  private val w8Percentiles: Q = (s, dir) =>
+    if (sys.env.get("SPARK_GRAFT_RANKSEL").contains("window")) w8ByWindow(s, dir)
+    else w8ByCumDist(s, dir)
 
   private val w8Sql =
     """WITH t AS (
@@ -397,7 +433,17 @@ object WindowedScalar extends QueryPack {
   //    keyed on event_type. Exact per-group medians are sort-based by
   //    nature; the sorts partition by group key, so 1000 executors each
   //    sort their own groups — no global sort, no driver state.
-  private val dq2MadOutliers: Q = (s, dir) => {
+  //    SCALE SHAPE (r12): both window sorts carried the WHOLE fact table
+  //    in #event_type partitions (a2's low-cardinality hazard). Every
+  //    emitted statistic is value-only (median, MAD, a count), so the
+  //    whole query computes from ONE map-side-combined aggregate over
+  //    (event_type, v): rank selection becomes cumulative-count
+  //    selection over distinct values (w8's rewrite), the deviation
+  //    table derives from the SAME aggregate with counts carried, and
+  //    the outlier count is the count-weighted sum. The fact table is
+  //    scanned once and never sorted. Identical output (RankSelectSpec);
+  //    `SPARK_GRAFT_RANKSEL=window` switches back for same-jar A/Bs.
+  private[graft] def dq2ByWindow(s: SparkSession, dir: String): DataFrame = {
     val byVal = Window.partitionBy("event_type")
       .orderBy(col("v"), col("event_id"))
     val all = Window.partitionBy("event_type")
@@ -428,6 +474,46 @@ object WindowedScalar extends QueryPack {
           .as("n_outliers"))
       .orderBy("event_type")
   }
+
+  private[graft] def dq2ByCumDist(s: SparkSession, dir: String): DataFrame = {
+    // referenced three times (median select, deviation table, outlier
+    // count) — persisted so the fact scan runs once
+    val cnt = Tables.events(s, dir)
+      .select(col("event_type"),
+        graft.Exact.dec2(col("value")).cast("double").as("v"))
+      .groupBy("event_type", "v")
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val med = cnt
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("event_type").orderBy("v")))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("med"))
+    val dev = cnt.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = dev
+      .groupBy("event_type", "n", "dev")
+      .agg(sum(col("c")).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("event_type").orderBy("dev")))
+      .groupBy("event_type")
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("dev"))).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), col("c")).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val dq2MadOutliers: Q = (s, dir) =>
+    if (sys.env.get("SPARK_GRAFT_RANKSEL").contains("window")) dq2ByWindow(s, dir)
+    else dq2ByCumDist(s, dir)
 
   private val dq2Sql =
     """WITH t AS (

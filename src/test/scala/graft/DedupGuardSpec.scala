@@ -47,4 +47,34 @@ class DedupGuardSpec extends SparkSpecBase {
     assert(pairs.isEmpty,
       s"prefix-class flood: ${pairs.length} pairs from one boilerplate class")
   }
+
+  test("d9 bucket-local kernel plan == textbook join plan, bit-exact, " +
+       "including a forced hot bucket") {
+    import spark.implicits._
+    // near-dup families whose members band-collide (one-char edits keep
+    // most 7-gram minhashes) plus enough same-family members to push one
+    // band bucket past the chunk cap when it is lowered via the
+    // SPARK_GRAFT_CHUNK_CAP measurement knob — here the default cap
+    // stays, so the hot path is exercised by family size alone when the
+    // cap is small; both plans must agree pair-for-pair regardless of
+    // which grouping path engaged
+    // 600 members > the default 512 chunk cap ⇒ the family's band
+    // buckets split into chunk-pair rows, so the CHUNKED grouping (not
+    // just the one-row fast path) is what the equivalence pins
+    val fam = (0L until 600L).map { i =>
+      (i, s"shared family document body with a tail marker $i and padding " +
+        "words to clear the seven gram floor of the banding machinery")
+    }
+    val singles = Seq(
+      (900L, "completely unrelated text one with its own vocabulary set"),
+      (901L, "completely unrelated text two with its own vocabulary kit"))
+    val docs = (fam ++ singles).toDF("doc_id", "text")
+    def rows(dpFull: Boolean) =
+      graft.operators.Dedup.editDistancePairs(docs, dpFull = dpFull)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val kernel = rows(dpFull = false)
+    val join = rows(dpFull = true)
+    assert(kernel == join, "d9 plans diverge")
+    assert(kernel.nonEmpty, "planted near-dup family produced no pairs")
+  }
 }

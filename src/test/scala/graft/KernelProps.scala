@@ -153,4 +153,82 @@ object KernelProps extends Properties("kernels") {
       val back = a.map(row => row.zip(x).map(t => t._1 * t._2).sum)
       back.zip(b).forall { case (h, w) => math.abs(h - w) < 1e-8 }
     }
+
+  private val smallStr: Gen[String] =
+    Gen.choose(0, 140).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+
+  property("bag lower bound never exceeds the true Levenshtein distance") =
+    forAll(smallStr, smallStr) { (a, b) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val d = UTF8String.fromString(a)
+        .levenshteinDistance(UTF8String.fromString(b))
+      val members = Seq((1L, a), (2L, b))
+      // threshold = true distance: the gated kernel must still emit the
+      // pair (the gate may only skip pairs it can PROVE are past the
+      // threshold), and with threshold = d - 1 it must emit nothing
+      val atD = TextKernels.chunkPairEdits(members, null, d)
+      val below = if (d == 0) Seq.empty
+                  else TextKernels.chunkPairEdits(members, null, d - 1)
+      atD == Seq((1L, 2L, d)) && below.isEmpty
+    }
+
+  property("chunkPairEdits over arbitrary chunkings == all-pairs threshold DP") =
+    forAll(Gen.listOfN(10, smallStr), Gen.choose(1, 5)) { (texts, nch) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val maxDist = 30
+      val want = (for {
+        (a, i) <- docs.zipWithIndex; (b, j) <- docs.zipWithIndex
+        if i < j
+        d = UTF8String.fromString(a._2)
+          .levenshteinDistance(UTF8String.fromString(b._2), maxDist)
+        if d >= 0
+      } yield (a._1, b._1, d)).toSet
+      val chunks = docs.groupBy { case (id, _) => (id % nch).toInt }
+      val intra = chunks.values.flatMap(c =>
+        TextKernels.chunkPairEdits(c, null, maxDist))
+      val cross = (for {
+        ci <- chunks.keys; cj <- chunks.keys if ci < cj
+      } yield TextKernels.chunkPairEdits(
+        chunks(ci), chunks(cj), maxDist)).flatten
+      (intra ++ cross).toSet == want
+    }
+
+  private val uniStr: Gen[String] =
+    Gen.choose(0, 140).flatMap(n => Gen.stringOfN(n,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\u00e9', '\u4e2d', '\u0416'))))
+
+  property("boundedEdit == Spark's threshold levenshtein, any strings/k") =
+    forAll(uniStr, uniStr, Gen.choose(0, 100)) { (a, b, k) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val want = UTF8String.fromString(a)
+        .levenshteinDistance(UTF8String.fromString(b), k)
+      TextKernels.boundedEdit(a.codePoints.toArray, b.codePoints.toArray, k) == want
+    }
+
+  property("boundedEdit handles supplementary-plane code points") =
+    forAll(Gen.choose(0, 6), Gen.choose(0, 6), Gen.choose(0, 10)) { (i, j, k) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val a = "pre" + new String(Character.toChars(0x1F600 + i)) + "post"
+      val b = "pre" + new String(Character.toChars(0x1F600 + j)) + "post"
+      val want = UTF8String.fromString(a)
+        .levenshteinDistance(UTF8String.fromString(b), k)
+      TextKernels.boundedEdit(a.codePoints.toArray, b.codePoints.toArray, k) == want
+    }
+
+  property("edit kernel (Myers path) == Spark DP, emission-heavy, long strings") =
+    forAll(Gen.listOfN(6, Gen.choose(0, 200).flatMap(n =>
+        Gen.stringOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const('\u4e2d'))))),
+      Gen.choose(0, 150)) { (texts, k) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val want = (for {
+        (a, i) <- docs.zipWithIndex; (b, j) <- docs.zipWithIndex
+        if i < j
+        d = UTF8String.fromString(a._2)
+          .levenshteinDistance(UTF8String.fromString(b._2), k)
+        if d >= 0
+      } yield (a._1, b._1, d)).toSet
+      TextKernels.chunkPairEdits(docs, null, k).toSet == want
+    }
 }
