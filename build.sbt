@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses ONE JSON line from `sbt "runMain graft.Bench"`
+// stdout. sbt's default LoggedOutput strategy prefixes every forked-
+// process stdout line with "[info] ", which breaks that contract (every
+// BENCH record r6–r12 recorded parsed: null). StdoutOutput passes the
+// child's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -125,17 +125,24 @@ object Bench {
     // bench record at the splice point — parse-validate before embedding
     // (Jackson ships with Spark; FAIL_ON_TRAILING_TOKENS rejects `{..}junk`
     // which a balanced-brace scan would wave through inside strings).
-    val ok = try {
+    // MINIFIED re-serialization, not the raw body: scale_notes.json is
+    // committed pretty-printed, and splicing it verbatim turned the
+    // driver's "one JSON line" stdout contract into ~450 lines — every
+    // BENCH record since r6 parsed as null. Jackson's default
+    // writeValueAsString is compact (single line).
+    val minified = try {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       m.enable(com.fasterxml.jackson.databind.DeserializationFeature
         .FAIL_ON_TRAILING_TOKENS)
-      m.readTree(body).isObject
-    } catch { case _: Throwable => false }
-    if (ok) s""","scale_headroom":$body"""
-    else {
-      System.err.println(
-        s"[bench] $p is not a single JSON object — skipping embed")
-      ""
+      val tree = m.readTree(body)
+      if (tree.isObject) Some(m.writeValueAsString(tree)) else None
+    } catch { case _: Throwable => None }
+    minified match {
+      case Some(j) => s""","scale_headroom":$j"""
+      case None =>
+        System.err.println(
+          s"[bench] $p is not a single JSON object — skipping embed")
+        ""
     }
   }
 

@@ -477,13 +477,19 @@ object WindowedScalar extends QueryPack {
 
   private[graft] def dq2ByCumDist(s: SparkSession, dir: String): DataFrame = {
     // referenced three times (median select, deviation table, outlier
-    // count) — persisted so the fact scan runs once
+    // count) — materialized once via localCheckpoint so the fact scan
+    // runs once. NOT persist(): a persisted fragment lives in the
+    // session's CacheManager and gets spliced into ANY other query whose
+    // plan contains the bit-identical subtree (w8 does), and nothing in
+    // this function can unpersist it after the caller consumes the lazy
+    // result. Checkpoint blocks are RDD-level — invisible to plan
+    // substitution — and every harness frees them via Graph.release.
     val cnt = Tables.events(s, dir)
       .select(col("event_type"),
         graft.Exact.dec2(col("value")).cast("double").as("v"))
       .groupBy("event_type", "v")
       .agg(count(lit(1)).as("c"))
-      .persist()
+      .localCheckpoint()
     val med = cnt
       .withColumn("cum",
         sum(col("c")).over(Window.partitionBy("event_type").orderBy("v")))

@@ -122,12 +122,24 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
-  test("w8 percentiles: all three ranks share ONE within-group sort exchange") {
+  test("w8 percentiles: rank selection over distinct values, never a fact sort") {
+    // r12 rewrite (the a2-class low-cardinality window hazard): rank
+    // selection = cumulative-count selection over DISTINCT values. Pin:
     val p = executedPlan("w8_percentiles")
-    val nExchanges = "(?<!AQEShuffleRead coalesced\n)Exchange hashpartitioning".r
-      .findAllIn(p).length
-    assert(nExchanges <= 2, s"w8 re-sorts per percentile:\n$p")
-    assert("Window ".r.findAllIn(p).length <= 2, s"extra window passes:\n$p")
+    // 1. the fact scan is map-side combined down to distinct
+    //    (event_type, v) rows before anything crosses an exchange
+    assert(p.contains("partial_count"), s"w8 lost map-side combine:\n$p")
+    // 2. no row_number sort of fact rows — the cumulative windows run
+    //    over the aggregated table only
+    assert(!p.contains("row_number"), s"w8 regressed to a fact-row rank:\n$p")
+    // 3. two hash exchanges total: the distinct-value aggregate + the
+    //    within-group cumulative pass (the final ORDER BY is range)
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nExchanges <= 2, s"w8 grew an exchange:\n$p")
+    // 4. no cached fragment spliced in from another query's leaked
+    //    persist (the r12 dq2 leak substituted an InMemoryTableScan here)
+    assert(!p.contains("InMemoryTableScan"),
+      s"w8 plan contaminated by a leaked cache entry:\n$p")
   }
 
   test("round-5 scale shapes: t9 one exchange, k2 partial agg, x3 broadcast probe") {
