@@ -152,7 +152,7 @@ object Plans {
     "st5_user_profile" ->
       "Keyed-state batch face: flatMapGroupsWithState plans as one hash exchange on user_id + per-group state fold — the same operator the stream runs, with integer-cents accumulation making the fold order-proof.",
     "c1_curation_funnel" ->
-      "Curation funnel: six staged tables persist once each and feed both their successor and a 1-row count; the seven scalars meet in broadcast cross-joins, so the only data-sized shuffles are the stages' own dedup groupBy and band joins.",
+      "Curation funnel: the four head stages persist once each and feed both their successor and a 1-row count; the tail three scalars (clean/sampled/chunks) come from ONE narrow aggregate over the decontamination survivors — the sample keep-bit is deterministic per row and the chunk count has the closed form sum((n_tok+39) div 40), so the chunk explode never runs and the only data-sized shuffles are the dedup groupBy and band joins.",
     "gr4_sssp" ->
       "Weighted SSSP through the hybrid bounded driver: below the edge threshold the 3 min-plus rounds run in ONE executor task (the printed plan is the top-15 over the materialized distance table); above it, each round is one frontier⋈edges hash join + a min-plus aggregate over exact integers — associative and idempotent, so partial aggregation and shuffle order are free on any layout.",
     "d17_containment" ->

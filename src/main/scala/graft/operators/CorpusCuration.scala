@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.functions.TextPrims
-import graft.functions.TextPrims.DuckD
+import graft.functions.TextPrims.{DuckD, SparkD}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -115,13 +115,42 @@ object CorpusCuration extends QueryPack {
     docs.join(flagged, Seq("doc_id"), "left_anti")
   }
 
-  /** d8: deterministic per-stratum downsample (scan filter, no shuffle). */
-  def sampleStage(docs: DataFrame, cfg: Config): DataFrame = {
+  /** d8's keep-this-row predicate (deterministic in doc_id and lang) —
+    * shared by [[sampleStage]] and c1's one-pass tail aggregate so the
+    * two can never drift. */
+  def samplePredicate(cfg: Config): org.apache.spark.sql.Column = {
     val u = (col("doc_id") * lit(2654435761L)) % lit(1000003L) % lit(100L)
     val rate = cfg.sampleRates.foldLeft(lit(cfg.defaultRate)) {
       case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
     }
-    docs.filter(u < rate)
+    u < rate
+  }
+
+  /** d8: deterministic per-stratum downsample (scan filter, no shuffle). */
+  def sampleStage(docs: DataFrame, cfg: Config): DataFrame =
+    docs.filter(samplePredicate(cfg))
+
+  /** c1's one-pass tail: (n_clean, n_sampled, n_chunks) from a single
+    * narrow aggregate over the decontamination survivors. Equivalent to
+    * `(c.count, sampleStage(c).count, chunkStage(sampleStage(c)).count)`
+    * because the keep-bit is [[samplePredicate]] verbatim and `chunked`
+    * emits exactly `(n_tok + stride-1) div stride` rows per doc (0 at
+    * n_tok = 0). Pinned by CorpusCurationSpec. */
+  def tailCounts(c: DataFrame, cfg: Config): (Long, Long, Long) = {
+    val toks = TextPrims.tokens("text", SparkD)
+    val stride = cfg.chunkStride
+    val row = c
+      .select(
+        expr(s"size($toks)").as("n_tok"),
+        samplePredicate(cfg).as("keep"))
+      .agg(
+        count(lit(1)).as("n_clean"),
+        coalesce(sum(when(col("keep"), 1L)), lit(0L)).as("n_sampled"),
+        coalesce(sum(when(col("keep"),
+          expr(s"(n_tok + ${stride - 1}) div $stride"))), lit(0L))
+          .as("n_chunks"))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
   /** t6: the surviving docs as overlapping token-window chunks. */
@@ -168,14 +197,33 @@ object CorpusCuration extends QueryPack {
     val n = nearDedupStage(e, cfg).persist()
     val nNear = n.count()
     e.unpersist(blocking = false)
-    val c = decontamStage(n, heldOut, cfg).persist()
-    val nClean = c.count()
-    n.unpersist(blocking = false)
-    val sm = sampleStage(c, cfg).persist()
-    val nSampled = sm.count()
-    c.unpersist(blocking = false)
-    val nChunks = chunkStage(sm, cfg).count()
-    sm.unpersist(blocking = false)
+    // Tail: nClean / nSampled / nChunks are all pure aggregates over the
+    // decontamination survivors — the sample keep-bit is deterministic in
+    // (doc_id, lang) and the chunk count has the closed form
+    // sum((n_tok + stride-1) div stride) (the oracle's own n_chunks
+    // expression; `chunked` explodes exactly that many rows per doc, and
+    // the formula is 0 at n_tok = 0, so no survivor filter is needed).
+    // One narrow aggregate pass replaces two persist+count barriers and
+    // the chunk explode that materialized every 50-token chunk array
+    // just to count rows (guide §1.2 step 1: don't compute things you
+    // throw away). SPARK_GRAFT_C1_TAIL=stages restores the staged tail
+    // for same-jar A/Bs.
+    val (nClean, nSampled, nChunks) =
+      if (sys.env.get("SPARK_GRAFT_C1_TAIL").contains("stages")) {
+        val c = decontamStage(n, heldOut, cfg).persist()
+        val nCl = c.count()
+        n.unpersist(blocking = false)
+        val sm = sampleStage(c, cfg).persist()
+        val nSm = sm.count()
+        c.unpersist(blocking = false)
+        val nCh = chunkStage(sm, cfg).count()
+        sm.unpersist(blocking = false)
+        (nCl, nSm, nCh)
+      } else {
+        val counts = tailCounts(decontamStage(n, heldOut, cfg), cfg)
+        n.unpersist(blocking = false)
+        counts
+      }
     s.range(1).select(
       lit(nInput).as("n_input"), lit(nQuality).as("n_quality"),
       lit(nExact).as("n_exact"), lit(nNear).as("n_neardedup"),

@@ -69,6 +69,38 @@ class CorpusCurationSpec extends SparkSpecBase {
     assert(Dedup.nearDupPairs(exact, cfg.jaccardThreshold).count() == 0)
   }
 
+  test("c1 one-pass tail equals the staged tail bit-for-bit") {
+    val cfg = CorpusCuration.Config()
+    val c = CorpusCuration.decontamStage(
+      CorpusCuration.nearDedupStage(
+        CorpusCuration.exactDedupStage(
+          CorpusCuration.qualityStage(train, cfg)), cfg), heldOut, cfg)
+      .persist()
+    try {
+      val sm = CorpusCuration.sampleStage(c, cfg)
+      val staged =
+        (c.count(), sm.count(), CorpusCuration.chunkStage(sm, cfg).count())
+      assert(CorpusCuration.tailCounts(c, cfg) == staged)
+      assert(staged._1 > 0 && staged._3 > 0)
+    } finally c.unpersist(blocking = false)
+  }
+
+  test("one-pass tail closed form holds at the n_tok = 0 edge") {
+    import spark.implicits._
+    // a doc whose text tokenizes to nothing must contribute 0 chunks and
+    // still count in n_clean (and n_sampled if its keep-bit is true)
+    val cfg = CorpusCuration.Config()
+    val edge = Seq(
+      (1L, "   ", "en", "s1"),      // whitespace-only: n_tok = 0
+      (2L, "alpha beta", "en", "s1"),
+      (700L, "gamma", "fr", "s2"))  // keep-bit varies by id/lang
+      .toDF("doc_id", "text", "lang", "source")
+    val sm = CorpusCuration.sampleStage(edge, cfg)
+    val staged =
+      (edge.count(), sm.count(), CorpusCuration.chunkStage(sm, cfg).count())
+    assert(CorpusCuration.tailCounts(edge, cfg) == staged)
+  }
+
   test("curation is deterministic across runs") {
     val a = CorpusCuration.curate(train, heldOut)
       .select(col("doc_id"), col("chunk_id")).collect().map(r =>
