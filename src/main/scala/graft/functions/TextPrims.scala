@@ -28,13 +28,43 @@ object TextPrims {
     case DuckD  => s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))"
   }
 
-  /** Rolling polynomial hash of a string: fold (acc*31 + ascii) mod P. */
+  /** Rolling polynomial hash of a string: fold (acc*31 + codepoint) mod P.
+    *
+    * Spark side plans as the native [[graft.functions.PolyHash]] codegen
+    * expression (registered as `graft_polyhash` by GraftExtensions) — the
+    * expr form allocated one string per character plus two lambda
+    * dispatches before any arithmetic, on the hottest path of the whole
+    * text family. `SPARK_GRAFT_POLYHASH=expr` restores the old fragment
+    * for same-jar A/Bs; PolyHashSpec pins the two bit-identical. */
   def polyhash(s: String, d: Dialect): String = d match {
     case SparkD =>
-      s"aggregate(${asciiChars(s, d)}, CAST(0 AS BIGINT), (acc, c) -> (acc*31 + c) % $P)"
+      if (sys.env.get("SPARK_GRAFT_POLYHASH").contains("expr")) polyhashExpr(s)
+      else s"graft_polyhash($s)"
     case DuckD =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${asciiChars(s, d)}), (acc, c) -> (acc*31 + c) % $P)"
   }
+
+  /** The pre-native Spark fragment (split-per-char + ascii fold) — the
+    * equivalence baseline PolyHashSpec pins [[polyhash]] against. */
+  def polyhashExpr(s: String): String =
+    s"aggregate(${asciiChars(s, SparkD)}, CAST(0 AS BIGINT), (acc, c) -> (acc*31 + c) % $P)"
+
+  /** Position-weighted checksum: sum of codepoint × 1-based position
+    * (t4's pos_checksum). Spark side plans as the native
+    * [[graft.functions.PosChecksum]]; same knob and spec as [[polyhash]]. */
+  def posChecksum(s: String, d: Dialect): String = d match {
+    case SparkD =>
+      if (sys.env.get("SPARK_GRAFT_POLYHASH").contains("expr"))
+        posChecksumExpr(s)
+      else s"graft_poschecksum($s)"
+    case DuckD =>
+      s"CAST(list_sum(list_transform(${asciiChars(s, d)}, (c, i) -> c * CAST(i AS BIGINT))) AS BIGINT)"
+  }
+
+  /** The pre-native Spark fragment for [[posChecksum]]. */
+  def posChecksumExpr(s: String): String =
+    s"aggregate(transform(${asciiChars(s, SparkD)}, " +
+      "(c, i) -> c * (CAST(i AS BIGINT) + 1)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 
   /** Regex as a SQL string literal: Spark's parser eats one backslash
     * level; DuckDB's standard-SQL literals pass backslashes through. */

@@ -148,8 +148,7 @@ object TextAnalysis extends QueryPack {
     Tables.documents(s, dir)
       .withColumn("content_hash", expr(TextPrims.polyhash("text", SparkD)))
       .withColumn("pos_checksum",
-        expr(s"aggregate(transform(${TextPrims.asciiChars("text", SparkD)}, " +
-             "(c, i) -> c * (CAST(i AS BIGINT) + 1)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        expr(TextPrims.posChecksum("text", SparkD)))
       .withColumn("head", substring(col("text"), 1, 16))
       .select("doc_id", "content_hash", "pos_checksum", "head")
       .orderBy("doc_id")

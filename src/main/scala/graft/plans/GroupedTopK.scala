@@ -194,5 +194,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, s"graft_dot takes 2 arguments, got ${args.length}")
         graft.functions.DotProduct(args.head, args(1))
       }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_polyhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.PolyHash].getName, "graft_polyhash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1,
+          s"graft_polyhash takes 1 argument, got ${args.length}")
+        graft.functions.PolyHash(args.head)
+      }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_poschecksum"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.PosChecksum].getName, "graft_poschecksum"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1,
+          s"graft_poschecksum takes 1 argument, got ${args.length}")
+        graft.functions.PosChecksum(args.head)
+      }))
   }
 }
