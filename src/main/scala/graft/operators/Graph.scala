@@ -685,15 +685,28 @@ object Graph {
     * termination (tol = 0) is NOT offered: floor rounding can leave the
     * integer iteration cycling within a few units of the real fixpoint,
     * so a tolerance is the honest contract.
+    *
+    * With `rounds = Some(k)` the loop runs EXACTLY k damped rounds
+    * (tolerance ignored, like [[ssspFixpoint]]'s bounded mode) — on a
+    * symmetrized sink-free graph this is bit-identical to gr1's k-round
+    * unrolled join formulation (every node has outdeg ≥ 1 and appears as
+    * a dst, so the unroll's inner joins and this driver's
+    * keep-all-nodes rounds rank the same node set; GraphFixpointSpec
+    * pins it), which lets gr1 inherit the hybrid local finish.
     * @param edges DIRECTED edges; every node must have outdegree ≥ 1
     *              (the gr1 construction guarantees it by symmetrizing) */
   def pageRankFixpoint(edges: DataFrame, src: String, dst: String,
                        tolE12: Long = 1000L,
                        maxIters: Int = 500,
                        localThreshold: Long = localFinishEdges,
-                       broadcastLimit: Long = broadcastNodeLimit): DataFrame = {
+                       broadcastLimit: Long = broadcastNodeLimit,
+                       rounds: Option[Int] = None): DataFrame = {
     val unit = 1000000000000L
     val dampBase = 150000000000L
+    // bounded mode runs exactly k rounds: disable the tolerance stop
+    // (maxDelta ≥ 0 can never be ≤ -1) so an early near-convergence on a
+    // small corpus cannot change the k-round result
+    val tol = if (rounds.isDefined) -1L else tolE12
     val e = edges.select(col(src).cast("long").as("a"),
       col(dst).cast("long").as("b"))
     val eRaw = e.persist(StorageLevel.MEMORY_AND_DISK)
@@ -746,10 +759,11 @@ object Graph {
           val sums = new Array[Long](n)
           var iter = 0
           var maxDelta = Long.MaxValue
-          while (maxDelta > tolE12) {
+          while (maxDelta > tol && !rounds.contains(iter)) {
             iter += 1
-            if (iter > maxIters) throw new IllegalStateException(
-              s"pageRankFixpoint did not converge in $maxIters rounds")
+            if (rounds.isEmpty && iter > maxIters)
+              throw new IllegalStateException(
+                s"pageRankFixpoint did not converge in $maxIters rounds")
             java.util.Arrays.fill(sums, 0L)
             var u = 0
             while (u < n) {
@@ -807,10 +821,11 @@ object Graph {
       .localCheckpoint()
     var iter = 0
     var maxDelta = Long.MaxValue
-    while (maxDelta > tolE12) {
+    while (maxDelta > tol && !rounds.contains(iter)) {
       iter += 1
-      if (iter > maxIters) throw new IllegalStateException(
-        s"pageRankFixpoint did not converge in $maxIters rounds")
+      if (rounds.isEmpty && iter > maxIters)
+        throw new IllegalStateException(
+          s"pageRankFixpoint did not converge in $maxIters rounds")
       val contrib = ranks.join(deg, "node")
         .select(col("node"), expr("r div outdeg").as("cpe"))
       val cSide = if (bcastRanks) broadcast(contrib) else contrib

@@ -64,7 +64,8 @@ object GraphQueries extends QueryPack {
   //    one edges⋈ranks hash join plus one map-side-combinable integer
   //    sum on dst — textbook distributed PageRank, just with the float
   //    replaced by a deterministic integer.
-  private def gr1Build(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def gr1Build(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     // NOTE: the packed-BIGINT key trick (coSupplierPairsPerOrder) was
     // A/B-measured here and REJECTED: the pre-dedup stream is already
     // two flat INT columns (8 bytes, codegen'd two-column hash), so the
@@ -81,32 +82,58 @@ object GraphQueries extends QueryPack {
     // no dedup needed: pairs is distinct and the two direction copies
     // cannot collide (customer nodes are even, supplier nodes odd), so
     // the union IS the edge set — one shuffle saved vs a distinct()
-    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
-      .repartition(col("src"))
-      .persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-    var ranks = deg.select(col("src").as("node"), lit(unitE12).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = ranks
-        .join(deg, ranks("node") === deg("src"))
-        .select(col("node"), expr("r div outdeg").as("cpe"))
-      ranks = edges
-        .join(contrib, edges("src") === contrib("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("cpe")).as("sc"))
-        .select(col("dst").as("node"),
-          (lit(dampBaseE12) + expr("(85 * sc) div 100")).as("r"))
+    if (sys.env.get("SPARK_GRAFT_GR1_PLAN").contains("unrolled")) {
+      // the pre-r13 unrolled-join formulation, for same-jar A/Bs
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+        .repartition(col("src"))
+        .persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      var ranks = deg.select(col("src").as("node"), lit(unitE12).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = ranks
+          .join(deg, ranks("node") === deg("src"))
+          .select(col("node"), expr("r div outdeg").as("cpe"))
+        ranks = edges
+          .join(contrib, edges("src") === contrib("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("cpe")).as("sc"))
+          .select(col("dst").as("node"),
+            (lit(dampBaseE12) + expr("(85 * sc) div 100")).as("r"))
+      }
+      val result = ranks
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_kind"),
+          expr("node div 2").as("node_id"),
+          col("r").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("node_kind"), col("node_id"))
+        .limit(20)
+      return (result, Seq(edges, deg))
     }
+    // The 3-round unroll routed through the hybrid fixpoint driver with a
+    // round bound (the gr3/gr4 pattern): on the symmetrized sink-free
+    // graph, rounds = Some(3) is bit-identical to the unrolled joins
+    // (every node has outdeg ≥ 1 and appears as a dst, so the unroll's
+    // inner joins never drop a node — GraphFixpointSpec pins rank
+    // equality), and below the edge threshold the 3 rounds run in ONE
+    // executor task instead of ~9 shuffle stages of scheduling overhead
+    // on a dimension-sized graph. Persist the half-size pair table only
+    // (the driver persists its own symmetrized copy — the gr3 note).
+    val pairsP = pairs.persist()
+    val edges = pairsP.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(pairsP.select(col("p").as("src"), col("c").as("dst")))
+    val ranks = Graph.pageRankFixpoint(edges, "src", "dst",
+      rounds = Some(iters))
     val result = ranks
       .select(
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_kind"),
         expr("node div 2").as("node_id"),
-        col("r").as("rank_e12"))
+        col("rank_e12"))
       .orderBy(col("rank_e12").desc, col("node_kind"), col("node_id"))
       .limit(20)
-    (result, Seq(edges, deg))
+    (result, Seq(pairsP))
   }
 
   private val gr1PageRank: Q = (s, dir) => {

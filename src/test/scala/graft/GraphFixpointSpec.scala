@@ -167,4 +167,40 @@ class GraphFixpointSpec extends SparkSpecBase {
       tolE12 = 100000000000L, localThreshold = 0L, broadcastLimit = 0L))
     assert(coPart == loose, s"co-partition != model: $coPart vs $loose")
   }
+
+  test("PageRank bounded rounds = gr1's unrolled joins, on both paths") {
+    // random bipartite symmetric graph (the gr1 shape: sink-free, every
+    // node appears as both src and dst)
+    val rnd = new scala.util.Random(20260819L)
+    val pairs = (1 to 150)
+      .map(_ => (rnd.nextInt(30).toLong, 30L + rnd.nextInt(30))).distinct
+    val edges = sym(pairs)
+
+    // the pre-r13 unrolled-join formulation, verbatim
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = deg.select(col("src").as("node"),
+      lit(1000000000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = ranks.join(deg, ranks("node") === deg("src"))
+        .select(col("node"), expr("r div outdeg").as("cpe"))
+      ranks = edges.join(contrib, edges("src") === contrib("node"))
+        .groupBy(col("dst")).agg(sum(col("cpe")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(150000000000L) + expr("(85 * sc) div 100")).as("r"))
+    }
+    val ref = toMap(ranks)
+
+    val local = toMap(Graph.pageRankFixpoint(edges, "src", "dst",
+      rounds = Some(3)))
+    assert(local == ref, s"local bounded != unrolled")
+    val dist = toMap(Graph.pageRankFixpoint(edges, "src", "dst",
+      rounds = Some(3), localThreshold = 0L))
+    assert(dist == ref, s"distributed bounded != unrolled")
+    // bounded mode must run exactly k rounds even when the tolerance
+    // would already be met (tol is ignored): a huge tol must not change
+    // the 3-round answer
+    val hugeTol = toMap(Graph.pageRankFixpoint(edges, "src", "dst",
+      tolE12 = Long.MaxValue / 2, rounds = Some(3)))
+    assert(hugeTol == ref, s"bounded mode early-stopped on tolerance")
+  }
 }
