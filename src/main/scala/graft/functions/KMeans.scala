@@ -18,10 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** One row per (cell, pos) — the long-format centroid table. */
-  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Vector-count bound under which Lloyd runs in ONE executor task (the
+    * Graph-hybrid discipline): each distributed iteration costs a fixed
+    * assign + update + persist-count stage chain that dwarfs the actual
+    * flops on a dimension-sized training set (IVF trains on k ∝ √n
+    * seeds over a bounded sample — the common case is thousands of
+    * vectors). 65536 × 64-dim floats ≈ 16 MB through the coalesce(1).
+    * Results are BIT-IDENTICAL on both paths: every dot/score is the
+    * same left-to-right double fold, and the per-dim means are exact
+    * (float mantissas leave ~29 headroom bits in a double sum, so
+    * shuffle order never mattered to begin with) — KMeansSpec pins the
+    * two paths equal on random data. */
+  private val localFitVectors = 65536L
+
+  /** One row per (cell, pos) — the long-format centroid table.
+    * @param maxN an UPPER BOUND on the training-set size when the caller
+    *             already knows one (corpus counts are already taken for
+    *             the k tier); saves the eligibility count. None → count. */
+  def fit(embeddings: DataFrame, k: Int, iters: Int,
+          maxN: Option[Long] = None,
+          localThreshold: Long = localFitVectors): DataFrame = {
     val spark = embeddings.sparkSession
     val corpus = embeddings.select("vec_id", "embedding")
+
+    // SPARK_GRAFT_KMEANS_FIT=loop forces the distributed loop for
+    // same-jar A/Bs (the engine's knob convention)
+    val forceLoop = sys.env.get("SPARK_GRAFT_KMEANS_FIT").contains("loop")
+    val nBound = maxN.getOrElse(corpus.count())
+    if (!forceLoop && nBound <= localThreshold)
+      return fitLocal(corpus, k, iters)
 
     // deterministic seed: the k lowest vec_ids
     var centroids = corpus.orderBy("vec_id").limit(k)
@@ -60,6 +85,93 @@ object KMeans {
       prev = Some(centroids)
     }
     centroids
+  }
+
+  /** The single-task Lloyd kernel behind [[fit]]'s local branch.
+    * Replicates the distributed arithmetic exactly: seeds = k lowest
+    * vec_ids renumbered 0..k-1 by ascending int(vec_id); per iteration,
+    * centroid floats from the means, cnorm2 and scores as left-to-right
+    * double folds over min-length prefixes (DotProduct's contract),
+    * argmin ties to the lowest cell, per-(cell, pos) means over members
+    * whose vectors reach pos; cells that lose all members vanish. */
+  private def fitLocal(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val out = corpus
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val rows = it.toArray
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          val n = math.min(a.length, b.length)
+          var s = 0.0; var i = 0
+          while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        }
+        // seed: k lowest vec_ids, cells 0..k-1 by ascending int(vec_id)
+        val seeds = rows.sortBy(_._1).take(k).sortBy(_._1.toInt)
+        // (cellId, centroid means) — ids stay stable across iterations
+        var cents: Array[(Int, Array[Double])] =
+          seeds.zipWithIndex.map { case ((_, e), i) =>
+            (i, e.map(_.toDouble))
+          }
+        var iter = 0
+        while (iter < iters && rows.nonEmpty) {
+          iter += 1
+          val fc = cents.map { case (id, m) => (id, m.map(_.toFloat)) }
+          val cn2 = fc.map { case (_, c) => dot(c, c) }
+          // accumulate per-cell per-pos sums/counts as we assign
+          val sums = new java.util.HashMap[Int, Array[Double]]()
+          val cnts = new java.util.HashMap[Int, Array[Long]]()
+          var r = 0
+          while (r < rows.length) {
+            val e = rows(r)._2
+            var best = 0; var bestScore = Double.MaxValue
+            var j = 0
+            while (j < fc.length) {
+              val sc = cn2(j) - 2.0 * dot(e, fc(j)._2)
+              // ties break to the lowest cell id; fc is id-ascending
+              if (sc < bestScore) { bestScore = sc; best = j }
+              j += 1
+            }
+            val cid = fc(best)._1
+            var s = sums.get(cid)
+            if (s == null) {
+              s = new Array[Double](e.length)
+              sums.put(cid, s); cnts.put(cid, new Array[Long](e.length))
+            } else if (s.length < e.length) {
+              s = java.util.Arrays.copyOf(s, e.length)
+              sums.put(cid, s)
+              cnts.put(cid,
+                java.util.Arrays.copyOf(cnts.get(cid), e.length))
+            }
+            val c = cnts.get(cid)
+            var p = 0
+            while (p < e.length) { s(p) += e(p).toDouble; c(p) += 1L; p += 1 }
+            r += 1
+          }
+          cents = sums.keySet().toArray(Array.empty[Integer])
+            .map(_.intValue()).sorted
+            .map { cid =>
+              val s = sums.get(cid); val c = cnts.get(cid)
+              (cid, Array.tabulate(s.length)(p =>
+                if (c(p) > 0) s(p) / c(p) else Double.NaN))
+            }
+          // a pos no member reaches has count 0 — the distributed
+          // posexplode never emits it, so drop the slot entirely
+          cents = cents.map { case (id, m) =>
+            (id, m.zipWithIndex.filter { case (_, p) =>
+              cnts.get(id)(p) > 0 }.map(_._1))
+          }
+        }
+        cents.iterator.flatMap { case (cid, m) =>
+          m.iterator.zipWithIndex.map { case (v, p) => (cid, p, v) }
+        }
+      }
+      .toDF("cell", "pos", "mean_v")
+      .localCheckpoint()
+    out
   }
 
   /** [[fit]] generalized to MANY independent trainings in one plan:

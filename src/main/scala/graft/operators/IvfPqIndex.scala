@@ -186,7 +186,7 @@ object IvfPqIndex {
     val m = ivfSampleMod(n)
     val sample = e.filter(pmod(col("vec_id"), lit(m)) === 0)
     val k = ivfK(n)
-    val coarse = KMeans.fit(sample, k, iters = 2)
+    val coarse = KMeans.fit(sample, k, iters = 2, maxN = Some(n))
     MergeWriter.upsertParquet(spark, s"$path/coarse_centroids",
       coarse.select(col("cell").cast("int").as("cell"), col("pos"),
         col("mean_v")),

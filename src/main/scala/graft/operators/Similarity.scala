@@ -286,8 +286,10 @@ object Similarity extends QueryPack {
   private val v6IvfTopk: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     // One count to size k — metadata-only against parquet statistics.
-    val k = ivfK(e.count())
-    val centroids = graft.functions.KMeans.fit(e, k, iters = 2)
+    val n = e.count()
+    val k = ivfK(n)
+    val centroids = graft.functions.KMeans.fit(e, k, iters = 2,
+      maxN = Some(n))
     // Persisted: BOTH sides of the in-cell self-join read `assigned`;
     // without the persist the full train+assign pipeline (corpus scan +
     // broadcast argmin) executes twice. Same pattern as d4's signature
@@ -398,7 +400,8 @@ object Similarity extends QueryPack {
     val m = ivfSampleMod(n)
     val sample = e.filter(pmod(col("vec_id"), lit(m)) === 0)
     val k = ivfK(n)
-    val centroids = graft.functions.KMeans.fit(sample, k, iters = 2)
+    val centroids = graft.functions.KMeans.fit(sample, k, iters = 2,
+      maxN = Some(n))
     val withNorm = e.withColumn("norm", DotProduct.norm(col("embedding")))
     // inverted lists: one cell per corpus vector (persisted: search
     // reads it once per probed cell side).
@@ -746,7 +749,8 @@ object Similarity extends QueryPack {
     val sample = Tables.embeddings(s, dir)
       .filter(pmod(col("vec_id"), lit(m)) === 0)
     val k = ivfK(n) // corpus-derived, the v8 rule
-    val centroids = graft.functions.KMeans.fit(sample, k, iters = 2)
+    val centroids = graft.functions.KMeans.fit(sample, k, iters = 2,
+      maxN = Some(n))
     val lists = graft.functions.KMeans.assign(e, centroids).persist()
     val probes = graft.functions.KMeans
       .assignTopN(e.filter(col("vec_id") < 5), centroids, 2)

@@ -17,6 +17,23 @@ class KMeansSpec extends SparkSpecBase {
     }.toDF("vec_id", "embedding")
   }
 
+  test("local-finish Lloyd == distributed Lloyd, bit-exact") {
+    import spark.implicits._
+    // messy random data (no planted structure): cluster churn, ties on
+    // symmetric points, and a cell that loses all members are all in play
+    val rnd = new scala.util.Random(20260819L)
+    val df = (0 until 300).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 4f - 2f))
+    }.toDF("vec_id", "embedding")
+    for (k <- Seq(3, 16); iters <- Seq(1, 3)) {
+      val local = KMeans.fit(df, k, iters) // 300 rows → local branch
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+      val dist = KMeans.fit(df, k, iters, localThreshold = 0L)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(local == dist, s"k=$k iters=$iters: local != distributed")
+    }
+  }
+
   test("recovers well-separated planted clusters") {
     val df = planted()
     val cents = KMeans.fit(df, k = 3, iters = 5)
