@@ -91,7 +91,7 @@ object Dedup extends QueryPack {
   // -- d4: MinHash-LSH near-dup pairs — 6 bands × 2 rows: documents
   //    sharing any band bucket become candidates (equi-join on the band
   //    key, never a cross join); candidates get the exact Jaccard check.
-  private val nBands = 6
+  private[graft] val nBands = 6
   private[operators] val jacThreshold = "0.08"
 
   /** (doc_id, sig, hs) for docs with ≥1 shingle — the MinHash signature
@@ -875,8 +875,10 @@ object Dedup extends QueryPack {
     // checks over ~36 grouped rows instead of 3 — parallelism for a
     // fixed-size task, not a scale knob.
     val cap = 128
-    val kernelMin = scala.util.Try(threshold.toDouble)
-      .getOrElse(Double.NegativeInfinity)
+    // ADVICE r12: fail fast on a non-literal threshold — a silent
+    // NegativeInfinity gate would disable kernel-side pruning and emit
+    // all C(k,2) pairs before the outer filter (a quiet perf trap)
+    val kernelMin = threshold.toDouble
     val oneBucket = base.select(col("doc_id"), lit(0).as("band_id"),
       lit(0L).as("bh"))
     groupedOneSided(oneBucket, base, cap)
@@ -1139,7 +1141,7 @@ object Dedup extends QueryPack {
   //    the buckets; see TextKernels.charMinhashSigs) while scoring stays
   //    on 3-gram Jaccard; (lang, source) equality remains as a candidate
   //    *filter* so the query keeps its within-block meaning.
-  private val bandK = 7
+  private[graft] val bandK = 7
 
   private val d6CharJaccard: Q = (s, dir) => {
     val base = Tables.documents(s, dir)
@@ -1217,7 +1219,7 @@ object Dedup extends QueryPack {
   //    by band buckets, independent of corpus size), and the DP runs on a
   //    fixed 120-char prefix (cost bound per pair). The DP over ASCII is
   //    engine-agnostic integer arithmetic, so the oracle is bit-exact.
-  private val d9Prefix = 120
+  private[graft] val d9Prefix = 120
 
   /** The d9 pipeline over any (doc_id, text) table — split out so the
     * flood-guard property is spec-testable on a planted duplicate class.

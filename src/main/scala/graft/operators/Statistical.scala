@@ -207,10 +207,15 @@ object Statistical extends QueryPack {
       // `df` (the stats came from the same rows), so the NaN default
       // arm is unreachable — it mirrors the window plan's NaN-bound
       // behavior (NaN comparisons drop the row) exactly anyway.
+      // ADVICE r12: a null bound (conceivable only if a decimal sum ever
+      // overflowed to null) must degrade like the window plan — NaN
+      // comparisons drop the group's rows — not throw on getDouble.
       def side(i: Int) = bounds.foldLeft(lit(Double.NaN)) { (acc, r) =>
+        val v = if (r.isNullAt(groups.size + i)) Double.NaN
+                else r.getDouble(groups.size + i)
         when(groups.zipWithIndex.map { case (g, j) =>
           col(g) === lit(r.get(j))
-        }.reduce(_ && _), lit(r.getDouble(groups.size + i))).otherwise(acc)
+        }.reduce(_ && _), lit(v)).otherwise(acc)
       }
       df = df.filter(col("vd") >= side(0) && col("vd") <= side(1))
     }

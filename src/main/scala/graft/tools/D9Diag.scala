@@ -2,7 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Scratch diagnostic for d9's sf10 cost attribution (r12). */
+/** Scratch diagnostic for d9's sf10 cost attribution (r12). Constants
+  * reference Dedup's own (ADVICE r12): the diagnostic measures the
+  * PRODUCTION banding/kernel parameters, not a drifting copy. */
 object D9Diag {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local()
@@ -11,12 +13,14 @@ object D9Diag {
     val reps = docs.groupBy(md5(substring(col("text"), 1, 120)).as("_h"))
       .agg(min(col("doc_id")).as("doc_id")).drop("_h")
     val base = docs.join(reps, Seq("doc_id"))
-      .select(col("doc_id"), substring(col("text"), 1, 120).as("pfx"),
-        graft.functions.TextKernels.charMinhashSigsUdf(7)(col("text")).as("csig"))
-      .filter(length(col("pfx")) >= 7).persist()
+      .select(col("doc_id"),
+        substring(col("text"), 1, graft.operators.Dedup.d9Prefix).as("pfx"),
+        graft.functions.TextKernels.charMinhashSigsUdf(
+          graft.operators.Dedup.bandK)(col("text")).as("csig"))
+      .filter(length(col("pfx")) >= graft.operators.Dedup.bandK).persist()
     println("base=" + base.count())
-    val P = 1000003L
-    val bandCols = (0 until 6).map { i =>
+    val P = graft.functions.TextPrims.P
+    val bandCols = (0 until graft.operators.Dedup.nBands).map { i =>
       expr(s"struct(CAST($i AS INT) AS band_id, " +
         s"(element_at(csig, ${2 * i + 1})*131 + element_at(csig, ${2 * i + 2})) % $P AS bh)")
     }
@@ -27,7 +31,8 @@ object D9Diag {
       println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
     val members = base.select(col("doc_id"), col("pfx").as("hs"))
-    val grouped = graft.operators.Dedup.groupedOneSidedDiag(banded, members, 512)
+    val grouped = graft.operators.Dedup.groupedOneSidedDiag(banded, members,
+      graft.operators.Dedup.bucketChunkSize)
       .persist()
     t("group") {
       val st = grouped.select(
@@ -43,7 +48,8 @@ object D9Diag {
     t("kernel") {
       val n = grouped.select(explode(
         graft.functions.TextKernels.chunkPairEditsUdf(
-          col("amem"), col("bmem"), lit(60), lit(512 * 8))).as("p")).count()
+          col("amem"), col("bmem"), lit(graft.operators.Dedup.d9Prefix / 2),
+          lit(graft.operators.Dedup.bucketChunkSize * 8))).as("p")).count()
       println("survivors(with dup)=" + n)
     }
     spark.stop()
