@@ -575,6 +575,10 @@ object Statistical extends QueryPack {
 
     // star observations: one row per (supplier, part), exact integer
     // aggregates so the match is deterministic on any shuffle order
+    // obs feeds BOTH join sides; an obs.persist() was A/B-measured r13
+    // and REJECTED (3.8-7.6 s vs 3.7-7.4 s same-window at sf0.1, i.e.
+    // cost-neutral-to-worse): Spark's ReuseExchange already dedupes the
+    // identical aggregation exchange, so the cache write only adds cost.
     val obs = Tables.lineitem(s, dir)
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("l_quantity").cast("long")).as("x"),
