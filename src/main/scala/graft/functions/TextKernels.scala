@@ -321,6 +321,101 @@ object TextKernels {
     out.toSeq
   }
 
+  /** [[bucketPairJaccards]] for SORTED member arrays (charShingleHashes
+    * is TreeSet-built): intersection counts come from the zero-
+    * allocation merge [[sortedIntersectCount]] instead of a per-pair
+    * boxed HashSet — same integer, same IEEE divide, bit-identical
+    * jaccards (KernelProps pins it), but the d6 sf10 run's dominant GC
+    * pressure (160 s/run of HashSet churn over ~2000-element arrays)
+    * disappears. Only sorted-input callers may use it. */
+  def bucketPairJaccardsSorted(members: Seq[(Long, Seq[Long])],
+                               minJac: Double): Seq[(Long, Long, Double)] = {
+    val n = members.length
+    val ids = new Array[Long](n)
+    val hss = new Array[Array[Long]](n)
+    var i = 0
+    members.foreach { m => ids(i) = m._1; hss(i) = m._2.toArray; i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        // size gate (lossless): inter ≤ min and union ≥ max, so
+        // jac ≤ min/max — a pair whose smaller set is under
+        // minJac × the larger can never pass; skip the merge outright
+        val la = hss(a).length.toDouble
+        val lb = hss(b).length.toDouble
+        if (math.min(la, lb) >= minJac * math.max(la, lb)) {
+          val inter = sortedIntersectCount(hss(a), hss(b))
+          val jac = inter.toDouble /
+            (hss(a).length + hss(b).length - inter).toDouble
+          if (jac >= minJac) {
+            if (ids(a) < ids(b)) out += ((ids(a), ids(b), jac))
+            else out += ((ids(b), ids(a), jac))
+          }
+        }
+        b += 1
+      }
+      a += 1
+    }
+    out.toSeq
+  }
+
+  /** Sorted-input cross variant (chunk cross rows of a sorted-array
+    * bucket); mirrors [[bucketCrossJaccards]] with the merge intersect. */
+  def bucketCrossJaccardsSorted(am: Seq[(Long, Seq[Long])],
+                                bm: Seq[(Long, Seq[Long])],
+                                minJac: Double): Seq[(Long, Long, Double)] = {
+    val n = am.length
+    val m = bm.length
+    val nid = new Array[Long](n)
+    val nhs = new Array[Array[Long]](n)
+    var i = 0
+    am.foreach { x => nid(i) = x._1; nhs(i) = x._2.toArray; i += 1 }
+    val sid = new Array[Long](m)
+    val shs = new Array[Array[Long]](m)
+    i = 0
+    bm.foreach { x => sid(i) = x._1; shs(i) = x._2.toArray; i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var a = 0
+    while (a < n) {
+      var b = 0
+      while (b < m) {
+        if (nid(a) != sid(b)) {
+          val la = nhs(a).length.toDouble
+          val lb = shs(b).length.toDouble
+          if (math.min(la, lb) >= minJac * math.max(la, lb)) {
+            val inter = sortedIntersectCount(nhs(a), shs(b))
+            val jac = inter.toDouble /
+              (nhs(a).length + shs(b).length - inter).toDouble
+            if (jac >= minJac) out += ((nid(a), sid(b), jac))
+          }
+        }
+        b += 1
+      }
+      a += 1
+    }
+    out.toSeq
+  }
+
+  /** [[chunkPairJaccards]] over SORTED member arrays (see
+    * [[bucketPairJaccardsSorted]]). */
+  def chunkPairJaccardsSorted(amem: Seq[(Long, Seq[Long])],
+                              bmem: Seq[(Long, Seq[Long])],
+                              minJac: Double,
+                              softCap: Int = 0): Seq[(Long, Long, Double)] = {
+    warnIfOversized(softCap, amem.length, if (bmem == null) 0 else bmem.length)
+    if (bmem == null || bmem.isEmpty) bucketPairJaccardsSorted(amem, minJac)
+    else bucketCrossJaccardsSorted(amem, bmem, minJac).map { t =>
+      if (t._1 <= t._2) t else (t._2, t._1, t._3)
+    }
+  }
+
+  val chunkPairJaccardsSortedUdf: UserDefinedFunction =
+    udf((a: Seq[(Long, Seq[Long])], b: Seq[(Long, Seq[Long])],
+         minJac: Double, softCap: Int) =>
+      chunkPairJaccardsSorted(a, b, minJac, softCap))
+
   /** Cross-side variant of [[bucketPairJaccards]] for the asymmetric
     * probe (new batch × signature store, Dedup.probePairs): verifies
     * every (new, store) pair sharing this bucket, skipping equal ids

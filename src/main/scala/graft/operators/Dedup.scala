@@ -1143,7 +1143,118 @@ object Dedup extends QueryPack {
   //    *filter* so the query keeps its within-block meaning.
   private[graft] val bandK = 7
 
-  private val d6CharJaccard: Q = (s, dir) => {
+  /** Corpus-size bound under which d6 keeps the candidate-join plan.
+    * Measured crossover (r13): at 5k docs (sf0.1) the join plan wins
+    * 1.9 vs 3.5 s (small buckets; the kernel re-verifies a pair once
+    * per shared band and pays grouped-row boxing), at 50k docs (sf1)
+    * they tie (6.5 vs 6.7 s), and at 500k docs (sf10) the join plan
+    * OOMs the heap outright — every candidate row carries BOTH ~16 KB
+    * 3-gram arrays. The flip sits just above the measured tie so
+    * anything past it gets the memory-bounded kernel. */
+  private val d6JoinMaxDocs = 65536L
+
+  private val d6CharJaccard: Q = (s, dir) =>
+    sys.env.get("SPARK_GRAFT_D6_PLAN") match {
+      case Some("join")   => d6Plan(s, dir,
+        splitByBlock = !sys.env.get("SPARK_GRAFT_D6_BAND").contains("nolang"))
+      case Some("kernel") => d6Kernel(s, dir)
+      case _ =>
+        // adaptive: one metadata-cheap count picks the plan (the Graph
+        // hybrid discipline — both paths are spec-pinned bit-equal)
+        val n = Tables.documents(s, dir).count()
+        if (n <= d6JoinMaxDocs) d6Plan(s, dir, splitByBlock = true)
+        else d6Kernel(s, dir)
+    }
+
+  /** d6 through the bucket-local kernel discipline (r13): the candidate
+    * join carried BOTH 3-gram shingle arrays on every candidate row —
+    * at the sf10 dup-dense corpus that OOM'd the executor heap outright
+    * (boilerplate buckets × ~16 KB arrays per side). Here each block-
+    * split bucket's members cross ONE grouped chunk-capped exchange and
+    * the same intersect/divide arithmetic runs in-task (d4/d9/d15's
+    * plan family) — the jac double is bit-identical (same integer
+    * intersect, same IEEE divide), so the hashed output is unchanged;
+    * DedupGuardSpec pins kernel == join on both banding variants.
+    * Blocks fold into the bucket key COLLISION-FREE as
+    * bh' = blockId·P + bh (bh < P; the block dictionary is
+    * dimension-sized, collected once — the engine's established
+    * finish rule), so bucket membership = same band hash AND same
+    * (lang, source): exactly the old post-join filter's survivors. */
+  private[graft] def d6Kernel(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    // Persist the LIGHT columns only (ids, block, 12-long csig): the
+    // ~16 KB 3-gram arrays would put ~8 GB through the columnar cache at
+    // sf10 (batch buffering alone OOM'd 8 GB heaps intermittently).
+    // `sh` has exactly ONE consumer here — the members side of the
+    // grouped kernel exchange — so it is computed once and STREAMED,
+    // never cached; the light table feeds banding, the block dictionary
+    // and the output meta join. One extra text-column scan, no
+    // array-sized storage anywhere.
+    // (the join plan's `size(sh) > 0` is implied: charShingleHashes(3)
+    // is nonempty whenever length ≥ 3, and bandK = 7 ≥ 3)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextKernels.charMinhashSigsUdf(bandK)(col("text")).as("csig"))
+      .filter(length(col("text")) >= bandK)
+      .persist()
+    // block dictionary: dimension-sized, collected once, broadcast back
+    // (a 100-deep CASE chain tripped the optimizer's max-iterations and
+    // cost real planning time; the join is one broadcast hash probe)
+    val blocks = base.select(col("lang"), col("source")).distinct()
+      .orderBy("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1))).zipWithIndex
+    import s.implicits._
+    val blockDf = broadcast(blocks
+      .map { case ((l, src), i) => (l, src, i.toLong) }.toSeq
+      .toDF("lang", "source", "block"))
+    val bandCols = (0 until nBands).map { i =>
+      expr(s"struct(CAST($i AS INT) AS band_id, " +
+           s"(element_at(csig, ${2 * i + 1})*131 + element_at(csig, ${2 * i + 2})) % $P AS bh)")
+    }
+    val banded = base
+      .join(blockDf, Seq("lang", "source"))
+      .select(col("doc_id"), col("block"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        (col("block") * lit(P) + col("band.bh")).as("bh"))
+    val members = Tables.documents(s, dir)
+      .filter(length(col("text")) >= bandK)
+      .select(col("doc_id"), TextKernels.charShingle3Udf(col("text")).as("hs"))
+    // sorted kernel: charShingleHashes arrays are TreeSet-sorted, so the
+    // merge intersect replaces the per-pair HashSet (same integer, same
+    // IEEE divide — KernelProps pins sorted == hash on sorted inputs,
+    // and the lossless min/max size gate skips merges that cannot reach
+    // 0.5). Chunk cap 128, not the word-shingle 512: these members are
+    // ~16 KB arrays (4–30× heavier), so the cap scales down to keep
+    // grouped rows ~4 MB (the d15 synthetic-bucket precedent).
+    val d6Cap = 128
+    val pairs = groupedOneSided(banded, members, d6Cap)
+      .select(explode(TextKernels.chunkPairJaccardsSortedUdf(
+        col("amem"), col("bmem"), lit(0.5), lit(d6Cap * 8))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
+        col("p._3").as("jac"))
+      .filter(col("jac") >= 0.5)
+      .distinct()
+    pairs
+      .join(base.select(col("doc_id").as("doc_a"), col("lang"),
+        col("source")), "doc_a")
+      .select("lang", "source", "doc_a", "doc_b", "jac")
+      .orderBy("lang", "source", "doc_a", "doc_b")
+  }
+
+  // (lang, source) ride the band key when `splitByBlock` (r13 default):
+  // the query's OUTPUT demands lang/source equality anyway, so splitting
+  // every band bucket by the block key removes exactly the pairs the old
+  // post-join filter would drop — but BEFORE the heavy 3-gram shingle
+  // arrays are fetched for them (guide §2.3: decide with small rows,
+  // move heavy bytes once), and it shrinks the largest buckets
+  // (boilerplate shared across sources collides cross-block). The
+  // post-join filter stays, now redundant; DedupGuardSpec pins both
+  // variants bit-equal. SPARK_GRAFT_D6_BAND=nolang restores the unsplit
+  // banding for same-jar A/Bs.
+  private[graft] def d6Plan(s: org.apache.spark.sql.SparkSession,
+                            dir: String, splitByBlock: Boolean)
+      : org.apache.spark.sql.DataFrame = {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         TextKernels.charShingle3Udf(col("text")).as("sh"),
@@ -1154,12 +1265,16 @@ object Dedup extends QueryPack {
       expr(s"struct(CAST($i AS INT) AS band_id, " +
            s"(element_at(csig, ${2 * i + 1})*131 + element_at(csig, ${2 * i + 2})) % $P AS bh)")
     }
+    val bandKey: Seq[String] =
+      if (splitByBlock) Seq("band_id", "bh", "lang", "source")
+      else Seq("band_id", "bh")
     val banded = base
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"),
-              col("band.bh").as("bh"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("band.band_id").as("band_id"), col("band.bh").as("bh"))
     val cand = banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+        bandKey.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

@@ -77,4 +77,24 @@ class DedupGuardSpec extends SparkSpecBase {
     assert(kernel == join, "d9 plans diverge")
     assert(kernel.nonEmpty, "planted near-dup family produced no pairs")
   }
+
+  test("d6 kernel plan == join plan (both banding variants), bit-exact") {
+    // (lang, source) in the band key removes exactly the pairs the
+    // post-join block filter drops, and the bucket-local kernel's
+    // intersect/divide is the join plan's arithmetic — all three
+    // formulations must hash identically
+    def rows(split: Boolean) =
+      graft.operators.Dedup.d6Plan(spark, sfDir, splitByBlock = split)
+        .collect().map(_.toSeq).toVector
+    val a = rows(split = true)
+    spark.catalog.clearCache()
+    val b = rows(split = false)
+    spark.catalog.clearCache()
+    val k = graft.operators.Dedup.d6Kernel(spark, sfDir)
+      .collect().map(_.toSeq).toVector
+    spark.catalog.clearCache()
+    assert(a == b, "d6 banding variants diverge")
+    assert(k == a, "d6 kernel plan diverges from the join plan")
+    assert(a.nonEmpty, "sf0.001 corpus produced no d6 pairs")
+  }
 }

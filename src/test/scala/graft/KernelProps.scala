@@ -103,6 +103,21 @@ object KernelProps extends Properties("kernels") {
             java.lang.Double.doubleToLongBits(w._3) }
     }
 
+  property("sorted-kernel jaccards == hash-kernel jaccards, bit-exact") =
+    forAll(membersGen, Gen.choose(0, 3)) { (mem, split) =>
+      // sorted-input contract: sort each member's hashes first
+      val sortedMem = mem.map { case (id, hs) => (id, hs.distinct.sorted) }
+      val (a, b0) = sortedMem.splitAt(
+        if (split == 0) sortedMem.length else sortedMem.length / split.max(1))
+      val b = if (b0.isEmpty) null else b0
+      val hash = sortPairs(TextKernels.chunkPairJaccards(a, b, 0.0))
+      val srt = sortPairs(TextKernels.chunkPairJaccardsSorted(a, b, 0.0))
+      hash.map(t => (t._1, t._2)) == srt.map(t => (t._1, t._2)) &&
+        hash.zip(srt).forall { case (g, w) =>
+          java.lang.Double.doubleToLongBits(g._3) ==
+            java.lang.Double.doubleToLongBits(w._3) }
+    }
+
   private val taggedMember: Gen[(Long, Seq[Long], Boolean)] = for {
     (id, hs) <- member
     isNew <- Gen.oneOf(true, false)
